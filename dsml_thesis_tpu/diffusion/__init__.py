@@ -1,0 +1,28 @@
+from .schedules import (
+    DiffusionSchedule,
+    DDIMSchedule,
+    make_beta_schedule,
+    make_ddim_timesteps,
+    make_strength_ddim_timesteps,
+    make_ddim_sampling_parameters,
+    make_schedule,
+    make_ddim_schedule,
+    extract,
+)
+from .gaussian import (
+    q_sample,
+    predict_start_from_noise,
+    q_posterior,
+    p_losses,
+    get_loss,
+    ddpm_p_sample_loop,
+)
+from .ddim import (
+    cfg_eps_fn,
+    p_sample_ddim,
+    ddim_sample,
+    ddim_invert,
+    ddim_reverse_from,
+    latent_manipulation,
+    stochastic_encode,
+)
