@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Flagship benchmark: talking-face video synthesis throughput.
+
+Measures frames/sec/chip for the north-star path (BASELINE.json): MEAD-style
+progressive frame-autoregressive sampling at 256px (f4 VQGAN -> 64x64x3
+latents), DDIM-50 with CFG, including per-frame VQGAN decode to pixels —
+the same work progressive_sampling_difftalk.py does per frame, but compiled
+as one nested lax.scan with speaker batching.
+
+Prints ONE JSON line:
+  {"metric": "frames_per_sec_per_chip_ddim50_256px", "value": N,
+   "unit": "frames/s/chip", "vs_baseline": N}
+
+vs_baseline: BASELINE.json's target is >=25 frames/s on a v5e-8 => 3.125
+frames/s/chip. vs_baseline = value / 3.125.
+
+Flags: --tiny (CPU smoke), --steps, --frames, --batch, --res.
+"""
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="tiny CPU smoke run")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--guidance", type=float, default=2.0)
+    ap.add_argument("--no-decode", action="store_true")
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+
+    from dsml_thesis_tpu.config import build_model, load_config
+    from dsml_thesis_tpu.diffusion import make_ddim_schedule, progressive_video_sample
+
+    if args.tiny:
+        import yaml
+
+        sys.path.insert(0, "tests")
+        from test_ldm import TINY_MEAD_CFG
+
+        cfg = yaml.safe_load(TINY_MEAD_CFG)
+        args.res, args.batch, args.frames, args.steps = 16, 1, 2, 4
+        lat = 8
+    else:
+        name = f"mead-{args.res}-ldm-f4" if args.res != 128 else "mead-128-ldm-f4"
+        cfg = load_config([f"configs/latent-diffusion/{name}.yaml"])
+        lat = args.res // 4
+
+    ldm = build_model(cfg["model"])
+    ctx_dim = cfg["model"]["params"]["unet_config"]["params"]["context_dim"]
+
+    B, F, S = args.batch, args.frames, args.steps
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "image": jnp.zeros((B, args.res, args.res, 3)),
+        "masked_image": jnp.zeros((B, args.res, args.res, 3)),
+        "identity": jnp.zeros((B, args.res, args.res, 3)),
+        "class_label": jnp.zeros((B,), jnp.int32),
+        "audio": jnp.zeros((B,) + _audio_shape(cfg)),
+    }
+    t0 = time.time()
+    params = ldm.init_params(rng, batch)
+    print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
+
+    ddim = make_ddim_schedule(ldm.schedule, S, eta=0.0)
+
+    # pre-encoded per-frame conditioning (the hot path consumes latents/tokens)
+    masked_lat = jax.random.normal(jax.random.PRNGKey(1), (B, F, lat, lat, 3))
+    ctxs = jax.random.normal(jax.random.PRNGKey(2), (B, F, 1, ctx_dim))
+    uctxs = jax.random.normal(jax.random.PRNGKey(3), (B, F, 1, ctx_dim))
+    z_id0 = jax.random.normal(jax.random.PRNGKey(4), (B, lat, lat, 3))
+
+    apply_fn = lambda x, t, ctx, cc: ldm.apply_model(
+        params, x, t, {"crossattn": ctx, "concat": cc}
+    )
+
+    def synth(key):
+        frames = progressive_video_sample(
+            ddim, apply_fn, masked_lat, ctxs, z_id0, key,
+            uncond_contexts=uctxs, guidance_scale=args.guidance,
+        )
+        if args.no_decode:
+            return frames
+        dec = lambda z: ldm.decode_first_stage(params, z)
+        imgs = jax.vmap(dec, in_axes=1, out_axes=1)(frames)
+        return jnp.clip(imgs, -1, 1)
+
+    synth_j = jax.jit(synth)
+    t0 = time.time()
+    out = jax.block_until_ready(synth_j(jax.random.PRNGKey(10)))
+    compile_s = time.time() - t0
+    print(f"# compile+first run {compile_s:.1f}s out {out.shape}", file=sys.stderr)
+
+    n_rep = 1 if args.tiny else 3
+    t0 = time.time()
+    for i in range(n_rep):
+        out = jax.block_until_ready(synth_j(jax.random.PRNGKey(11 + i)))
+    dt = (time.time() - t0) / n_rep
+    fps = B * F / dt
+
+    n_chips = jax.device_count()
+    fps_chip = fps / n_chips
+    print(json.dumps({
+        "metric": "frames_per_sec_per_chip_ddim50_256px",
+        "value": round(fps_chip, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps_chip / 3.125, 3),
+    }))
+
+
+def _audio_shape(cfg):
+    p = cfg["model"]["params"]["cond_stage_config_2"]["params"]
+    return (p["seq_len"], p["subspace_dim"])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,376 @@
+"""Datasets (numpy/PIL, torch-free) + a threaded batch loader.
+
+Parity targets (behavior, not code):
+  - AffectNet path-list datasets, label parsed from filename prefix:
+    face_reenactment/taming/data/{custom.py:38-57, base.py:106-135}
+  - MEAD talking-face tuples dataset (target/identity/masked frames, audio
+    windows from precomputed wav2vec2 pkls, mouth mask from landmarks[48:68]):
+    talking_face/taming/data/custom.py:278-421 (MEADBase3) and :546-692
+    (MEADBase5 = +raw landmarks for the lipread loss)
+  - Latent caches from compute_latents: face_reenactment/ldm/data/latents.py
+  - DataModuleFromConfig/worker seeding: main.py:171-214,155-168
+
+Images are float32 NHWC in [-1, 1] (x/127.5 - 1). Unlike the reference's
+hardcoded /gpu-data2 paths, all roots are constructor params.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import threading
+import queue as queue_mod
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+EMOTION2LABEL = {
+    "angry": 6, "contempt": 7, "disgusted": 5, "fear": 4,
+    "happy": 1, "neutral": 0, "sad": 2, "surprised": 3,
+}
+HUMAN_LABELS = {
+    0: "neutral", 1: "happy", 2: "sad", 3: "surprise",
+    4: "fear", 5: "disgust", 6: "anger", 7: "contempt",
+}
+
+
+def load_image(path: str, size: Optional[int], random_crop: bool = False,
+               rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    """Resize smallest side to `size`, center/random crop, scale to [-1, 1]."""
+    img = Image.open(path)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    if size is not None and size > 0:
+        w, h = img.size
+        scale = size / min(w, h)
+        img = img.resize((max(size, round(w * scale)), max(size, round(h * scale))),
+                         Image.BICUBIC)
+        w, h = img.size
+        if random_crop and rng is not None:
+            x0 = rng.randint(0, w - size + 1)
+            y0 = rng.randint(0, h - size + 1)
+        else:
+            x0, y0 = (w - size) // 2, (h - size) // 2
+        img = img.crop((x0, y0, x0 + size, y0 + size))
+    arr = np.asarray(img, dtype=np.uint8)
+    return (arr / 127.5 - 1.0).astype(np.float32)
+
+
+def _load_pickle(path: str):
+    if os.path.getsize(path) > 0:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    return None
+
+
+class Dataset:
+    def __len__(self):
+        raise NotImplementedError
+
+    def __getitem__(self, idx):
+        raise NotImplementedError
+
+
+class AffectnetDataset(Dataset):
+    """AffectNet aligned crops; class label = filename prefix `<label>_...jpg`."""
+
+    def __init__(self, images_list_file: str, size: int = 128,
+                 random_crop: bool = False, shape_root: Optional[str] = None,
+                 seed: int = 0):
+        with open(images_list_file) as f:
+            self.paths = [l for l in f.read().splitlines() if l]
+        self.size = size
+        self.random_crop = random_crop
+        self.shape_root = shape_root  # DECA/EMOCA geometry renders (optional)
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i) -> Dict:
+        path = self.paths[i]
+        label = int(os.path.basename(path).split("_")[0])
+        ex = {
+            "image": load_image(path, self.size, self.random_crop, self.rng),
+            "class_label": np.int32(label),
+            "human_label": HUMAN_LABELS[label],
+            "file_path": path,
+        }
+        if self.shape_root is not None:
+            name = os.path.splitext(os.path.basename(path))[0]
+            ex["shape_image"] = load_image(
+                os.path.join(self.shape_root, name, "geometry_detail.png"),
+                self.size,
+            )
+        return ex
+
+
+# Reference-config-name aliases
+def AffectnetTrain(size=128, training_images_list_file=None, **kw):
+    return AffectnetDataset(training_images_list_file, size=size,
+                            shape_root=kw.get("shape_root"))
+
+
+def AffectnetTest(size=128, test_images_list_file=None, **kw):
+    return AffectnetDataset(test_images_list_file, size=size,
+                            shape_root=kw.get("shape_root"))
+
+
+class MEADTalkingFace(Dataset):
+    """MEADBase3/5-equivalent: (subject, emotion, level, clip) tuples.
+
+    mode='train': one random target frame per clip with identity frame (≤
+    max_shortcut ahead of the target's window start), mouth-masked target,
+    (2*audio_window+1) audio-feature window, emotion label.
+    mode='sample': all frames' masked images + the full audio track for
+    progressive video synthesis.
+    include_landmarks=True adds raw landmarks (MEADBase5, lipread finetune).
+    """
+
+    def __init__(self, tuples_path: str, data_root: str, audio_dir: str,
+                 audio_window: int = 8, size: int = 128, mode: str = "train",
+                 max_shortcut: int = 60, include_landmarks: bool = False,
+                 seed: int = 0):
+        assert mode in ("train", "sample")
+        with open(tuples_path, "rb") as f:
+            self.tuples = sorted(list(pickle.load(f)))
+        self.data_root = data_root
+        self.audio_dir = audio_dir
+        self.audio_window = audio_window
+        self.size = size
+        self.mode = mode
+        self.max_shortcut = max_shortcut
+        self.include_landmarks = include_landmarks
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.tuples)
+
+    def _clip_dir(self, subj, emotion, lvl, nbr):
+        return os.path.join(self.data_root, subj, "video", "front", emotion, lvl, nbr)
+
+    def _landmarks_dir(self, subj, emotion, lvl, nbr):
+        return os.path.join(self.data_root, subj, "landmarks", "front", emotion, lvl, nbr)
+
+    def _mask_mouth(self, image: np.ndarray, landmarks) -> np.ndarray:
+        masked = image.copy()
+        if landmarks is not None:
+            mouth = landmarks[48:68]
+            min_y = int(np.min(mouth[:, 1])) - 5
+        else:
+            min_y = self.size // 2
+        masked[max(min_y, 0):, :, :] = -1.0
+        return masked
+
+    def _audio_window_at(self, audio_features: np.ndarray, t: int) -> np.ndarray:
+        n = len(audio_features)
+        idx = [min(max(t + i, 0), n - 1)
+               for i in range(-self.audio_window, self.audio_window + 1)]
+        return audio_features[idx]
+
+    def __getitem__(self, idx) -> Dict:
+        subj, emotion, lvl, nbr = self.tuples[idx]
+        clip_dir = self._clip_dir(subj, emotion, lvl, nbr)
+        lm_dir = self._landmarks_dir(subj, emotion, lvl, nbr)
+        audio = _load_pickle(
+            os.path.join(self.audio_dir, f"{subj}_{emotion}_{lvl}_{nbr}.pkl")
+        )
+        frames = sorted(os.listdir(clip_dir))
+        n = len(frames)
+
+        def lm(k):
+            p = os.path.join(lm_dir, frames[k].replace("jpg", "pkl"))
+            return _load_pickle(p) if os.path.exists(p) else None
+
+        anchor = self.rng.randint(n) if self.mode == "train" else 0
+        image = load_image(os.path.join(clip_dir, frames[anchor]), self.size)
+        id_idx = self.rng.randint(min(n, anchor + self.max_shortcut))
+        identity = load_image(os.path.join(clip_dir, frames[id_idx]), self.size)
+
+        ex: Dict = {
+            "image": image,
+            "identity": identity,
+            "class_label": np.int32(EMOTION2LABEL[emotion]),
+            "human_label": emotion,
+            "frame_idx": np.int32(anchor),
+            "num_frames": np.int32(n),
+            "subj": subj, "lvl": lvl, "nbr": nbr,
+        }
+        if self.mode == "train":
+            landmarks = lm(anchor)
+            ex["masked_image"] = self._mask_mouth(image, landmarks)
+            ex["audio"] = self._audio_window_at(np.asarray(audio), anchor).astype(
+                np.float32
+            )
+            if self.include_landmarks and landmarks is not None:
+                ex["landmarks"] = np.asarray(landmarks, dtype=np.float32)
+        else:
+            masked, lms = [], []
+            for k in range(n):
+                img_k = load_image(os.path.join(clip_dir, frames[k]), self.size)
+                landmarks = lm(k)
+                masked.append(self._mask_mouth(img_k, landmarks))
+                if landmarks is not None:
+                    lms.append(np.asarray(landmarks, dtype=np.float32))
+            ex["masked_image"] = np.stack(masked)
+            ex["audio"] = np.asarray(audio, dtype=np.float32)
+            if lms:
+                ex["landmarks"] = np.stack(lms)
+        return ex
+
+
+def MEADBase3(audio_window, size=128, tuples_path=None, mode="train",
+              data_root=None, audio_dir=None, **kw):
+    return MEADTalkingFace(tuples_path, data_root, audio_dir,
+                           audio_window=audio_window, size=size, mode=mode,
+                           max_shortcut=kw.get("max_shortcut", 60))
+
+
+def MEADBase5(audio_window, size=128, tuples_path=None, mode="train",
+              data_root=None, audio_dir=None, **kw):
+    return MEADTalkingFace(tuples_path, data_root, audio_dir,
+                           audio_window=audio_window, size=size, mode=mode,
+                           include_landmarks=True,
+                           max_shortcut=kw.get("max_shortcut", 60))
+
+
+class LatentDataset(Dataset):
+    """compute_latents npy caches: DDIM-inverted latents + origin images, for
+    CLIP finetuning / tuned manipulation (ldm/data/latents.py:8-87).
+
+    Origin images arrive in [0, 1] float and are rescaled to [-1, 1]; latents
+    are used as-is. `n_samples` takes a random subset like the reference.
+    """
+
+    def __init__(self, precomputed_latents_path: str, origin_path: str,
+                 files_path: Optional[str] = None, n_samples: Optional[int] = None,
+                 size: Optional[int] = None, seed: int = 0):
+        self.latents = np.load(precomputed_latents_path)
+        self.origin = np.load(origin_path)
+        self.fp = np.load(files_path) if files_path is not None else None
+        self.size = size
+        idx = np.arange(len(self.latents))
+        if n_samples is not None and n_samples < len(idx):
+            idx = np.random.RandomState(seed).choice(idx, n_samples, replace=False)
+        self.idx = idx
+
+    def __len__(self):
+        return len(self.idx)
+
+    def __getitem__(self, i) -> Dict:
+        j = int(self.idx[i])
+        origin = np.asarray(self.origin[j], dtype=np.float32)
+        origin = (origin * 255.0 / 127.5 - 1.0).astype(np.float32)
+        ex = {
+            "latent": np.asarray(self.latents[j], dtype=np.float32),
+            "original": origin,
+        }
+        if self.fp is not None:
+            path = str(self.fp[j])
+            ex["file_path"] = path
+            ex["class_label"] = np.int32(os.path.basename(path).split("_")[0])
+        return ex
+
+
+def LatentTrain(training_precomputed_latents_path=None, training_origin_path=None,
+                training_files_path=None, n_samples=None, size=None, **kw):
+    return LatentDataset(training_precomputed_latents_path, training_origin_path,
+                         training_files_path, n_samples, size)
+
+
+def LatentTest(test_precomputed_latents_path=None, test_origin_path=None,
+               test_files_path=None, n_samples=None, size=None, **kw):
+    return LatentDataset(test_precomputed_latents_path, test_origin_path,
+                         test_files_path, n_samples, size)
+
+
+class SyntheticDataset(Dataset):
+    """Random tensors with a given spec — for tests/benchmarks without data."""
+
+    def __init__(self, spec: Dict[str, tuple], length: int = 64, seed: int = 0):
+        self.spec = spec
+        self.length = length
+        self.seed = seed
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, i) -> Dict:
+        rng = np.random.RandomState(self.seed + i)
+        out = {}
+        for k, (shape, dtype) in self.spec.items():
+            if np.issubdtype(np.dtype(dtype), np.integer):
+                out[k] = rng.randint(0, 8, size=shape).astype(dtype)
+            else:
+                out[k] = rng.randn(*shape).astype(dtype)
+        return out
+
+
+def collate(examples: List[Dict]) -> Dict:
+    """Stack array fields; keep str fields as lists."""
+    out = {}
+    for k in examples[0]:
+        vals = [e[k] for e in examples]
+        if isinstance(vals[0], (np.ndarray, np.integer, np.floating, int, float)):
+            out[k] = np.stack([np.asarray(v) for v in vals])
+        else:
+            out[k] = vals
+    return out
+
+
+class DataLoader:
+    """Minimal threaded loader: shuffling, batching, prefetch.
+
+    Replaces main.DataModuleFromConfig/DataLoader(num_workers) — TPU input
+    pipelines are host-threaded here (JPEG decode releases the GIL in PIL).
+    """
+
+    def __init__(self, dataset: Dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 4, seed: int = 123,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        end = len(idx) - (len(idx) % self.batch_size if self.drop_last else 0)
+        for s in range(0, end, self.batch_size):
+            yield idx[s:s + self.batch_size]
+
+    def __iter__(self):
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        batches = list(self._batches())
+        self.epoch += 1
+
+        def worker():
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in batches:
+                    examples = list(pool.map(self.dataset.__getitem__, b))
+                    q.put(collate(examples))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item

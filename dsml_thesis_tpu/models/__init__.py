@@ -1,0 +1,11 @@
+from .unet import UNetModel, timestep_embedding
+from .autoencoder import (
+    Encoder,
+    Decoder,
+    VQModel,
+    AutoencoderKL,
+    IdentityFirstStage,
+    DiagonalGaussian,
+)
+from .quantize import VectorQuantizer
+from .encoders import ClassEmbedder, Conv1DTemporalAttention, LandmarkEncoder

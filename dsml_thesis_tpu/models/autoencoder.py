@@ -1,0 +1,284 @@
+"""First-stage autoencoders: VQGAN Encoder/Decoder, VQ / KL model wrappers.
+
+Parity targets (architecture, not code):
+  - Encoder/Decoder conv nets: face_reenactment/ldm/modules/diffusionmodules/model.py:368-556
+    (ResnetBlock :82, AttnBlock :150, Down/Upsample :42-80)
+  - VQModel / VQModelInterface / AutoencoderKL / IdentityFirstStage:
+    face_reenactment/ldm/models/autoencoder.py:14-443
+  - DiagonalGaussianDistribution: ldm/modules/distributions/distributions.py:24-62
+
+TPU-first: NHWC; GroupNorm(eps=1e-6)+swish fused via the Pallas kernel; the
+mid-block single-head self-attention uses the shared attention op. The
+asymmetric-pad strided downsample conv matches torch's pad=(0,1,0,1) trick.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import multi_head_attention
+from .quantize import VectorQuantizer
+from .unet import GroupNormSiLU, upsample_nearest
+
+
+class ResnetBlock(nn.Module):
+    out_channels: Optional[int] = None
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        out_ch = self.out_channels or x.shape[-1]
+        h = GroupNormSiLU(eps=1e-6, name="norm1")(x)
+        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = GroupNormSiLU(eps=1e-6, name="norm2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != out_ch:
+            x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Single-head full self-attention over spatial tokens (model.py:150-203)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        h = GroupNormSiLU(eps=1e-6, silu=False, name="norm")(x)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h).reshape(b, 1, hh * ww, c)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h).reshape(b, 1, hh * ww, c)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h).reshape(b, 1, hh * ww, c)
+        out = multi_head_attention(q, k, v, scale=c**-0.5)
+        out = out.reshape(b, hh, ww, c)
+        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
+        return x + out
+
+
+class DownsampleAE(nn.Module):
+    """Strided conv with torch's asymmetric (0,1,0,1) padding (model.py:60-80)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(
+            x.shape[-1], (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class UpsampleAE(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = upsample_nearest(x)
+        return nn.Conv(x.shape[-1], (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class Encoder(nn.Module):
+    """ddconfig-driven conv encoder (model.py:368-461)."""
+
+    ch: int
+    ch_mult: Sequence[int]
+    num_res_blocks: int
+    attn_resolutions: Sequence[int]
+    resolution: int
+    z_channels: int
+    double_z: bool = True
+    dropout: float = 0.0
+    in_channels: int = 3
+    out_ch: int = 3  # accepted for config parity (used by Decoder)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Conv(self.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        curr_res = self.resolution
+        for i_level, mult in enumerate(self.ch_mult):
+            block_out = self.ch * mult
+            for i_block in range(self.num_res_blocks):
+                h = ResnetBlock(
+                    block_out, self.dropout, self.dtype,
+                    name=f"down_{i_level}_block_{i_block}",
+                )(h, deterministic)
+                if curr_res in self.attn_resolutions:
+                    h = AttnBlock(self.dtype, name=f"down_{i_level}_attn_{i_block}")(h)
+            if i_level != len(self.ch_mult) - 1:
+                h = DownsampleAE(self.dtype, name=f"down_{i_level}_downsample")(h)
+                curr_res //= 2
+        h = ResnetBlock(None, self.dropout, self.dtype, name="mid_block_1")(h, deterministic)
+        h = AttnBlock(self.dtype, name="mid_attn_1")(h)
+        h = ResnetBlock(None, self.dropout, self.dtype, name="mid_block_2")(h, deterministic)
+        h = GroupNormSiLU(eps=1e-6, name="norm_out")(h)
+        z_out = 2 * self.z_channels if self.double_z else self.z_channels
+        return nn.Conv(z_out, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+
+
+class Decoder(nn.Module):
+    """ddconfig-driven conv decoder (model.py:462-556)."""
+
+    ch: int
+    ch_mult: Sequence[int]
+    num_res_blocks: int
+    attn_resolutions: Sequence[int]
+    resolution: int
+    z_channels: int
+    out_ch: int = 3
+    dropout: float = 0.0
+    in_channels: int = 3  # config parity
+    double_z: bool = False  # config parity
+    tanh_out: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, deterministic: bool = True):
+        num_res = len(self.ch_mult)
+        block_in = self.ch * self.ch_mult[-1]
+        curr_res = self.resolution // 2 ** (num_res - 1)
+        h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
+        h = ResnetBlock(None, self.dropout, self.dtype, name="mid_block_1")(h, deterministic)
+        h = AttnBlock(self.dtype, name="mid_attn_1")(h)
+        h = ResnetBlock(None, self.dropout, self.dtype, name="mid_block_2")(h, deterministic)
+        for i_level in reversed(range(num_res)):
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks + 1):
+                h = ResnetBlock(
+                    block_out, self.dropout, self.dtype,
+                    name=f"up_{i_level}_block_{i_block}",
+                )(h, deterministic)
+                if curr_res in self.attn_resolutions:
+                    h = AttnBlock(self.dtype, name=f"up_{i_level}_attn_{i_block}")(h)
+            if i_level != 0:
+                h = UpsampleAE(self.dtype, name=f"up_{i_level}_upsample")(h)
+                curr_res *= 2
+        h = GroupNormSiLU(eps=1e-6, name="norm_out")(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        if self.tanh_out:
+            h = jnp.tanh(h)
+        return h
+
+
+@dataclasses.dataclass
+class DiagonalGaussian:
+    """Posterior for the KL autoencoder (distributions.py:24-62)."""
+
+    mean: jnp.ndarray
+    logvar: jnp.ndarray
+
+    @classmethod
+    def from_params(cls, params: jnp.ndarray) -> "DiagonalGaussian":
+        mean, logvar = jnp.split(params, 2, axis=-1)
+        return cls(mean, jnp.clip(logvar, -30.0, 20.0))
+
+    def sample(self, key: jax.Array) -> jnp.ndarray:
+        std = jnp.exp(0.5 * self.logvar)
+        return self.mean + std * jax.random.normal(key, self.mean.shape)
+
+    def mode(self) -> jnp.ndarray:
+        return self.mean
+
+    def kl(self) -> jnp.ndarray:
+        return 0.5 * jnp.sum(
+            self.mean**2 + jnp.exp(self.logvar) - 1.0 - self.logvar,
+            axis=tuple(range(1, self.mean.ndim)),
+        )
+
+
+class VQModel(nn.Module):
+    """VQGAN: encoder -> pre-quant conv -> VQ -> post-quant conv -> decoder.
+
+    As the LDM first stage (VQModelInterface, autoencoder.py:264-282) `encode`
+    skips quantization and `decode` quantizes first — exposed here via
+    method="encode"/"decode"/None.
+    """
+
+    ddconfig: dict
+    n_embed: int
+    embed_dim: int
+    beta: float = 0.25
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        dd = dict(self.ddconfig)
+        dd.pop("dtype", None)
+        self.encoder = Encoder(dtype=self.dtype, **dd)
+        self.decoder = Decoder(dtype=self.dtype, **dd)
+        self.quantize = VectorQuantizer(self.n_embed, self.embed_dim, beta=self.beta)
+        self.quant_conv = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype)
+        self.post_quant_conv = nn.Conv(
+            self.ddconfig["z_channels"], (1, 1), dtype=self.dtype
+        )
+
+    def encode(self, x, deterministic: bool = True):
+        """Un-quantized latent (the LDM diffuses over this), [B,h,w,embed_dim]."""
+        h = self.encoder(x, deterministic)
+        return self.quant_conv(h)
+
+    def encode_quantized(self, x, deterministic: bool = True):
+        h = self.encode(x, deterministic)
+        return self.quantize(h)
+
+    def decode(self, z, force_not_quantize: bool = False, deterministic: bool = True):
+        if not force_not_quantize:
+            z, _, _ = self.quantize(z)
+        z = self.post_quant_conv(z)
+        return self.decoder(z, deterministic)
+
+    def __call__(self, x, deterministic: bool = True):
+        quant, vq_loss, idx = self.encode_quantized(x, deterministic)
+        rec = self.decode(quant, force_not_quantize=True, deterministic=deterministic)
+        return rec, vq_loss, idx
+
+
+class AutoencoderKL(nn.Module):
+    """KL-regularized AE (autoencoder.py:285-424)."""
+
+    ddconfig: dict
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        dd = dict(self.ddconfig)
+        dd.pop("dtype", None)
+        assert dd.get("double_z", True)
+        self.encoder = Encoder(dtype=self.dtype, **dd)
+        self.decoder = Decoder(dtype=self.dtype, **dd)
+        self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1), dtype=self.dtype)
+        self.post_quant_conv = nn.Conv(
+            self.ddconfig["z_channels"], (1, 1), dtype=self.dtype
+        )
+
+    def encode(self, x, deterministic: bool = True) -> DiagonalGaussian:
+        h = self.encoder(x, deterministic)
+        return DiagonalGaussian.from_params(self.quant_conv(h))
+
+    def decode(self, z, deterministic: bool = True):
+        return self.decoder(self.post_quant_conv(z), deterministic)
+
+    def __call__(self, x, key=None, sample_posterior: bool = True,
+                 deterministic: bool = True):
+        posterior = self.encode(x, deterministic)
+        z = posterior.sample(key) if sample_posterior else posterior.mode()
+        return self.decode(z, deterministic), posterior
+
+
+class IdentityFirstStage(nn.Module):
+    """Pass-through first stage (autoencoder.py:426-443)."""
+
+    def __call__(self, x, *a, **k):
+        return x
+
+    def encode(self, x, *a, **k):
+        return x
+
+    def decode(self, x, *a, **k):
+        return x

@@ -1,0 +1,107 @@
+"""Conditioning-stage encoders.
+
+Parity targets (architecture, not code):
+  - ClassEmbedder / ClassEmbedder3 (trainable null row + whole-batch CFG drop):
+    face_reenactment/ldm/modules/encoders/modules.py:20-94,
+    talking_face/ldm/modules/encoders/modules.py:44-73
+  - Conv1DTemporalAttention (audio window -> 1 pooled token):
+    talking_face/ldm/modules/encoders/modules.py:75-113
+  - LandmarkEncoder: talking_face/ldm/modules/encoders/modules.py:331-348
+
+CFG label-drop is a whole-batch Bernoulli(p_uncond) during training, exactly
+like the reference (torch.rand(1) < p). The PRNG comes from the 'cfg' rng
+collection so the train step stays pure.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ClassEmbedder(nn.Module):
+    """Class-label -> single crossattn token, with a trainable null embedding.
+
+    Unifies the reference's ClassEmbedder / ClassEmbedder3 variants:
+      - null_mode="separate": distinct 1-row null table (ClassEmbedder3)
+      - null_mode="extra_row": row n_classes of an (n_classes+1)-row table
+        (talking_face ClassEmbedder)
+    """
+
+    embed_dim: int
+    n_classes: int
+    p_uncond: float = 0.0
+    null_mode: str = "extra_row"
+    key: str = "class_label"  # config parity (batch key)
+
+    def setup(self):
+        if self.null_mode == "extra_row":
+            self.embedding = nn.Embed(self.n_classes + 1, self.embed_dim)
+        else:
+            self.embedding = nn.Embed(self.n_classes, self.embed_dim)
+            self.uncond_embedding = nn.Embed(1, self.embed_dim)
+
+    def _null(self, batch_size: int) -> jnp.ndarray:
+        if self.null_mode == "extra_row":
+            ids = jnp.full((batch_size,), self.n_classes, dtype=jnp.int32)
+            return self.embedding(ids)
+        return self.uncond_embedding(jnp.zeros((batch_size,), dtype=jnp.int32))
+
+    def __call__(self, labels: jnp.ndarray, training: bool = False):
+        """labels: int [B] -> tokens [B, 1, embed_dim]."""
+        c = self.embedding(labels)
+        if training and self.p_uncond > 0:
+            drop = jax.random.uniform(self.make_rng("cfg"), ()) < self.p_uncond
+            c = jnp.where(drop, self._null(labels.shape[0]), c)
+        return c[:, None, :]
+
+    def null_token(self, batch_size: int):
+        """Unconditional token for CFG sampling."""
+        return self._null(batch_size)[:, None, :]
+
+
+class Conv1DTemporalAttention(nn.Module):
+    """Attention-pool a (2w+1)-frame audio-feature window into one token.
+
+    5-layer Conv1d pyramid 768->192->64->16->4->1 (LeakyReLU 0.02) produces
+    per-frame scores; a Dense+softmax over the window yields attention weights;
+    the pooled feature is the weighted sum. Output [B, 1, subspace_dim].
+    """
+
+    seq_len: int
+    subspace_dim: int = 768
+    subspace2hidden: bool = False
+    hidden_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False):
+        """x: [B, seq_len, subspace_dim] -> [B, 1, subspace_dim or hidden]."""
+        b = x.shape[0]
+        h = x
+        for i, ch in enumerate((192, 64, 16, 4, 1)):
+            h = nn.Conv(ch, (3,), padding=1, name=f"att_conv_{i}")(h)
+            h = nn.leaky_relu(h, negative_slope=0.02)
+        scores = nn.Dense(self.seq_len, name="att_dense")(h.reshape(b, self.seq_len))
+        attn = jax.nn.softmax(scores, axis=1)[:, :, None]  # [B, L, 1]
+        pooled = jnp.sum(x * attn, axis=1)  # [B, subspace_dim]
+        if self.subspace2hidden:
+            assert self.hidden_dim is not None
+            pooled = nn.Dense(self.hidden_dim, name="to_hidden")(pooled)
+        return pooled[:, None, :]
+
+
+class LandmarkEncoder(nn.Module):
+    """Flattened 48-landmark (96-d) MLP encoder -> one token."""
+
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False):
+        b = x.shape[0]
+        h = x.reshape(b, -1)
+        h = nn.Dense(256, name="fc1")(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.hidden_dim, name="fc2")(h)
+        return h[:, None, :]

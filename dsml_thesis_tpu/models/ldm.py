@@ -1,0 +1,286 @@
+"""LatentDiffusion: one engine for every conditioning arrangement.
+
+The reference carries three near-identical 1300-line model classes differing
+only in conditioning plumbing:
+  - 1-cond crossattn  (face_reenactment/ldm/models/diffusion/ddpm.py:423-1423)
+  - 2-cond crossattn+concat (face_reenactment/.../ddpm2cond.py:425-1344)
+  - 4-cond (class+audio crossattn, motion+identity concat)
+    (talking_face/.../ddpm2cond.py:434-1315)
+
+Here a list of CondSpec declarations expresses all of them: every cond stream
+is (batch key, encoder module, route), where route says whether the encoded
+stream joins the cross-attention context (feature- or token-concatenated) or
+is channel-concatenated onto the UNet input (optionally after being pushed
+through the frozen first stage, like the reference's masked-frame / identity
+latents, talking_face ddpm2cond.py:667-720).
+
+LatentDiffusion is NOT a stateful trainer object like the reference's
+LightningModule — it is a pure-functional composition: params live in one
+pytree {unet, first_stage, cond/<name>}, every method takes params explicitly,
+and samplers receive a closed-over apply_model. This keeps the whole train
+step and the whole sampler jittable.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..diffusion import (
+    DiffusionSchedule,
+    make_schedule,
+    make_ddim_schedule,
+    q_sample,
+    p_losses,
+    cfg_eps_fn,
+    ddim_sample,
+)
+from .autoencoder import DiagonalGaussian
+
+
+@dataclasses.dataclass(frozen=True)
+class CondSpec:
+    """One conditioning stream.
+
+    route:
+      - "crossattn_feature": encoder tokens concat along feature dim (MEAD
+        class ⊕ audio -> one 1024-d token, ddpm2cond.py:886-899)
+      - "crossattn_token": encoder tokens concat along the token dim
+      - "concat_first_stage": batch value is an image encoded by the frozen
+        first stage then channel-concatenated to x_t
+      - "concat_raw": batch value channel-concatenated as-is (already a latent)
+    """
+
+    key: str
+    module: Optional[nn.Module]  # None for concat_first_stage/raw passthrough
+    route: str = "crossattn_feature"
+    trainable: bool = True
+
+
+@dataclasses.dataclass
+class LatentDiffusion:
+    unet: nn.Module
+    first_stage: Optional[nn.Module]
+    cond_specs: Sequence[CondSpec]
+    schedule: DiffusionSchedule
+    scale_factor: float = 1.0
+    parameterization: str = "eps"
+    loss_type: str = "l2"
+    l_simple_weight: float = 1.0
+    original_elbo_weight: float = 0.0
+    first_stage_key: str = "image"
+    image_size: int = 32
+    channels: int = 3
+    cond_ids_null: Optional[Dict[str, Any]] = None
+    monitor: str = "val_loss_ema"
+
+    # ---------- initialization ----------
+
+    def init_params(self, key: jax.Array, batch: Dict[str, jnp.ndarray]) -> Dict:
+        """Initialize the full params pytree from an example batch."""
+        keys = jax.random.split(key, 3 + len(self.cond_specs))
+        params: Dict[str, Any] = {}
+        x = batch[self.first_stage_key]
+        if self.first_stage is not None:
+            params["first_stage"] = jax.jit(self.first_stage.init)(keys[0], x)["params"]
+            z = self.first_stage.apply(
+                {"params": params["first_stage"]}, x, method="encode"
+            )
+        else:
+            z = x
+        z = z * self.scale_factor
+
+        cond = {}
+        for i, spec in enumerate(self.cond_specs):
+            if spec.module is not None:
+                rngs = {"params": keys[2 + i], "cfg": jax.random.fold_in(keys[2 + i], 1)}
+                cp = spec.module.init(rngs, batch[spec.key], training=False)
+                params[f"cond/{spec.key}"] = cp["params"]
+                cond[spec.key] = spec.module.apply(cp, batch[spec.key], training=False)
+            else:
+                cond[spec.key] = batch[spec.key]
+        c = self._route_conditioning(params, cond)
+
+        x_in = z if c["concat"] is None else jnp.concatenate([z, c["concat"]], axis=-1)
+        t = jnp.zeros((z.shape[0],), dtype=jnp.int32)
+        params["unet"] = jax.jit(self.unet.init)(keys[1], x_in, t, c["crossattn"])["params"]
+        return params
+
+    # ---------- first stage (always frozen, like reference ddpm.py:501-508) ----------
+
+    def encode_first_stage(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+        if self.first_stage is None:
+            return x
+        z = self.first_stage.apply(
+            {"params": params["first_stage"]}, x, method="encode"
+        )
+        if isinstance(z, DiagonalGaussian):
+            z = z.mode()
+        return jax.lax.stop_gradient(z * self.scale_factor)
+
+    def decode_first_stage(self, params: Dict, z: jnp.ndarray,
+                           force_not_quantize: bool = False) -> jnp.ndarray:
+        if self.first_stage is None:
+            return z
+        z = z / self.scale_factor
+        return self.first_stage.apply(
+            {"params": params["first_stage"]}, z,
+            force_not_quantize=force_not_quantize, method="decode",
+        )
+
+    # ---------- conditioning ----------
+
+    def encode_conditioning(
+        self,
+        params: Dict,
+        batch: Dict[str, jnp.ndarray],
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Dict[str, Optional[jnp.ndarray]]:
+        """Run every cond stage and route streams to crossattn/concat groups."""
+        cond = {}
+        for i, spec in enumerate(self.cond_specs):
+            v = batch[spec.key]
+            if spec.module is not None:
+                rngs = {}
+                if training and rng is not None:
+                    rngs = {"cfg": jax.random.fold_in(rng, i)}
+                out = spec.module.apply(
+                    {"params": params[f"cond/{spec.key}"]}, v,
+                    training=training, rngs=rngs,
+                )
+                if not spec.trainable:
+                    out = jax.lax.stop_gradient(out)
+                cond[spec.key] = out
+            else:
+                cond[spec.key] = v
+        return self._route_conditioning(params, cond)
+
+    def _route_conditioning(self, params, cond: Dict[str, jnp.ndarray]):
+        crossattn_feat, crossattn_tok, concat = [], [], []
+        for spec in self.cond_specs:
+            v = cond[spec.key]
+            if spec.route == "crossattn_feature":
+                crossattn_feat.append(v)
+            elif spec.route == "crossattn_token":
+                crossattn_tok.append(v)
+            elif spec.route == "concat_first_stage":
+                concat.append(self.encode_first_stage(params, v))
+            elif spec.route == "concat_raw":
+                concat.append(v)
+            else:
+                raise ValueError(spec.route)
+        ctx = None
+        if crossattn_feat:
+            ctx = jnp.concatenate(crossattn_feat, axis=-1)
+        if crossattn_tok:
+            tok = jnp.concatenate(crossattn_tok, axis=1)
+            ctx = tok if ctx is None else jnp.concatenate([ctx, tok], axis=1)
+        cc = jnp.concatenate(concat, axis=-1) if concat else None
+        return {"crossattn": ctx, "concat": cc}
+
+    def null_conditioning(self, params: Dict, batch: Dict, batch_size: int):
+        """CFG unconditional branch: crossattn streams from each encoder's
+        null token, concat streams unchanged (reference ddim2cond.py:160-197)."""
+        cond = {}
+        for spec in self.cond_specs:
+            if spec.route.startswith("crossattn") and spec.module is not None and hasattr(
+                spec.module, "null_token"
+            ):
+                cond[spec.key] = spec.module.apply(
+                    {"params": params[f"cond/{spec.key}"]},
+                    method="null_token", batch_size=batch_size,
+                )
+            elif spec.module is not None:
+                cond[spec.key] = spec.module.apply(
+                    {"params": params[f"cond/{spec.key}"]}, batch[spec.key],
+                    training=False,
+                )
+            else:
+                cond[spec.key] = batch[spec.key]
+        return self._route_conditioning(params, cond)
+
+    # ---------- model application ----------
+
+    def apply_model(self, params: Dict, x_t: jnp.ndarray, t: jnp.ndarray,
+                    cond: Dict[str, Optional[jnp.ndarray]]) -> jnp.ndarray:
+        """DiffusionWrapper routing (reference ddpm.py:1397-1423): channel-
+        concat the concat streams, cross-attend to the context tokens."""
+        x_in = x_t
+        if cond.get("concat") is not None:
+            x_in = jnp.concatenate([x_t, cond["concat"]], axis=-1)
+        return self.unet.apply(
+            {"params": params["unet"]}, x_in, t, cond.get("crossattn")
+        )
+
+    # ---------- training ----------
+
+    def training_loss(self, params: Dict, batch: Dict, rng: jax.Array):
+        """shared_step → get_input → p_losses (reference ddpm.py:866-1045)."""
+        k_t, k_noise, k_cond = jax.random.split(rng, 3)
+        x = batch[self.first_stage_key]
+        z = self.encode_first_stage(params, x) if self.first_stage is not None else x
+        cond = self.encode_conditioning(params, batch, training=True, rng=k_cond)
+
+        b = z.shape[0]
+        t = jax.random.randint(k_t, (b,), 0, self.schedule.num_timesteps)
+        noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
+        x_t = q_sample(self.schedule, z, t, noise)
+        eps = self.apply_model(params, x_t, t, cond)
+        loss, aux = p_losses(
+            self.schedule, eps, z, noise, t,
+            parameterization=self.parameterization,
+            loss_type=self.loss_type,
+            l_simple_weight=self.l_simple_weight,
+            original_elbo_weight=self.original_elbo_weight,
+        )
+        return loss, aux
+
+    # ---------- sampling ----------
+
+    def make_eps_fn(
+        self, params: Dict, cond, uncond=None, scale: float = 1.0
+    ) -> Callable:
+        apply = lambda x, t, c: self.apply_model(params, x, t, c)
+        return cfg_eps_fn(apply, cond, uncond, scale)
+
+    def sample_ddim(
+        self,
+        params: Dict,
+        cond,
+        shape,
+        key: jax.Array,
+        steps: int = 50,
+        eta: float = 0.0,
+        uncond=None,
+        guidance_scale: float = 1.0,
+        x_T: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        ddim = make_ddim_schedule(self.schedule, steps, eta=eta)
+        eps_fn = self.make_eps_fn(params, cond, uncond, guidance_scale)
+        return ddim_sample(
+            ddim, self.schedule, eps_fn, shape, key, x_T=x_T,
+            eta_noise=(eta > 0),
+        )
+
+    # ---------- trainable-parameter partition ----------
+
+    def trainable_filter(self, params: Dict) -> Dict[str, bool]:
+        """Which top-level param groups receive gradients: the UNet and the
+        trainable cond stages; the first stage is always frozen."""
+        out = {}
+        for k in params:
+            if k == "unet":
+                out[k] = True
+            elif k == "first_stage":
+                out[k] = False
+            elif k.startswith("cond/"):
+                name = k.split("/", 1)[1]
+                spec = next(s for s in self.cond_specs if s.key == name)
+                out[k] = spec.trainable
+            else:
+                out[k] = True
+        return out

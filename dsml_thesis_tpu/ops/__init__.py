@@ -1,0 +1,10 @@
+from .attention import (
+    attention_reference,
+    flash_attention,
+    multi_head_attention,
+)
+from .groupnorm import (
+    group_norm_silu,
+    group_norm_silu_pallas,
+    group_norm_silu_reference,
+)

@@ -1,0 +1,112 @@
+"""Train state + the pjit-able train/eval steps.
+
+Replaces the reference's PL Trainer spine (main.py:671-753 + ddpm.py
+training_step/validation_step/configure_optimizers/on_train_batch_end):
+  - AdamW via optax, frozen groups masked with set_to_zero
+    (first stage + non-trainable cond stages, ddpm.py:501-527)
+  - LR = multiplier-schedule × base_lr (ddpm.py:1373-1384)
+  - EMA of the trainable groups after each step (ddpm.py:365-367)
+  - validation evaluates the loss twice — raw and EMA weights —
+    giving val_loss / val_loss_ema (ddpm.py:356-363)
+
+The returned step functions are pure; jit them with batch sharded over the
+`data` mesh axis and state replicated, and the partitioner inserts the
+gradient psum over ICI.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.ldm import LatentDiffusion
+from .ema import ema_update
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def make_optimizer(
+    ldm: LatentDiffusion,
+    params: Dict,
+    base_lr: float,
+    scheduler_config: Optional[dict] = None,
+    weight_decay: float = 0.01,
+    grad_accum: int = 1,
+) -> optax.GradientTransformation:
+    if scheduler_config is not None:
+        from .lr_scheduler import build_lr_multiplier
+
+        mult = build_lr_multiplier(scheduler_config)
+        lr = lambda n: base_lr * mult(n)
+    else:
+        lr = base_lr
+    # torch.optim.AdamW defaults (ddpm.py:1371): betas (0.9, 0.999), wd 0.01
+    tx = optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=weight_decay)
+    labels = ldm.trainable_filter(params)
+    tx = optax.multi_transform(
+        {True: tx, False: optax.set_to_zero()},
+        param_labels=lambda p: {k: labels[k] for k in p},
+    )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
+
+
+def create_train_state(
+    ldm: LatentDiffusion, params: Dict, tx: optax.GradientTransformation
+) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params),
+    )
+
+
+def make_train_step(
+    ldm: LatentDiffusion, tx: optax.GradientTransformation,
+    ema_decay: float = 0.9999,
+) -> Callable:
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(p):
+            return ldm.training_loss(p, batch, step_rng)
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(
+            state.ema_params, params, state.step + 1, decay=ema_decay
+        )
+        new_state = state.replace(
+            step=state.step + 1, params=params,
+            opt_state=opt_state, ema_params=ema_params,
+        )
+        metrics = {"train/loss": aux["loss"], "train/loss_simple": aux["loss_simple"],
+                   "train/loss_vlb": aux["loss_vlb"]}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(ldm: LatentDiffusion) -> Callable:
+    def eval_step(state: TrainState, batch: Dict, rng: jax.Array):
+        _, aux = ldm.training_loss(state.params, batch, rng)
+        _, aux_ema = ldm.training_loss(state.ema_params, batch, rng)
+        return {
+            "val/loss": aux["loss"],
+            "val/loss_simple": aux["loss_simple"],
+            "val_loss": aux["loss_simple"],
+            "val_loss_ema": aux_ema["loss_simple"],
+        }
+
+    return eval_step

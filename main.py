@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Training CLI, reference-compatible surface.
+
+Usage (mirrors /root/reference/*/main.py:33-753):
+  python main.py --base configs/latent-diffusion/<cfg>.yaml -t \
+      [--logdir logs] [--seed 123] [--resume <logdir|ckpt>] \
+      [nested.key=value ...]
+"""
+import argparse
+import datetime
+import glob
+import os
+import sys
+
+import jax
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("-b", "--base", nargs="*", default=[],
+                   help="config yaml(s), merged left-to-right")
+    p.add_argument("-t", "--train", action="store_true", default=False)
+    p.add_argument("-r", "--resume", type=str, default="",
+                   help="resume from logdir or checkpoint dir")
+    p.add_argument("-n", "--name", type=str, default="")
+    p.add_argument("-s", "--seed", type=int, default=123)
+    p.add_argument("-l", "--logdir", type=str, default="logs")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--scale_lr", type=str, default="true")
+    p.add_argument("--no-test", action="store_true", default=False)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return p
+
+
+def main():
+    parser = get_parser()
+    opt, unknown = parser.parse_known_args()
+    if opt.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from dsml_thesis_tpu.config import load_config
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    if opt.resume:
+        if os.path.isdir(opt.resume):
+            logdir = opt.resume.rstrip("/")
+            base_configs = sorted(glob.glob(os.path.join(logdir, "configs/*.yaml")))
+            opt.base = base_configs + opt.base
+        else:
+            raise ValueError("--resume expects a run logdir")
+        resume_ckpt = "last"
+    else:
+        now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+        cfg_name = (
+            opt.name or os.path.splitext(os.path.basename(opt.base[0]))[0]
+            if opt.base else "run"
+        )
+        logdir = os.path.join(opt.logdir, f"{now}_{cfg_name}")
+        resume_ckpt = None
+
+    config = load_config(opt.base, overrides=unknown)
+    config["scale_lr"] = opt.scale_lr.lower() in ("true", "1", "yes")
+
+    os.makedirs(os.path.join(logdir, "configs"), exist_ok=True)
+    import yaml
+
+    with open(os.path.join(logdir, "configs", "project.yaml"), "w") as f:
+        yaml.safe_dump(config, f)
+
+    trainer = Trainer(config, logdir, seed=opt.seed, max_steps=opt.max_steps)
+    print(f"logdir: {logdir}; devices: {jax.device_count()}; lr: {trainer.lr:.3e}")
+
+    if opt.train:
+        epochs = opt.epochs or config.get("lightning", {}).get("trainer", {}).get(
+            "max_epochs", 1
+        )
+        if resume_ckpt is not None:
+            # build state lazily from the first batch, then restore
+            first = next(iter(trainer.train_data))
+            trainer.init_state(first)
+            trainer.restore_checkpoint(resume_ckpt)
+        trainer.fit(epochs=epochs)
+        print("training done; final step:", int(trainer._state.step))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Helpers to load the read-only torch reference as a numerical parity oracle.
+
+The reference tree (if mounted) is used ONLY to instantiate torch modules and
+compare outputs — no code is copied. Tests importing this module must skip
+cleanly when the reference or torch is unavailable.
+"""
+import os
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference/face_reenactment"
+TALKING_ROOT = "/root/reference/talking_face"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def install_reference_path(root=REFERENCE_ROOT):
+    """Make `ldm.*` / `taming.*` of the reference importable, stubbing the
+    heavyweight deps its module headers pull in but our oracles don't use."""
+    if "omegaconf" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+        lc = types.ModuleType("omegaconf.listconfig")
+
+        class ListConfig(list):
+            pass
+
+        lc.ListConfig = ListConfig
+        om.listconfig = lc
+        om.OmegaConf = None
+        sys.modules["omegaconf"] = om
+        sys.modules["omegaconf.listconfig"] = lc
+    if "pytorch_lightning" not in sys.modules:
+        import torch
+
+        pl = types.ModuleType("pytorch_lightning")
+
+        class LightningModule(torch.nn.Module):
+            def save_hyperparameters(self, *a, **k):
+                pass
+
+        pl.LightningModule = LightningModule
+        pl.Callback = object
+        sys.modules["pytorch_lightning"] = pl
+    for name in ("clip", "kornia"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    if root not in sys.path:
+        sys.path.insert(0, root)
