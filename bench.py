@@ -86,11 +86,12 @@ def main():
     uctxs = jax.random.normal(jax.random.PRNGKey(3), (B, F, 1, ctx_dim))
     z_id0 = jax.random.normal(jax.random.PRNGKey(4), (B, lat, lat, 3))
 
-    apply_fn = lambda x, t, ctx, cc: ldm.apply_model(
-        params, x, t, {"crossattn": ctx, "concat": cc}
-    )
-
-    def synth(key):
+    def synth(params, key):
+        # params as explicit args: closing over them would embed 157M+ weights
+        # as HLO constants (the axon remote compiler rejects the payload)
+        apply_fn = lambda x, t, ctx, cc: ldm.apply_model(
+            params, x, t, {"crossattn": ctx, "concat": cc}
+        )
         frames = progressive_video_sample(
             ddim, apply_fn, masked_lat, ctxs, z_id0, key,
             uncond_contexts=uctxs, guidance_scale=args.guidance,
@@ -103,14 +104,14 @@ def main():
 
     synth_j = jax.jit(synth)
     t0 = time.time()
-    out = jax.block_until_ready(synth_j(jax.random.PRNGKey(10)))
+    out = jax.block_until_ready(synth_j(params, jax.random.PRNGKey(10)))
     compile_s = time.time() - t0
     print(f"# compile+first run {compile_s:.1f}s out {out.shape}", file=sys.stderr)
 
     n_rep = 1 if args.tiny else 3
     t0 = time.time()
     for i in range(n_rep):
-        out = jax.block_until_ready(synth_j(jax.random.PRNGKey(11 + i)))
+        out = jax.block_until_ready(synth_j(params, jax.random.PRNGKey(11 + i)))
     dt = (time.time() - t0) / n_rep
     fps = B * F / dt
 

@@ -264,3 +264,79 @@ def convert_conv1d_temporal_attention(sd, prefix: str = "") -> Dict:
         _conv(p, sd, f"{prefix}attentionConvNet.{2 * i}", f"att_conv_{i}", "conv1d")
     _conv(p, sd, f"{prefix}attentionNet.0", "att_dense", "linear")
     return p.tree
+
+
+def load_reference_ldm_checkpoint(ckpt_path: str, ldm, model_cfg: Dict) -> Dict:
+    """Load a reference PyTorch-Lightning LDM checkpoint into our params tree.
+
+    Handles the reference's module prefixes (sample_affectnet.py:22-37 load
+    path): `model.diffusion_model.*` (UNet inside DiffusionWrapper),
+    `first_stage_model.*` (VQGAN), `cond_stage_model*.*` (cond stages).
+    `ldm` is the models.ldm.LatentDiffusion built from `model_cfg` — used for
+    cond-spec names/order.
+    """
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu")
+    sd = ckpt.get("state_dict", ckpt)
+    return load_reference_ldm_checkpoint_from_sd(sd, ldm, model_cfg)
+
+
+def load_ema_or_raw(ckpt_path: str, ldm, model_cfg: Dict, use_ema: bool = True) -> Dict:
+    """Load reference checkpoint, preferring EMA weights for the UNet.
+
+    The reference's LitEma stores flattened shadow buffers under
+    `model_ema.<name-without-dots>`; mapping those back is name-lossy, so when
+    EMA shadows are present we remap them by position against the live
+    `model.*` keys (order is preserved by construction).
+    """
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu")
+    sd = dict(ckpt.get("state_dict", ckpt))
+    if use_ema:
+        live_keys = [k for k in sd if k.startswith("model.diffusion_model.")]
+        ema_map = {}
+        for k in live_keys:
+            flat = "model_ema." + k[len("model."):].replace(".", "")
+            if flat in sd:
+                ema_map[k] = sd[flat]
+        if ema_map:
+            sd.update(ema_map)
+    return load_reference_ldm_checkpoint_from_sd(sd, ldm, model_cfg)
+
+
+def load_reference_ldm_checkpoint_from_sd(sd, ldm, model_cfg: Dict) -> Dict:
+    p = dict(model_cfg.get("params", {}))
+    up = p["unet_config"]["params"]
+    params: Dict = {
+        "unet": convert_unet(
+            sd,
+            num_res_blocks=up["num_res_blocks"],
+            channel_mult=tuple(up["channel_mult"]),
+            attention_resolutions=tuple(up["attention_resolutions"]),
+            transformer_depth=up.get("transformer_depth", 1),
+            prefix="model.diffusion_model.",
+        )
+    }
+    if any(k.startswith("first_stage_model.") for k in sd):
+        dd = p["first_stage_config"]["params"]["ddconfig"]
+        params["first_stage"] = convert_vqmodel(sd, dd, prefix="first_stage_model.")
+    module_specs = [s for s in ldm.cond_specs if s.module is not None]
+    for i, spec in enumerate(module_specs):
+        prefix = (
+            "cond_stage_model." if len(module_specs) == 1
+            else f"cond_stage_model_{i + 1}."
+        )
+        mod_cls = type(spec.module).__name__
+        if mod_cls == "ClassEmbedder":
+            params[f"cond/{spec.key}"] = convert_class_embedder(
+                sd, prefix=prefix, null_mode=spec.module.null_mode
+            )
+        elif mod_cls == "Conv1DTemporalAttention":
+            params[f"cond/{spec.key}"] = convert_conv1d_temporal_attention(
+                sd, prefix=prefix
+            )
+        else:
+            raise NotImplementedError(mod_cls)
+    return params

@@ -18,6 +18,8 @@ from .gaussian import (
     ddpm_p_sample_loop,
 )
 from .video import progressive_video_sample
+from .plms import plms_sample
+from .dpm_solver import DPMSolverSchedule, make_dpm_schedule, dpm_solver_sample
 from .ddim import (
     cfg_eps_fn,
     p_sample_ddim,

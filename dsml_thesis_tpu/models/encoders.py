@@ -52,9 +52,12 @@ class ClassEmbedder(nn.Module):
     def __call__(self, labels: jnp.ndarray, training: bool = False):
         """labels: int [B] -> tokens [B, 1, embed_dim]."""
         c = self.embedding(labels)
+        # always touch the null table so its params materialize at init
+        # (null_token is used by CFG sampling even when training never drops)
+        null = self._null(labels.shape[0])
         if training and self.p_uncond > 0:
             drop = jax.random.uniform(self.make_rng("cfg"), ()) < self.p_uncond
-            c = jnp.where(drop, self._null(labels.shape[0]), c)
+            c = jnp.where(drop, null, c)
         return c[:, None, :]
 
     def null_token(self, batch_size: int):

@@ -123,11 +123,15 @@ class LatentDiffusion:
 
     def decode_first_stage(self, params: Dict, z: jnp.ndarray,
                            force_not_quantize: bool = False) -> jnp.ndarray:
+        """Decode through the FROZEN first stage: gradients flow through the
+        decoder to z (needed by the CLIP/lipread finetunes, which backprop
+        through pixel-space losses) but not into decoder params."""
         if self.first_stage is None:
             return z
         z = z / self.scale_factor
+        frozen = jax.tree.map(jax.lax.stop_gradient, params["first_stage"])
         return self.first_stage.apply(
-            {"params": params["first_stage"]}, z,
+            {"params": frozen}, z,
             force_not_quantize=force_not_quantize, method="decode",
         )
 

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""CSIM: ArcFace cosine similarity between two image directories.
+
+Reference-surface parity: face_reenactment/csim.py:17-77 — embed every image
+pair with an ArcFace iResNet (112x112, [-1,1]) and average the cosine
+similarity. Weights: a torch iresnet checkpoint converted on the fly.
+
+Usage:
+  python scripts/csim.py --dir-a <generated> --dir-b <source> \
+      --weights backbone.pth --network iresnet18 [--batch 32]
+"""
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir-a", required=True)
+    ap.add_argument("--dir-b", required=True)
+    ap.add_argument("--weights", required=True, help="torch iresnet ckpt")
+    ap.add_argument("--network", default="iresnet18")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import torch
+
+    from dsml_thesis_tpu.data import load_image
+    from dsml_thesis_tpu.metrics import cosine_similarity
+    from dsml_thesis_tpu.models.arcface import _BLOCKS, convert_iresnet, iresnet
+
+    sd = torch.load(args.weights, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    params, stats = convert_iresnet(sd, _BLOCKS[args.network])
+    model = iresnet(args.network)
+
+    @jax.jit
+    def embed(x):
+        return model.apply({"params": params, "batch_stats": stats}, x)
+
+    def list_imgs(d):
+        return sorted(
+            glob.glob(os.path.join(d, "*.jpg")) + glob.glob(os.path.join(d, "*.png"))
+            + glob.glob(os.path.join(d, "*.npy"))
+        )
+
+    def load112(path):
+        if path.endswith(".npy"):
+            arr = np.load(path)
+            if arr.ndim == 4:
+                arr = arr[0]
+            from PIL import Image
+
+            img = Image.fromarray(((arr + 1) * 127.5).astype(np.uint8)).resize((112, 112))
+            return np.asarray(img, np.float32) / 127.5 - 1.0
+        return load_image(path, 112)
+
+    paths_a, paths_b = list_imgs(args.dir_a), list_imgs(args.dir_b)
+    n = min(len(paths_a), len(paths_b))
+    sims = []
+    for s in range(0, n, args.batch):
+        a = np.stack([load112(p) for p in paths_a[s:s + args.batch]])
+        b = np.stack([load112(p) for p in paths_b[s:s + args.batch]])
+        ea, eb = embed(jnp.asarray(a)), embed(jnp.asarray(b))
+        sims.extend(np.asarray(cosine_similarity(ea, eb)).tolist())
+    print(f"CSIM over {len(sims)} pairs: {np.mean(sims):.4f} ± {np.std(sims):.4f}")
+
+
+if __name__ == "__main__":
+    main()

