@@ -1,0 +1,94 @@
+"""Face alignment / cropping preprocessing (numpy + PIL, detector-agnostic).
+
+Parity targets:
+  - FaceAligner eye-based affine alignment + AffectNet crop pipeline:
+    face_reenactment/align/align.py:48-313 (desired eye positions, rotation +
+    scale from the inter-ocular vector, label-prefixed output names)
+  - MEAD mouth-mask + mouth-ROI crops: talking_face/scripts/{mask,crop_mouth}.py
+
+Landmark DETECTION is an external step (the reference uses FAN/dlib/MTCNN,
+whose pretrained detectors are not shippable here); these functions consume
+68-point landmarks from any detector and perform the geometry.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+LEFT_EYE = slice(36, 42)
+RIGHT_EYE = slice(42, 48)
+MOUTH = slice(48, 68)
+
+
+def eye_centers(landmarks: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    return landmarks[LEFT_EYE].mean(axis=0), landmarks[RIGHT_EYE].mean(axis=0)
+
+
+def alignment_transform(
+    landmarks: np.ndarray,
+    output_size: int = 224,
+    desired_left_eye: Tuple[float, float] = (0.35, 0.35),
+) -> np.ndarray:
+    """2x3 affine matrix rotating/scaling so the eyes land at canonical spots."""
+    left, right = eye_centers(landmarks)
+    d = right - left
+    angle = np.arctan2(d[1], d[0])
+    dist = np.hypot(*d)
+    desired_right_x = 1.0 - desired_left_eye[0]
+    desired_dist = (desired_right_x - desired_left_eye[0]) * output_size
+    scale = desired_dist / max(dist, 1e-6)
+
+    center = (left + right) / 2.0
+    cos, sin = np.cos(angle), np.sin(angle)
+    # rotate by -angle, scale, then translate eye midpoint to its target
+    m = np.array([
+        [scale * cos, scale * sin, 0.0],
+        [-scale * sin, scale * cos, 0.0],
+    ])
+    target = np.array([output_size * 0.5,
+                       output_size * desired_left_eye[1]])
+    m[:, 2] = target - m[:, :2] @ center
+    return m
+
+
+def warp_affine(image: np.ndarray, m: np.ndarray, output_size: int) -> np.ndarray:
+    """Apply a forward 2x3 affine via PIL's inverse-map interface."""
+    from PIL import Image
+
+    full = np.vstack([m, [0, 0, 1]])
+    inv = np.linalg.inv(full)
+    img = Image.fromarray(image)
+    out = img.transform(
+        (output_size, output_size), Image.AFFINE,
+        data=inv[:2].ravel().tolist(), resample=Image.BILINEAR,
+    )
+    return np.asarray(out)
+
+
+def align_face(
+    image: np.ndarray, landmarks: np.ndarray, output_size: int = 224,
+    desired_left_eye: Tuple[float, float] = (0.35, 0.35),
+) -> np.ndarray:
+    """Eye-aligned square crop (uint8 HWC in, uint8 out)."""
+    m = alignment_transform(landmarks, output_size, desired_left_eye)
+    return warp_affine(image, m, output_size)
+
+
+def mask_mouth_region(image_m11: np.ndarray, landmarks: np.ndarray,
+                      margin: int = 5) -> np.ndarray:
+    """Blank everything below the mouth's top edge (MEAD masking rule)."""
+    masked = image_m11.copy()
+    min_y = int(np.min(landmarks[MOUTH, 1])) - margin
+    masked[max(min_y, 0):, :, :] = -1.0
+    return masked
+
+
+def crop_mouth_roi(image: np.ndarray, landmarks: np.ndarray,
+                   crop: int = 96) -> np.ndarray:
+    """Square crop centered on the mouth centroid, clamped to bounds."""
+    h, w = image.shape[:2]
+    cx, cy = landmarks[MOUTH].mean(axis=0)
+    cx = int(np.clip(round(cx), crop // 2, w - crop // 2))
+    cy = int(np.clip(round(cy), crop // 2, h - crop // 2))
+    return image[cy - crop // 2: cy + crop // 2, cx - crop // 2: cx + crop // 2]

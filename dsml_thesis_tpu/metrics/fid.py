@@ -1,0 +1,108 @@
+"""FID / IS / KID metric math over pluggable feature extractors.
+
+Parity target: face_reenactment/metrics.sh:7-14 (torch-fidelity CLI: FID,
+ISC, KID, PRC over sample dirs). The Frechet/Inception-score/kernel math is
+implemented here in numpy/jnp; features come from an injected extractor
+(InceptionV3 weights are not downloadable in this environment — any
+user-supplied classifier embedding works, and torch-fidelity remains usable
+externally for exact Inception parity).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+
+def activation_statistics(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    mu = feats.mean(axis=0)
+    sigma = np.cov(feats, rowvar=False)
+    return mu, sigma
+
+
+def _sqrtm_psd(mat: np.ndarray) -> np.ndarray:
+    """Matrix square root of a (near-)PSD symmetric matrix via eigh."""
+    vals, vecs = np.linalg.eigh((mat + mat.T) / 2)
+    vals = np.clip(vals, 0, None)
+    return (vecs * np.sqrt(vals)) @ vecs.T
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """FID between two Gaussians (Heusel et al. 2017)."""
+    diff = mu1 - mu2
+    offset = np.eye(sigma1.shape[0]) * eps
+    covmean = _sqrtm_psd((sigma1 + offset) @ (sigma2 + offset))
+    # trace of sqrtm(s1 s2): use sqrtm(s1^(1/2) s2 s1^(1/2)) for symmetry
+    s1_half = _sqrtm_psd(sigma1 + offset)
+    inner = _sqrtm_psd(s1_half @ (sigma2 + offset) @ s1_half)
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(inner))
+
+
+def fid_from_features(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
+    mu1, s1 = activation_statistics(feats_a)
+    mu2, s2 = activation_statistics(feats_b)
+    return frechet_distance(mu1, s1, mu2, s2)
+
+
+def inception_score(probs: np.ndarray, splits: int = 10) -> Tuple[float, float]:
+    """IS from class probabilities [N, C]."""
+    scores = []
+    n = len(probs)
+    for k in range(splits):
+        part = probs[k * n // splits:(k + 1) * n // splits]
+        if len(part) == 0:
+            continue
+        py = part.mean(axis=0, keepdims=True)
+        kl = part * (np.log(part + 1e-10) - np.log(py + 1e-10))
+        scores.append(np.exp(kl.sum(axis=1).mean()))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def kid_from_features(
+    feats_a: np.ndarray, feats_b: np.ndarray, n_subsets: int = 100,
+    subset_size: Optional[int] = None, seed: int = 0,
+) -> Tuple[float, float]:
+    """KID: polynomial-kernel (d=3) MMD^2, averaged over random subsets."""
+    rng = np.random.RandomState(seed)
+    m = subset_size or min(1000, len(feats_a), len(feats_b))
+    d = feats_a.shape[1]
+
+    def poly(x, y):
+        return (x @ y.T / d + 1.0) ** 3
+
+    vals = []
+    for _ in range(n_subsets):
+        x = feats_a[rng.choice(len(feats_a), m, replace=False)]
+        y = feats_b[rng.choice(len(feats_b), m, replace=False)]
+        kxx = poly(x, x)
+        kyy = poly(y, y)
+        kxy = poly(x, y)
+        np.fill_diagonal(kxx, 0)
+        np.fill_diagonal(kyy, 0)
+        mmd = kxx.sum() / (m * (m - 1)) + kyy.sum() / (m * (m - 1)) - 2 * kxy.mean()
+        vals.append(mmd)
+    return float(np.mean(vals)), float(np.std(vals))
+
+
+def compute_features(
+    image_dir_or_array, extractor: Callable[[np.ndarray], np.ndarray],
+    batch: int = 32, size: Optional[int] = None,
+) -> np.ndarray:
+    """Run an extractor over a dir of images / an [N,H,W,3] array in [-1,1]."""
+    import glob
+    import os
+
+    if isinstance(image_dir_or_array, np.ndarray):
+        arrs = image_dir_or_array
+    else:
+        from ..data import load_image
+
+        paths = sorted(
+            glob.glob(os.path.join(image_dir_or_array, "*.jpg"))
+            + glob.glob(os.path.join(image_dir_or_array, "*.png"))
+        )
+        arrs = np.stack([load_image(p, size) for p in paths])
+    out = []
+    for s in range(0, len(arrs), batch):
+        out.append(np.asarray(extractor(arrs[s:s + batch])))
+    return np.concatenate(out)

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Precompute per-clip wav2vec2 audio features for the MEAD dataset.
+
+Reference-surface parity: talking_face/mead.py:78-202 — wav2vec2-base-960h
+over 16 kHz audio with the CNN feature-extractor output linearly interpolated
+from its native 49 Hz to the 30 fps video rate BEFORE the transformer encoder,
+so each video frame gets one 768-d feature row; saved as
+{subj}_{emotion}_{lvl}_{clip}.pkl.
+
+Runs the JAX/Flax wav2vec2 port from `transformers` with locally available
+weights (--model points at a local snapshot; zero-egress image cannot
+download). The interpolation is implemented as jax.image.resize over the time
+axis.
+"""
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def linear_interpolation_to_frames(features: np.ndarray, num_frames: int) -> np.ndarray:
+    """[T, D] CNN features (49 Hz) -> [num_frames, D] via linear interp."""
+    import jax
+    import jax.numpy as jnp
+
+    out = jax.image.resize(
+        jnp.asarray(features), (num_frames, features.shape[1]), method="linear"
+    )
+    return np.asarray(out)
+
+
+def load_wav_16k(path: str) -> np.ndarray:
+    """Load a wav at 16 kHz mono without librosa (stdlib wave + resample)."""
+    import wave
+
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[w.getsampwidth()]
+        data = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+        if w.getnchannels() > 1:
+            data = data.reshape(-1, w.getnchannels()).mean(axis=1)
+        data = data / np.abs(data).max().clip(1e-6)
+    if sr != 16000:
+        import jax
+        import jax.numpy as jnp
+
+        out_len = int(round(len(data) * 16000 / sr))
+        data = np.asarray(
+            jax.image.resize(jnp.asarray(data), (out_len,), method="linear")
+        )
+    return data
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tuples", required=True, help="pkl of (subj,emo,lvl,clip)")
+    ap.add_argument("--audio-root", required=True,
+                    help="<root>/<subj>/audio/<emo>/<lvl>/<clip>.wav")
+    ap.add_argument("--frames-root", required=True,
+                    help="<root>/<subj>/video/front/<emo>/<lvl>/<clip>/ frame dirs")
+    ap.add_argument("--outdir", required=True)
+    ap.add_argument("--model", default="facebook/wav2vec2-base-960h",
+                    help="local wav2vec2 snapshot path or model id")
+    args = ap.parse_args()
+
+    from transformers import FlaxWav2Vec2Model, Wav2Vec2FeatureExtractor
+
+    extractor = Wav2Vec2FeatureExtractor.from_pretrained(args.model)
+    model = FlaxWav2Vec2Model.from_pretrained(args.model, from_pt=True)
+
+    import jax.numpy as jnp
+
+    with open(args.tuples, "rb") as f:
+        tuples = sorted(list(pickle.load(f)))
+    os.makedirs(args.outdir, exist_ok=True)
+
+    for i, (subj, emo, lvl, clip) in enumerate(tuples):
+        wav = load_wav_16k(
+            os.path.join(args.audio_root, subj, "audio", emo, lvl, f"{clip}.wav")
+        )
+        inputs = extractor(wav, sampling_rate=16000, return_tensors="np")
+        frame_dir = os.path.join(
+            args.frames_root, subj, "video", "front", emo, lvl, clip
+        )
+        num_frames = len(os.listdir(frame_dir))
+
+        # CNN feature extractor -> interpolate to video fps -> transformer
+        feats = model.module.apply(
+            {"params": model.params},
+            jnp.asarray(inputs["input_values"]),
+            method=lambda m, x: m.feature_extractor(x),
+        )[0]
+        feats = linear_interpolation_to_frames(np.asarray(feats), num_frames)
+        hidden = model.module.apply(
+            {"params": model.params},
+            jnp.asarray(feats)[None],
+            method=lambda m, x: m.encoder(
+                m.feature_projection(x)[0], deterministic=True
+            ).last_hidden_state,
+        )
+        x = np.asarray(hidden)[0]
+        assert x.shape[0] == num_frames
+        with open(os.path.join(args.outdir, f"{subj}_{emo}_{lvl}_{clip}.pkl"),
+                  "wb") as f:
+            pickle.dump(x, f, protocol=pickle.HIGHEST_PROTOCOL)
+        print(f"[{i + 1}/{len(tuples)}] {subj}_{emo}_{lvl}_{clip}: {x.shape}")
+
+
+if __name__ == "__main__":
+    main()
