@@ -1,0 +1,120 @@
+"""VQGAN first-stage training harness (config-driven).
+
+Mirrors the reference's two-optimizer VQModel Lightning loop
+(ldm/models/autoencoder.py:142-206) on the data-parallel mesh, reusing the
+Trainer conventions (logdir layout, metrics.jsonl, Orbax checkpoints).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import instantiate_from_config
+from ..losses.vqperceptual import VQGANLoss
+from ..models.autoencoder import VQModel
+from ..parallel import make_mesh, replicate, shard_batch
+from .vqgan import create_vqgan_state, make_vqgan_train_step
+
+
+def build_vqgan(model_cfg: Dict):
+    p = model_cfg["params"]
+    dd = dict(p["ddconfig"])
+    for k in ("ch_mult", "attn_resolutions"):
+        dd[k] = tuple(dd[k])
+    model = VQModel(ddconfig=dd, n_embed=p["n_embed"], embed_dim=p["embed_dim"])
+    lp = dict(p.get("lossconfig", {}).get("params", {}))
+    # LPIPS weights are not downloadable here; default the perceptual term off
+    # unless explicitly requested AND weights provided via converted params.
+    lp.setdefault("disc_start", 10000)
+    if "perceptual_weight" not in lp:
+        lp["perceptual_weight"] = 0.0
+    loss = VQGANLoss(
+        disc_start=lp["disc_start"],
+        codebook_weight=lp.get("codebook_weight", 1.0),
+        disc_weight=lp.get("disc_weight", 1.0),
+        disc_factor=lp.get("disc_factor", 1.0),
+        disc_num_layers=lp.get("disc_num_layers", 3),
+        disc_ndf=lp.get("disc_ndf", 64),
+        disc_loss=lp.get("disc_loss", "hinge"),
+        perceptual_weight=lp["perceptual_weight"],
+        pixel_loss=lp.get("pixel_loss", "l1"),
+    )
+    return model, loss
+
+
+class VQGANTrainer:
+    def __init__(self, config: Dict, logdir: str, seed: int = 123,
+                 max_steps: Optional[int] = None):
+        self.config = config
+        self.logdir = logdir
+        self.seed = seed
+        self.max_steps = max_steps
+        os.makedirs(os.path.join(logdir, "checkpoints"), exist_ok=True)
+
+        self.model, self.loss = build_vqgan(config["model"])
+        self.mesh = make_mesh()
+        data_cfg = config.get("data", {}).get("params", {})
+        self.batch_size = data_cfg.get("batch_size", 8)
+        from ..data import DataLoader
+
+        self.train_data = None
+        if "train" in data_cfg:
+            self.train_data = DataLoader(
+                instantiate_from_config(data_cfg["train"]),
+                batch_size=self.batch_size, shuffle=True,
+                num_workers=data_cfg.get("num_workers", 4), seed=seed,
+            )
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        base_lr = config["model"].get("base_learning_rate", 4.5e-6)
+        self.lr = base_lr * self.batch_size * n_dev
+        self._metrics_file = open(os.path.join(logdir, "metrics.jsonl"), "a")
+        self._state = None
+
+    def init_state(self, image_shape):
+        state, ae_tx, disc_tx = create_vqgan_state(
+            self.model, self.loss, jax.random.PRNGKey(self.seed),
+            image_shape, self.lr,
+        )
+        self._state = replicate(self.mesh, state)
+        self._step = jax.jit(
+            make_vqgan_train_step(self.model, self.loss, ae_tx, disc_tx)
+        )
+        return self._state
+
+    def save_checkpoint(self, name: str):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.logdir, "checkpoints", name))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.device_get(self._state), force=True)
+        ckptr.wait_until_finished()
+
+    def fit(self, epochs: int = 1, log_every: int = 100):
+        assert self.train_data is not None
+        for epoch in range(epochs):
+            t0 = time.time()
+            for batch in self.train_data:
+                jb = {"image": jnp.asarray(batch["image"])}
+                if self._state is None:
+                    self.init_state(jb["image"].shape)
+                sb = shard_batch(self.mesh, jb)
+                self._state, metrics = self._step(self._state, sb)
+                step = int(self._state.step)
+                if step % log_every == 0:
+                    rec = {"step": step, "split": "train"}
+                    rec.update({k: float(v) for k, v in metrics.items()})
+                    self._metrics_file.write(json.dumps(rec) + "\n")
+                    self._metrics_file.flush()
+                if self.max_steps is not None and step >= self.max_steps:
+                    break
+            print(f"epoch {epoch}: {time.time() - t0:.1f}s, step {int(self._state.step)}")
+            self.save_checkpoint("last")
+            if self.max_steps is not None and int(self._state.step) >= self.max_steps:
+                break
+        return self._state

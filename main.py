@@ -69,7 +69,14 @@ def main():
     with open(os.path.join(logdir, "configs", "project.yaml"), "w") as f:
         yaml.safe_dump(config, f)
 
-    trainer = Trainer(config, logdir, seed=opt.seed, max_steps=opt.max_steps)
+    model_target = config["model"]["target"]
+    if "autoencoder" in model_target and "VQModel" in model_target:
+        from dsml_thesis_tpu.training.vqgan_trainer import VQGANTrainer
+
+        trainer = VQGANTrainer(config, logdir, seed=opt.seed,
+                               max_steps=opt.max_steps)
+    else:
+        trainer = Trainer(config, logdir, seed=opt.seed, max_steps=opt.max_steps)
     print(f"logdir: {logdir}; devices: {jax.device_count()}; lr: {trainer.lr:.3e}")
 
     if opt.train:
