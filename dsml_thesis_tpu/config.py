@@ -21,7 +21,12 @@ import yaml
 
 from .diffusion import make_schedule
 from .models.autoencoder import AutoencoderKL, IdentityFirstStage, VQModel
-from .models.encoders import ClassEmbedder, Conv1DTemporalAttention, LandmarkEncoder
+from .models.encoders import (
+    ClassEmbedder,
+    Conv1DTemporalAttention,
+    LandmarkEncoder,
+    TransformerTextEmbedder,
+)
 from .models.ldm import CondSpec, LatentDiffusion
 from .models.unet import UNetModel
 
@@ -145,6 +150,23 @@ _BUILDERS = {
         lambda p: Conv1DTemporalAttention(**p)
     ),
     "ldm.modules.encoders.modules.LandmarkEncoder": lambda p: LandmarkEncoder(),
+    "ldm.modules.encoders.modules.TransformerEmbedder": (
+        lambda p: TransformerTextEmbedder(
+            n_embed=p["n_embed"], n_layer=p["n_layer"],
+            vocab_size=p.get("vocab_size", 30522),
+            max_seq_len=p.get("max_seq_len", 77),
+        )
+    ),
+    "ldm.modules.encoders.modules.BERTEmbedder": (
+        lambda p: TransformerTextEmbedder(
+            n_embed=p["n_embed"], n_layer=p["n_layer"],
+            vocab_size=p.get("vocab_size", 30522),
+            max_seq_len=p.get("max_seq_len", 77),
+        )
+    ),
+    "dsml_thesis_tpu.models.encoders.TransformerTextEmbedder": (
+        lambda p: TransformerTextEmbedder(**p)
+    ),
 }
 
 

@@ -8,4 +8,9 @@ from .autoencoder import (
     DiagonalGaussian,
 )
 from .quantize import VectorQuantizer
-from .encoders import ClassEmbedder, Conv1DTemporalAttention, LandmarkEncoder
+from .encoders import (
+    ClassEmbedder,
+    Conv1DTemporalAttention,
+    LandmarkEncoder,
+    TransformerTextEmbedder,
+)

@@ -95,6 +95,46 @@ class Conv1DTemporalAttention(nn.Module):
         return pooled[:, None, :]
 
 
+class TransformerTextEmbedder(nn.Module):
+    """Token-id sequence -> contextual embeddings for crossattn conditioning.
+
+    Capability parity with the reference's x_transformer-based
+    TransformerEmbedder / BERTEmbedder (ldm/modules/x_transformer.py +
+    encoders/modules.py:96-145) — a compact pre-LN transformer encoder with
+    learned positional embeddings, returning [B, L, n_embed] token states.
+    """
+
+    n_embed: int
+    n_layer: int
+    vocab_size: int = 30522
+    max_seq_len: int = 77
+    n_heads: int = 8
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, training: bool = False):
+        b, L = tokens.shape
+        h = nn.Embed(self.vocab_size, self.n_embed, name="tok_emb")(tokens)
+        pos = self.param(
+            "pos_emb", nn.initializers.normal(0.02), (self.max_seq_len, self.n_embed)
+        )
+        h = h + pos[None, :L]
+        for i in range(self.n_layer):
+            ln1 = nn.LayerNorm(name=f"ln1_{i}")(h)
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.n_heads, name=f"attn_{i}"
+            )(ln1, ln1)
+            h = h + attn
+            ln2 = nn.LayerNorm(name=f"ln2_{i}")(h)
+            ff = nn.Dense(4 * self.n_embed, name=f"ff_in_{i}")(ln2)
+            ff = nn.gelu(ff)
+            ff = nn.Dense(self.n_embed, name=f"ff_out_{i}")(ff)
+            h = h + ff
+        return nn.LayerNorm(name="ln_f")(h)
+
+    def encode(self, tokens, training: bool = False):
+        return self(tokens, training)
+
+
 class LandmarkEncoder(nn.Module):
     """Flattened 48-landmark (96-d) MLP encoder -> one token."""
 
