@@ -209,6 +209,7 @@ def instantiate_from_config(node: Dict) -> Any:
 
 _LDM_TARGETS_1COND = {
     "ldm.models.diffusion.ddpm.LatentDiffusion",
+    "ldm.models.diffusion.latent_diffclip.LatentDiffusionCLIP",
 }
 _LDM_TARGETS_2COND = {
     "ldm.models.diffusion.ddpm2cond.LatentDiffusion",
@@ -294,3 +295,42 @@ def build_model(model_cfg: Dict) -> LatentDiffusion:
         channels=p.get("channels", 3),
         monitor=p.get("monitor", "val_loss_ema"),
     )
+
+
+def build_finetune(model_cfg: Dict, **encoder_fns):
+    """Build the finetune wrapper matching the config's target:
+      - latent_diffclip.LatentDiffusionCLIP -> DiffusionCLIPFinetune
+        (knobs: affectnet-128-clip-ldm-vq-f4.yaml:18-29)
+      - ddpm2condtune.LatentDiffusion -> LipreadFinetune
+        (knobs: mead-128-ldm-f4-tune.yaml:19-20)
+    encoder_fns inject the frozen pretrained callables (clip_image_embed,
+    arcface_embed, classifier_logits, lipreader_fn).
+    """
+    target = model_cfg["target"]
+    p = dict(model_cfg.get("params", {}))
+    ldm = build_model(model_cfg)
+    if target.endswith("latent_diffclip.LatentDiffusionCLIP"):
+        from .models.diffclip import DiffusionCLIPFinetune
+
+        return DiffusionCLIPFinetune(
+            ldm,
+            train_steps=p.get("num_train_steps", 6),
+            strength=p.get("strength", 0.5),
+            l2_weight=p.get("l2_loss_w", 1.0),
+            id_weight=p.get("id_loss_w", 1.0),
+            clip_weight=p.get("clip_loss_w", 1.0),
+            cls_weight=p.get("cls_loss_w", 0.0),
+            clip_image_embed=encoder_fns.get("clip_image_embed"),
+            arcface_embed=encoder_fns.get("arcface_embed"),
+            classifier_logits=encoder_fns.get("classifier_logits"),
+        )
+    if target.endswith("ddpm2condtune.LatentDiffusion"):
+        from .models.lipread_tune import LipreadFinetune
+
+        return LipreadFinetune(
+            ldm,
+            lipreader_fn=encoder_fns.get("lipreader_fn"),
+            lr_loss_weight=p.get("lr_loss_w", 1.0),
+            start_lr_loss=p.get("start_lr_loss", 0),
+        )
+    raise NotImplementedError(f"finetune target {target}")

@@ -200,13 +200,21 @@ class Trainer:
         return {k: v / max(n, 1) for k, v in sums.items()}
 
     def fit(self, epochs: int = 1, log_every: int = 100,
-            image_every: Optional[int] = None, val_max_batches: Optional[int] = None):
+            image_every: Optional[int] = None, val_max_batches: Optional[int] = None,
+            profile_at_step: Optional[int] = None):
         assert self.train_data is not None
         self._install_signal_handlers()
         rng = jax.random.PRNGKey(self.seed)
         best = float("inf")
         monitor = self.ldm.monitor
         first_batch = None
+        profiler = None
+        if profile_at_step is not None:
+            from .profiling import StepProfiler
+
+            profiler = StepProfiler(
+                os.path.join(self.logdir, "profile"), profile_at_step
+            )
 
         for epoch in range(epochs):
             t_epoch = time.time()
@@ -217,8 +225,13 @@ class Trainer:
                 if first_batch is None:
                     first_batch = batch
                 sb = shard_batch(self.mesh, jb)
+                step_next = int(self._state.step) + 1
+                if profiler is not None:
+                    profiler.maybe_start(step_next)
                 self._state, metrics = self._train_step(self._state, sb, rng)
                 step = int(self._state.step)
+                if profiler is not None:
+                    profiler.maybe_stop(step)
                 if step % log_every == 0:
                     self.log_metrics(metrics, step)
                 if image_every and step % image_every == 0:
@@ -230,9 +243,12 @@ class Trainer:
 
             epoch_s = time.time() - t_epoch
             if self.val_data is not None:
+                from .profiling import device_memory_stats
+
                 val = self.validate(jax.random.fold_in(rng, epoch),
                                     max_batches=val_max_batches)
                 val["epoch_seconds"] = epoch_s
+                val.update(device_memory_stats())
                 self.log_metrics(val, int(self._state.step), split="val")
                 score = val.get(monitor, val.get("val_loss", float("inf")))
                 if score < best:
