@@ -137,7 +137,12 @@ def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if use_pallas is None:
-        use_pallas = _on_tpu() and q.shape[2] >= 256 and k.shape[2] >= 256
+        import os
+
+        use_pallas = (
+            os.environ.get("DSML_FLASH_ATTN", "1") != "0"
+            and _on_tpu() and q.shape[2] >= 256 and k.shape[2] >= 256
+        )
     if use_pallas:
         if interpret:
             return flash_attention(q, k, v, scale=scale, interpret=True)

@@ -124,11 +124,16 @@ def group_norm_silu(
     use_pallas=None, interpret: bool = False,
 ):
     if use_pallas is None:
+        import os
+
         # single-pass kernel needs a full batch row (+fp32 working set) in
-        # VMEM; beyond that the XLA-fused reference path wins
+        # VMEM; beyond that the XLA-fused reference path wins. Opt-out env
+        # flag: each unique (n, c) shape costs a separate Mosaic compile.
         n = int(np.prod(x.shape[1:-1])) * x.shape[-1]
         use_pallas = (
-            jax.default_backend() == "tpu" and 4 * n <= 8 * 1024 * 1024
+            os.environ.get("DSML_PALLAS_GN", "1") != "0"
+            and jax.default_backend() == "tpu"
+            and 4 * n <= 8 * 1024 * 1024
         )
     if use_pallas:
         if interpret:
