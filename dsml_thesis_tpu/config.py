@@ -93,10 +93,14 @@ def _build_vq(params: Dict) -> VQModel:
     for seq_key in ("ch_mult", "attn_resolutions"):
         if seq_key in dd:
             dd[seq_key] = tuple(dd[seq_key])
+    dtype = params.get("dtype")
+    if isinstance(dtype, str):
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
     return VQModel(
         ddconfig=dd,
         n_embed=params["n_embed"],
         embed_dim=params["embed_dim"],
+        dtype=dtype or jnp.float32,
     )
 
 

@@ -30,6 +30,8 @@ def get_parser():
     p.add_argument("--scale_lr", type=str, default="true")
     p.add_argument("--no-test", action="store_true", default=False)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (multi-host DCN pods)")
     return p
 
 
@@ -38,6 +40,9 @@ def main():
     opt, unknown = parser.parse_known_args()
     if opt.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if opt.multihost:
+        # multi-host: mesh spans all global devices; per-host data loading
+        jax.distributed.initialize()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from dsml_thesis_tpu.config import load_config
