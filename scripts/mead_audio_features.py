@@ -69,12 +69,14 @@ def main():
                     help="local wav2vec2 snapshot path or model id")
     args = ap.parse_args()
 
-    from transformers import FlaxWav2Vec2Model, Wav2Vec2FeatureExtractor
+    # torch pipeline: the Flax wav2vec2 port rejects base-960h's
+    # do_stable_layer_norm=False config; this is offline host preprocessing,
+    # so CPU torch is appropriate.
+    import torch
+    from transformers import Wav2Vec2FeatureExtractor, Wav2Vec2Model
 
     extractor = Wav2Vec2FeatureExtractor.from_pretrained(args.model)
-    model = FlaxWav2Vec2Model.from_pretrained(args.model, from_pt=True)
-
-    import jax.numpy as jnp
+    model = Wav2Vec2Model.from_pretrained(args.model).eval()
 
     with open(args.tuples, "rb") as f:
         tuples = sorted(list(pickle.load(f)))
@@ -84,27 +86,22 @@ def main():
         wav = load_wav_16k(
             os.path.join(args.audio_root, subj, "audio", emo, lvl, f"{clip}.wav")
         )
-        inputs = extractor(wav, sampling_rate=16000, return_tensors="np")
+        inputs = extractor(wav, sampling_rate=16000, return_tensors="pt")
         frame_dir = os.path.join(
             args.frames_root, subj, "video", "front", emo, lvl, clip
         )
         num_frames = len(os.listdir(frame_dir))
 
-        # CNN feature extractor -> interpolate to video fps -> transformer
-        feats = model.module.apply(
-            {"params": model.params},
-            jnp.asarray(inputs["input_values"]),
-            method=lambda m, x: m.feature_extractor(x),
-        )[0]
-        feats = linear_interpolation_to_frames(np.asarray(feats), num_frames)
-        hidden = model.module.apply(
-            {"params": model.params},
-            jnp.asarray(feats)[None],
-            method=lambda m, x: m.encoder(
-                m.feature_projection(x)[0], deterministic=True
-            ).last_hidden_state,
-        )
-        x = np.asarray(hidden)[0]
+        # CNN feature extractor (49 Hz) -> interpolate to the video frame
+        # count -> projection -> transformer encoder
+        with torch.no_grad():
+            feats = model.feature_extractor(inputs["input_values"])  # [1, D, T]
+            feats = feats.transpose(1, 2)[0].numpy()  # [T, D]
+            feats = linear_interpolation_to_frames(feats, num_frames)
+            hidden = model.feature_projection(
+                torch.from_numpy(feats)[None]
+            )[0]
+            x = model.encoder(hidden).last_hidden_state[0].numpy()
         assert x.shape[0] == num_frames
         with open(os.path.join(args.outdir, f"{subj}_{emo}_{lvl}_{clip}.pkl"),
                   "wb") as f:
