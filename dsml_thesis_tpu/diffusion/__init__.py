@@ -24,6 +24,7 @@ from .ddim import (
     cfg_eps_fn,
     p_sample_ddim,
     ddim_sample,
+    ddim_sample_with_intermediates,
     ddim_invert,
     ddim_reverse_from,
     latent_manipulation,

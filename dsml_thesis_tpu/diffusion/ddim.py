@@ -126,6 +126,34 @@ def ddim_sample(
     return img
 
 
+def ddim_sample_with_intermediates(
+    ddim: DDIMSchedule,
+    sched: DiffusionSchedule,
+    eps_fn: EpsFn,
+    shape,
+    key: jax.Array,
+    x_T: Optional[jnp.ndarray] = None,
+    log_every: int = 1,
+):
+    """Like ddim_sample (eta=0) but also returns the pred_x0 trajectory
+    [S//log_every, B, ...] for denoise-row visualization (reference
+    ImageLogger / _get_denoise_row_from_list, ddpm.py:533-545)."""
+    if x_T is None:
+        key, sub = jax.random.split(key)
+        img = jax.random.normal(sub, shape, dtype=jnp.float32)
+    else:
+        img = x_T
+    S = ddim.num_steps
+
+    def step(img, i):
+        index = S - 1 - i
+        img, pred_x0 = p_sample_ddim(ddim, eps_fn, img, index, noise=None)
+        return img, pred_x0
+
+    img, traj = jax.lax.scan(step, img, jnp.arange(S))
+    return img, traj[::log_every]
+
+
 def ddim_invert(
     ddim: DDIMSchedule,
     eps_fn: EpsFn,

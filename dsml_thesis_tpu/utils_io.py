@@ -2,9 +2,52 @@
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import jax
+
+
+def _flatten(tree: Dict, prefix: str = ""):
+    for k, v in tree.items():
+        path = f"{prefix}{k}"
+        if isinstance(v, dict):
+            yield from _flatten(v, path + "/")
+        else:
+            yield path, v
+
+
+def surgical_load(
+    template: Dict,
+    loaded: Dict,
+    ignore_keys: Sequence[str] = (),
+    only: Optional[Sequence[str]] = (),
+) -> Dict:
+    """Merge `loaded` params into a fresh `template` tree.
+
+    Parity with the reference's init_from_ckpt(ignore_keys, only_model)
+    (ddpm.py:186-201): entries whose path starts with any ignore_keys prefix
+    keep the template (fresh) value; if `only` is non-empty, ONLY paths under
+    those prefixes are taken from `loaded`. Missing/extra keys are tolerated
+    (kept fresh / dropped) like torch load_state_dict(strict=False).
+    """
+    loaded_flat = dict(_flatten(loaded))
+
+    def rebuild(node, prefix=""):
+        out = {}
+        for k, v in node.items():
+            path = f"{prefix}{k}"
+            if isinstance(v, dict):
+                out[k] = rebuild(v, path + "/")
+                continue
+            use_loaded = path in loaded_flat
+            if use_loaded and any(path.startswith(ig) for ig in ignore_keys):
+                use_loaded = False
+            if use_loaded and only and not any(path.startswith(o) for o in only):
+                use_loaded = False
+            out[k] = loaded_flat[path] if use_loaded else v
+        return out
+
+    return rebuild(template)
 
 
 def load_params(
