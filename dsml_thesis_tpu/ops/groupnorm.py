@@ -126,12 +126,14 @@ def group_norm_silu(
     if use_pallas is None:
         import os
 
-        # single-pass kernel needs a full batch row (+fp32 working set) in
-        # VMEM; beyond that the XLA-fused reference path wins. Opt-out env
-        # flag: each unique (n, c) shape costs a separate Mosaic compile.
+        # Default OFF: on v5e the flagship-bench A/B measured the XLA-fused
+        # GroupNorm path ~9% faster end-to-end than this single-pass kernel
+        # (XLA fuses the normalize+SiLU into neighboring ops and avoids the
+        # kernel's whole-row VMEM residency); each unique (n, c) shape also
+        # costs a separate Mosaic compile. Opt in with DSML_PALLAS_GN=1.
         n = int(np.prod(x.shape[1:-1])) * x.shape[-1]
         use_pallas = (
-            os.environ.get("DSML_PALLAS_GN", "1") != "0"
+            os.environ.get("DSML_PALLAS_GN", "0") == "1"
             and jax.default_backend() == "tpu"
             and 4 * n <= 8 * 1024 * 1024
         )
