@@ -170,7 +170,20 @@ class Trainer:
             params, cond, z.shape, jax.random.PRNGKey(step), steps=ddim_steps
         )
         x_samples = self.ldm.decode_first_stage(params, samples)
-        grids = {"inputs": x, "reconstruction": xrec, "samples": x_samples}
+        # denoise row: pred_x0 trajectory (reference ImageLogger rows)
+        from ..diffusion import ddim_sample_with_intermediates, make_ddim_schedule
+
+        ddim = make_ddim_schedule(self.ldm.schedule, ddim_steps)
+        eps_fn = self.ldm.make_eps_fn(params, cond)
+        _, traj = ddim_sample_with_intermediates(
+            ddim, self.ldm.schedule, eps_fn, z.shape, jax.random.PRNGKey(step),
+            log_every=max(1, ddim.num_steps // 4),
+        )
+        denoise_row = self.ldm.decode_first_stage(
+            params, traj[:, 0]  # trajectory of the first example
+        )
+        grids = {"inputs": x, "reconstruction": xrec, "samples": x_samples,
+                 "denoise_row": denoise_row}
         outdir = os.path.join(self.logdir, "images")
         for k, v in grids.items():
             arr = np.asarray(jnp.clip(v, -1, 1))
