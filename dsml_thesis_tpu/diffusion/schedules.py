@@ -67,8 +67,10 @@ def make_ddim_timesteps(
         raise NotImplementedError(
             f"There is no ddim discretization method called '{ddim_discr_method}'"
         )
-    # +1 so the final alpha lands on the value that scales all the way to data
-    return ddim_timesteps + 1
+    # +1 so the final alpha lands on the value that scales all the way to data.
+    # Clamp: the reference's unchecked +1 indexes out of bounds whenever the
+    # top selected step is exactly T-1 (e.g. T=100, S=3); harmless to cap.
+    return np.minimum(ddim_timesteps + 1, num_ddpm_timesteps - 1)
 
 
 def make_strength_ddim_timesteps(

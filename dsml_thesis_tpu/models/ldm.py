@@ -186,6 +186,23 @@ class LatentDiffusion:
         cc = jnp.concatenate(concat, axis=-1) if concat else None
         return {"crossattn": ctx, "concat": cc}
 
+    def encode_crossattn_tokens(self, params: Dict, batch: Dict,
+                                null: bool = False) -> jnp.ndarray:
+        """Context tokens only (skip concat streams) — used by the progressive
+        video sampler, which supplies the masked/identity latents inside its
+        own scan. null=True returns the CFG unconditional branch."""
+        parts = []
+        for spec in self.cond_specs:
+            if not spec.route.startswith("crossattn") or spec.module is None:
+                continue
+            p = {"params": params[f"cond/{spec.key}"]}
+            if null and hasattr(spec.module, "null_token"):
+                bs = next(v.shape[0] for v in batch.values() if v is not None)
+                parts.append(spec.module.apply(p, method="null_token", batch_size=bs))
+            else:
+                parts.append(spec.module.apply(p, batch[spec.key], training=False))
+        return jnp.concatenate(parts, axis=-1)
+
     def null_conditioning(self, params: Dict, batch: Dict, batch_size: int):
         """CFG unconditional branch: crossattn streams from each encoder's
         null token, concat streams unchanged (reference ddim2cond.py:160-197)."""

@@ -27,7 +27,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--ckpt", default=None)
-    ap.add_argument("--images", nargs="+", required=True)
+    ap.add_argument("--images", nargs="*", default=[])
+    ap.add_argument("--from-latents", default=None,
+                    help="npy of precomputed DDIM-inverted latents "
+                         "(latent_manipulation_tuned.py path: reverse-only "
+                         "decoding over a finetuned model)")
     ap.add_argument("--src-class", type=int, required=True)
     ap.add_argument("--targets", type=int, nargs="+", required=True)
     ap.add_argument("--steps", type=int, default=40)
@@ -58,14 +62,25 @@ def main():
     }
     params = load_params(args.ckpt, ldm, cfg["model"], example_batch=example)
 
-    imgs = np.stack([load_image(p, args.size) for p in args.images])
-    x = jnp.asarray(imgs)
-    b = x.shape[0]
+    if args.from_latents:
+        x_lat_cached = jnp.asarray(np.load(args.from_latents))
+        b = x_lat_cached.shape[0]
+        x = None
+    else:
+        assert args.images, "need --images or --from-latents"
+        imgs = np.stack([load_image(p, args.size) for p in args.images])
+        x = jnp.asarray(imgs)
+        b = x.shape[0]
+        x_lat_cached = None
     strength = None if args.strength >= 1.0 else args.strength
     ddim = make_ddim_schedule(ldm.schedule, args.steps, eta=0.0, strength=strength)
 
     uncond = ldm.null_conditioning(params, {"class_label": None}, batch_size=b) \
         if args.scale != 1.0 else None
+
+    def cond_for_p(p, label):
+        batch = {"class_label": jnp.full((b,), label, dtype=jnp.int32)}
+        return ldm.encode_conditioning(p, batch)
 
     @jax.jit
     def manipulate(params, z0, src_label, trg_label):
@@ -74,14 +89,18 @@ def main():
         x_lat = ddim_invert(ddim, eps_src, z0)
         return ddim_reverse_from(ddim, eps_trg, x_lat), x_lat
 
-    def cond_for_p(p, label):
-        batch = {"class_label": jnp.full((b,), label, dtype=jnp.int32)}
-        return ldm.encode_conditioning(p, batch)
+    @jax.jit
+    def decode_only(params, x_lat, trg_label):
+        eps_trg = ldm.make_eps_fn(params, cond_for_p(params, trg_label), uncond, args.scale)
+        return ddim_reverse_from(ddim, eps_trg, x_lat)
 
-    z0 = ldm.encode_first_stage(params, x)
+    z0 = ldm.encode_first_stage(params, x) if x is not None else None
     os.makedirs(args.outdir, exist_ok=True)
     for trg in args.targets:
-        z_edit, _ = manipulate(params, z0, args.src_class, trg)
+        if x_lat_cached is not None:
+            z_edit = decode_only(params, x_lat_cached, trg)
+        else:
+            z_edit, _ = manipulate(params, z0, args.src_class, trg)
         out = np.asarray(jnp.clip(ldm.decode_first_stage(params, z_edit), -1, 1))
         np.save(os.path.join(args.outdir, f"edited_to_{trg}.npy"), out)
         try:

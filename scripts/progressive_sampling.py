@@ -108,10 +108,8 @@ def main():
         ctxs, uctxs = [], []
         for t in range(F):
             batch_t = {"class_label": label, "audio": jnp.asarray(windows[t])[None]}
-            ctxs.append(ldm.encode_conditioning(params, batch_t)["crossattn"])
-            uctxs.append(
-                ldm.null_conditioning(params, batch_t, batch_size=1)["crossattn"]
-            )
+            ctxs.append(ldm.encode_crossattn_tokens(params, batch_t))
+            uctxs.append(ldm.encode_crossattn_tokens(params, batch_t, null=True))
         ctxs = jnp.stack(ctxs, axis=1)   # [1, F, 1, D]
         uctxs = jnp.stack(uctxs, axis=1)
 
