@@ -76,6 +76,10 @@ def main():
     }
     t0 = time.time()
     params = ldm.init_params(rng, batch)
+    if not args.tiny:
+        from dsml_thesis_tpu.utils_io import cast_sampling_params
+
+        params = cast_sampling_params(params)  # halve weight HBM traffic
     print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
 
     ddim = make_ddim_schedule(ldm.schedule, S, eta=0.0)

@@ -7,6 +7,23 @@ from typing import Dict, Optional, Sequence
 import jax
 
 
+def cast_sampling_params(params: Dict, dtype=None) -> Dict:
+    """Cast fp32 params to bf16 for inference/sampling.
+
+    Halves per-eval weight HBM traffic in the denoising loop (the UNet
+    computes in bf16 anyway; norms upcast internally). Training/EMA state
+    stays fp32 — use only on sampling paths.
+    """
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.bfloat16
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        params,
+    )
+
+
 def _flatten(tree: Dict, prefix: str = ""):
     for k, v in tree.items():
         path = f"{prefix}{k}"

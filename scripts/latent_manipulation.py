@@ -61,6 +61,10 @@ def main():
         "class_label": jnp.zeros((1,), jnp.int32),
     }
     params = load_params(args.ckpt, ldm, cfg["model"], example_batch=example)
+    from dsml_thesis_tpu.utils_io import cast_sampling_params
+
+    params = cast_sampling_params(params)
+
 
     if args.from_latents:
         x_lat_cached = jnp.asarray(np.load(args.from_latents))

@@ -64,6 +64,10 @@ def main():
         "audio": jnp.zeros((1, seq_len, adim)),
     }
     params = load_params(args.ckpt, ldm, cfg["model"], example_batch=example)
+    from dsml_thesis_tpu.utils_io import cast_sampling_params
+
+    params = cast_sampling_params(params)
+
 
     ds = MEADTalkingFace(
         args.tuples, args.data_root, args.audio_dir,

@@ -47,6 +47,10 @@ def main():
     ldm = build_model(cfg["model"])
     params = load_params(args.ckpt, ldm, cfg["model"], use_ema=not args.no_ema,
                          example_batch=_example_batch(cfg))
+    from dsml_thesis_tpu.utils_io import cast_sampling_params
+
+    params = cast_sampling_params(params)
+
 
     os.makedirs(args.outdir, exist_ok=True)
     n = args.n_samples
