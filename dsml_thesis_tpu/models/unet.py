@@ -182,6 +182,32 @@ class BasicTransformerBlock(nn.Module):
         return x
 
 
+class AttentionBlock(nn.Module):
+    """Plain QKV self-attention block (no context), used when the UNet runs
+    without the spatial transformer (openaimodel.py:278-341 AttentionBlock:
+    GroupNorm -> 1x1 qkv -> multi-head attention -> zero-init 1x1 proj)."""
+
+    num_heads: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        n = h * w
+        hd = c // self.num_heads
+        norm = GroupNormSiLU(silu=False, name="norm")(x).reshape(b, n, c)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(norm)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        split = lambda t: t.reshape(b, n, self.num_heads, hd).transpose(0, 2, 1, 3)
+        out = multi_head_attention(split(q), split(k), split(v), scale=hd**-0.5)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = nn.Dense(
+            c, kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="proj_out",
+        )(out)
+        return x + out.reshape(b, h, w, c)
+
+
 class SpatialTransformer(nn.Module):
     """Project NHWC feature map to tokens, run transformer blocks, project back
     with zero-init (attention.py:218-260)."""
@@ -325,6 +351,8 @@ class UNetModel(nn.Module):
 
         def attn(h, ctx, ch, name):
             heads, dim_head = self._heads(ch)
+            if not self.use_spatial_transformer:
+                return AttentionBlock(heads, self.dtype, name=name)(h)
             return SpatialTransformer(
                 heads, dim_head, self.transformer_depth, self.dropout,
                 self.dtype, name=name,
