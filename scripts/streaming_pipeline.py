@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Batched multi-speaker streaming synthesis pipeline (serving-style).
+
+BASELINE.json config 5: "audio featurize → denoise → VQGAN decode → metrics"
+as a continuously-fed pipeline: host threads prepare the next batch of clips
+(image/audio loading + VQ-encode conditioning) while the device runs the
+current batch's denoise+decode; per-batch throughput and optional PSNR/SSIM
+against ground truth are reported as each batch drains.
+
+Clips are padded to --frames so every batch reuses one compiled program.
+"""
+import argparse
+import os
+import queue
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--tuples", required=True)
+    ap.add_argument("--data-root", required=True)
+    ap.add_argument("--audio-dir", required=True)
+    ap.add_argument("--outdir", required=True)
+    ap.add_argument("--batch", type=int, default=4, help="speakers per batch")
+    ap.add_argument("--frames", type=int, default=32, help="frames per clip (pad/trim)")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--scale", type=float, default=2.0)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--audio-window", type=int, default=8)
+    ap.add_argument("--metrics", action="store_true",
+                    help="PSNR/SSIM of generated vs ground-truth frames")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from dsml_thesis_tpu.config import build_model, load_config
+    from dsml_thesis_tpu.data import MEADTalkingFace
+    from dsml_thesis_tpu.diffusion import make_ddim_schedule, progressive_video_sample
+    from dsml_thesis_tpu.metrics import psnr, ssim, to_unit_range
+    from dsml_thesis_tpu.utils_io import cast_sampling_params, load_params
+
+    cfg = load_config([args.config])
+    ldm = build_model(cfg["model"])
+    seq_len = cfg["model"]["params"]["cond_stage_config_2"]["params"]["seq_len"]
+    adim = cfg["model"]["params"]["cond_stage_config_2"]["params"]["subspace_dim"]
+    example = {
+        "image": jnp.zeros((1, args.size, args.size, 3)),
+        "masked_image": jnp.zeros((1, args.size, args.size, 3)),
+        "identity": jnp.zeros((1, args.size, args.size, 3)),
+        "class_label": jnp.zeros((1,), jnp.int32),
+        "audio": jnp.zeros((1, seq_len, adim)),
+    }
+    params = cast_sampling_params(
+        load_params(args.ckpt, ldm, cfg["model"], example_batch=example)
+    )
+    ds = MEADTalkingFace(args.tuples, args.data_root, args.audio_dir,
+                         audio_window=args.audio_window, size=args.size,
+                         mode="sample")
+    ddim = make_ddim_schedule(ldm.schedule, args.steps, eta=0.0)
+    B, F, w = args.batch, args.frames, args.audio_window
+
+    def prepare(idx_list):
+        """Host side: load + window audio + VQ-encode all conditioning."""
+        ms, ids, labels, wins, gts, names = [], [], [], [], [], []
+        for ci in idx_list:
+            ex = ds[ci]
+            masked = ex["masked_image"][:F]
+            gt_frames = None
+            if args.metrics:
+                clip_dir = ds._clip_dir(ex["subj"], ex["human_label"], ex["lvl"],
+                                        ex["nbr"])
+                from dsml_thesis_tpu.data import load_image
+
+                frames = sorted(os.listdir(clip_dir))[:F]
+                gt_frames = np.stack(
+                    [load_image(os.path.join(clip_dir, f), args.size) for f in frames]
+                )
+            if masked.shape[0] < F:
+                masked = np.concatenate(
+                    [masked, np.repeat(masked[-1:], F - masked.shape[0], 0)]
+                )
+            audio = ex["audio"]
+            win = np.stack([
+                audio[[min(max(t + i, 0), len(audio) - 1) for i in range(-w, w + 1)]]
+                for t in range(F)
+            ])
+            ms.append(masked)
+            ids.append(ex["identity"])
+            labels.append(ex["class_label"])
+            wins.append(win)
+            gts.append(gt_frames)
+            names.append(f"{ex['subj']}_{ex['human_label']}_{ex['lvl']}_{ex['nbr']}")
+        masked = jnp.asarray(np.stack(ms))           # [B, F, H, W, 3]
+        m_lat = jax.vmap(
+            lambda m: ldm.encode_first_stage(params, m), in_axes=0
+        )(masked)
+        z_id0 = ldm.encode_first_stage(params, jnp.asarray(np.stack(ids)))
+        label = jnp.asarray(labels, jnp.int32)
+        wins = jnp.asarray(np.stack(wins))           # [B, F, 2w+1, adim]
+        ctxs, uctxs = [], []
+        for t in range(F):
+            bt = {"class_label": label, "audio": wins[:, t]}
+            ctxs.append(ldm.encode_crossattn_tokens(params, bt))
+            uctxs.append(ldm.encode_crossattn_tokens(params, bt, null=True))
+        return (m_lat, jnp.stack(ctxs, 1), jnp.stack(uctxs, 1), z_id0,
+                names, gts)
+
+    @jax.jit
+    def synth(params, m_lat, ctxs, uctxs, z_id0, key):
+        apply_fn = lambda x, t, c, cc: ldm.apply_model(
+            params, x, t, {"crossattn": c, "concat": cc}
+        )
+        frames = progressive_video_sample(
+            ddim, apply_fn, m_lat, ctxs, z_id0, key,
+            uncond_contexts=uctxs, guidance_scale=args.scale,
+        )
+        dec = lambda z: ldm.decode_first_stage(params, z)
+        return jnp.clip(jax.vmap(dec, in_axes=1, out_axes=1)(frames), -1, 1)
+
+    # pipeline: host prep thread feeds a queue; device consumes
+    batches = [list(range(s, min(s + B, len(ds))))
+               for s in range(0, len(ds), B)]
+    batches = [b for b in batches if len(b) == B]  # static shapes
+    q: queue.Queue = queue.Queue(maxsize=2)
+
+    def producer():
+        for bi, idxs in enumerate(batches):
+            q.put((bi, prepare(idxs)))
+        q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+    os.makedirs(args.outdir, exist_ok=True)
+    done_frames = 0
+    t0 = time.time()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        bi, (m_lat, ctxs, uctxs, z_id0, names, gts) = item
+        vids = np.asarray(synth(params, m_lat, ctxs, uctxs, z_id0,
+                                jax.random.PRNGKey(bi)))
+        done_frames += vids.shape[0] * vids.shape[1]
+        line = f"batch {bi}: {vids.shape}"
+        if args.metrics and gts[0] is not None:
+            a = to_unit_range(jnp.asarray(vids[0][: len(gts[0])]))
+            b = to_unit_range(jnp.asarray(gts[0]))
+            line += (f" psnr={float(jnp.mean(psnr(a, b))):.2f}"
+                     f" ssim={float(jnp.mean(ssim(a, b))):.3f}")
+        for i, name in enumerate(names):
+            np.save(os.path.join(args.outdir, f"{name}.npy"), vids[i])
+        elapsed = time.time() - t0
+        print(f"{line} | cumulative {done_frames / elapsed:.2f} frames/s")
+
+
+if __name__ == "__main__":
+    main()
