@@ -58,9 +58,18 @@ def edit_distance(ref: Sequence, hyp: Sequence) -> int:
 
 
 def error_rate(refs: Sequence[Sequence], hyps: Sequence[Sequence]) -> float:
-    """Corpus-level rate: sum(edit distances) / sum(ref lengths)."""
+    """Corpus-level rate: sum(edit distances) / sum(ref lengths).
+
+    Uses the native C++ batch kernel (native/editdist.cc) when available;
+    falls back to the pure-Python DP."""
     assert len(refs) == len(hyps)
-    total_err = sum(edit_distance(r, h) for r, h in zip(refs, hyps))
+    from .native import edit_distance_batch
+
+    dists = edit_distance_batch([list(r) for r in refs], [list(h) for h in hyps])
+    if dists is not None:
+        total_err = int(dists.sum())
+    else:
+        total_err = sum(edit_distance(r, h) for r, h in zip(refs, hyps))
     total_len = sum(len(r) for r in refs)
     return total_err / max(total_len, 1)
 

@@ -1,0 +1,93 @@
+"""ctypes bindings for the native batched edit-distance kernel.
+
+Builds native/libeditdist.so on first use if the toolchain is available
+(make/g++ are in the image); falls back to None so callers use the pure-Python
+DP (metrics/lipread.py).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libeditdist.so")
+_lib = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.edit_distance_i32.restype = ctypes.c_int64
+        lib.edit_distance_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
+        lib.edit_distance_batch_i32.restype = None
+        lib.edit_distance_batch_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def _tokenize(seqs: Sequence[Sequence]) -> tuple:
+    """Map hashable tokens to int32 ids; return (flat, offsets)."""
+    vocab = {}
+    flat: List[int] = []
+    offs = [0]
+    for s in seqs:
+        for tok in s:
+            flat.append(vocab.setdefault(tok, len(vocab)))
+        offs.append(len(flat))
+    return (np.asarray(flat or [0], dtype=np.int32),
+            np.asarray(offs, dtype=np.int64), vocab)
+
+
+def edit_distance_batch(refs: Sequence[Sequence],
+                        hyps: Sequence[Sequence]) -> Optional[np.ndarray]:
+    """Native batched edit distances, or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    assert len(refs) == len(hyps)
+    # shared vocab so equal tokens get equal ids across both sides
+    vocab: dict = {}
+
+    def encode(seqs):
+        flat, offs = [], [0]
+        for s in seqs:
+            for tok in s:
+                flat.append(vocab.setdefault(tok, len(vocab)))
+            offs.append(len(flat))
+        return (np.asarray(flat or [0], np.int32), np.asarray(offs, np.int64))
+
+    fa, oa = encode(refs)
+    fb, ob = encode(hyps)
+    out = np.zeros(len(refs), dtype=np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.edit_distance_batch_i32(
+        fa.ctypes.data_as(i32p), oa.ctypes.data_as(i64p),
+        fb.ctypes.data_as(i32p), ob.ctypes.data_as(i64p),
+        len(refs), out.ctypes.data_as(i64p),
+    )
+    return out

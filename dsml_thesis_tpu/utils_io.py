@@ -93,10 +93,6 @@ def load_params(
         ckptr = ocp.StandardCheckpointer()
         # trainer checkpoints store a full TrainState; accept either layout
         try:
-            from .training.train_state import TrainState
-            import jax.numpy as jnp
-            import optax
-
             state = ckptr.restore(os.path.abspath(ckpt))
             if isinstance(state, dict) and "ema_params" in state:
                 return state["ema_params"] if use_ema else state["params"]
