@@ -9,7 +9,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -47,19 +47,6 @@ def _load() -> Optional[ctypes.CDLL]:
     except OSError:
         _lib = None
     return _lib
-
-
-def _tokenize(seqs: Sequence[Sequence]) -> tuple:
-    """Map hashable tokens to int32 ids; return (flat, offsets)."""
-    vocab = {}
-    flat: List[int] = []
-    offs = [0]
-    for s in seqs:
-        for tok in s:
-            flat.append(vocab.setdefault(tok, len(vocab)))
-        offs.append(len(flat))
-    return (np.asarray(flat or [0], dtype=np.int32),
-            np.asarray(offs, dtype=np.int64), vocab)
 
 
 def edit_distance_batch(refs: Sequence[Sequence],

@@ -74,7 +74,6 @@ class LatentDiffusion:
     first_stage_key: str = "image"
     image_size: int = 32
     channels: int = 3
-    cond_ids_null: Optional[Dict[str, Any]] = None
     monitor: str = "val_loss_ema"
 
     # ---------- initialization ----------
