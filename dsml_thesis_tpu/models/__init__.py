@@ -7,7 +7,7 @@ from .autoencoder import (
     IdentityFirstStage,
     DiagonalGaussian,
 )
-from .quantize import VectorQuantizer
+from .quantize import VectorQuantizer, GumbelQuantizer, EMAVectorQuantizer
 from .encoders import (
     ClassEmbedder,
     Conv1DTemporalAttention,

@@ -67,3 +67,101 @@ class VectorQuantizer(nn.Module):
         if shape is not None:
             z_q = z_q.reshape(shape)
         return z_q
+
+
+class GumbelQuantizer(nn.Module):
+    """Gumbel-softmax vector quantization (taming quantize.py:110-210).
+
+    Training: soft codebook mixture with straight-through hard samples at
+    temperature tau; eval: hard argmax. KL-to-uniform regularizer scaled by
+    kl_weight.
+    """
+
+    n_e: int
+    e_dim: int
+    kl_weight: float = 5e-4
+    temp_init: float = 1.0
+    straight_through: bool = True
+
+    @nn.compact
+    def __call__(self, z, temp=None, deterministic: bool = True):
+        logits = nn.Conv(self.n_e, (1, 1), name="proj")(z)
+        embed = self.param(
+            "embedding", nn.initializers.normal(1.0), (self.n_e, self.e_dim)
+        )
+        tau = temp if temp is not None else self.temp_init
+        if deterministic:
+            idx = jnp.argmax(logits, axis=-1)
+            one_hot = jax.nn.one_hot(idx, self.n_e)
+        else:
+            g = -jnp.log(-jnp.log(
+                jax.random.uniform(self.make_rng("gumbel"), logits.shape,
+                                   minval=1e-9, maxval=1.0)
+            ))
+            soft = jax.nn.softmax((logits + g) / tau, axis=-1)
+            idx = jnp.argmax(soft, axis=-1)
+            if self.straight_through:
+                hard = jax.nn.one_hot(idx, self.n_e)
+                one_hot = soft + jax.lax.stop_gradient(hard - soft)
+            else:
+                one_hot = soft
+        z_q = jnp.einsum("...n,nd->...d", one_hot, embed)
+        probs = jax.nn.softmax(logits, axis=-1)
+        kl = self.kl_weight * jnp.mean(
+            jnp.sum(probs * jnp.log(probs * self.n_e + 1e-10), axis=-1)
+        )
+        return z_q, kl, idx
+
+
+class EMAVectorQuantizer(nn.Module):
+    """VQ with exponential-moving-average codebook updates (taming
+    quantize.py:361-445): the codebook is a non-trainable variable updated
+    from batch statistics, with Laplace-smoothed cluster sizes; the encoder
+    still receives the straight-through commitment gradient."""
+
+    n_e: int
+    e_dim: int
+    beta: float = 0.25
+    decay: float = 0.99
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, z, update: bool = False):
+        init = lambda k, s: jax.random.normal(k, s) * 0.5
+        embedding = self.variable("vq_stats", "embedding",
+                                  lambda: init(jax.random.PRNGKey(0),
+                                               (self.n_e, self.e_dim)))
+        cluster_size = self.variable("vq_stats", "cluster_size",
+                                     lambda: jnp.zeros((self.n_e,)))
+        embed_avg = self.variable("vq_stats", "embed_avg",
+                                  lambda: jnp.array(embedding.value))
+
+        zf = z.astype(jnp.float32)
+        flat = zf.reshape(-1, self.e_dim)
+        e = embedding.value
+        d = (
+            jnp.sum(flat**2, axis=1, keepdims=True)
+            - 2.0 * flat @ e.T
+            + jnp.sum(e**2, axis=1)[None]
+        )
+        idx = jnp.argmin(d, axis=1)
+        one_hot = jax.nn.one_hot(idx, self.n_e)
+        z_q = jnp.take(e, idx, axis=0).reshape(zf.shape)
+
+        if update and not self.is_initializing():
+            n = jnp.sum(one_hot, axis=0)
+            dw = one_hot.T @ flat
+            cluster_size.value = (
+                self.decay * cluster_size.value + (1 - self.decay) * n
+            )
+            embed_avg.value = self.decay * embed_avg.value + (1 - self.decay) * dw
+            total = jnp.sum(cluster_size.value)
+            smoothed = (
+                (cluster_size.value + self.eps)
+                / (total + self.n_e * self.eps) * total
+            )
+            embedding.value = embed_avg.value / smoothed[:, None]
+
+        loss = self.beta * jnp.mean((jax.lax.stop_gradient(z_q) - zf) ** 2)
+        z_q = zf + jax.lax.stop_gradient(z_q - zf)
+        return z_q.astype(z.dtype), loss, idx.reshape(zf.shape[:-1])

@@ -70,7 +70,7 @@ class Trainer:
 
         bs = self.data_cfg.get("batch_size", 4)
         nw = self.data_cfg.get("num_workers", 4)
-        self.train_data = self.val_data = None
+        self.train_data = self.val_data = self.test_data = None
         if "train" in self.data_cfg:
             self.train_data = DataLoader(
                 instantiate_from_config(self.data_cfg["train"]),
@@ -79,6 +79,11 @@ class Trainer:
         if "validation" in self.data_cfg:
             self.val_data = DataLoader(
                 instantiate_from_config(self.data_cfg["validation"]),
+                batch_size=bs, shuffle=False, num_workers=nw, seed=seed,
+            )
+        if "test" in self.data_cfg:
+            self.test_data = DataLoader(
+                instantiate_from_config(self.data_cfg["test"]),
                 batch_size=bs, shuffle=False, num_workers=nw, seed=seed,
             )
 
@@ -200,9 +205,10 @@ class Trainer:
 
     # ---------- loops ----------
 
-    def validate(self, rng: jax.Array, max_batches: Optional[int] = None) -> Dict:
+    def validate(self, rng: jax.Array, max_batches: Optional[int] = None,
+                 data=None) -> Dict:
         sums, n = {}, 0
-        for i, batch in enumerate(self.val_data):
+        for i, batch in enumerate(data if data is not None else self.val_data):
             if max_batches is not None and i >= max_batches:
                 break
             sb = shard_batch(self.mesh, _to_jnp_batch(batch))
@@ -211,6 +217,14 @@ class Trainer:
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
         return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def test(self, rng: Optional[jax.Array] = None) -> Optional[Dict]:
+        """Evaluate the test split (reference trainer.test, main.py:735-736)."""
+        if self.test_data is None:
+            return None
+        metrics = self.validate(rng or jax.random.PRNGKey(0), data=self.test_data)
+        self.log_metrics(metrics, int(self._state.step), split="test")
+        return metrics
 
     def fit(self, epochs: int = 1, log_every: int = 100,
             image_every: Optional[int] = None, val_max_batches: Optional[int] = None,

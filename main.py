@@ -95,6 +95,10 @@ def main():
             trainer.restore_checkpoint(resume_ckpt)
         trainer.fit(epochs=epochs)
         print("training done; final step:", int(trainer._state.step))
+        if not opt.no_test and hasattr(trainer, "test"):
+            test_metrics = trainer.test()
+            if test_metrics:
+                print("test:", {k: round(v, 5) for k, v in test_metrics.items()})
 
 
 if __name__ == "__main__":
