@@ -111,6 +111,99 @@ def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = F
     return out.reshape(b, h, nq, d)
 
 
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                      *, scale: float):
+    """Backward for one (batch*head, q-block): recompute P for the block, emit
+    dq for the block and accumulate dk/dv across the sequential q-block grid.
+    Zero-padded q/do rows contribute exactly zero to dk/dv, so no masking.
+    """
+    j = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)          # [Bq, Nk] fp32
+
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # [Bq, Nk]
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dv_ref[0] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dk_ref[0] += (scale * jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )).astype(dk_ref.dtype)
+    dq_ref[0] = (scale * jnp.dot(
+        ds, k.astype(jnp.float32), preferred_element_type=jnp.float32
+    )).astype(dq_ref.dtype)
+
+
+def flash_attention_bwd(q, k, v, do, scale=None, block_q: int = 256,
+                        interpret: bool = False):
+    """Pallas flash-attention backward: (dq, dk, dv), no N^2 HBM residual."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    bh = b * h
+    block_q = min(block_q, nq)
+    pad_q = (-nq) % block_q
+    q3 = q.reshape(bh, nq, d)
+    do3 = do.reshape(bh, nq, d)
+    if pad_q:
+        q3 = jnp.pad(q3, ((0, 0), (0, pad_q), (0, 0)))
+        do3 = jnp.pad(do3, ((0, 0), (0, pad_q), (0, 0)))
+    k3 = k.reshape(bh, nk, d)
+    v3 = v.reshape(bh, nk, d)
+    nq_p = nq + pad_q
+
+    vmem_limit = min(
+        6 * nk * d * 4 + 4 * (block_q * nk * 4) + 8 * block_q * d * 4 + (1 << 21),
+        110 * (1 << 20),
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, nk, d), v.dtype),
+        ),
+        grid=(bh, nq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(q3, k3, v3, do3)
+    if pad_q:
+        dq = dq[:, :nq]
+    shape4 = lambda t, n: t.reshape(b, h, n, d)
+    return shape4(dq, nq), shape4(dk, nk), shape4(dv, nk)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_attention_diff(q, k, v, scale):
     return flash_attention(q, k, v, scale=scale)
@@ -121,11 +214,8 @@ def _flash_fwd(q, k, v, scale):
 
 
 def _flash_bwd(scale, res, g):
-    # exact backward via the reference formulation (recompute; no N^2 residual
-    # is stored across fwd/bwd — flash-style memory behavior)
     q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: attention_reference(q, k, v, scale=scale), q, k, v)
-    return vjp(g)
+    return flash_attention_bwd(q, k, v, g, scale=scale)
 
 
 _flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)

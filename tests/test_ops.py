@@ -36,6 +36,25 @@ def test_flash_attention_bf16():
     )
 
 
+@pytest.mark.parametrize("nq,nk", [(64, 64), (100, 100)])
+def test_flash_attention_backward_matches_reference(nq, nk):
+    from dsml_thesis_tpu.ops.attention import flash_attention_bwd
+
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, h, d = 2, 3, 32
+    q = jax.random.normal(kq, (b, h, nq, d))
+    k = jax.random.normal(kk, (b, h, nk, d))
+    v = jax.random.normal(kv, (b, h, nk, d))
+    g = jax.random.normal(kg, (b, h, nq, d))
+    _, vjp = jax.vjp(lambda q, k, v: attention_reference(q, k, v), q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+    dq, dk, dv = flash_attention_bwd(q, k, v, g, block_q=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=2e-3, rtol=1e-3)
+
+
 @pytest.mark.parametrize("shape,groups", [((2, 8, 8, 160), 32), ((2, 16, 320), 32), ((1, 4, 4, 128), 32)])
 def test_group_norm_silu_pallas_matches_reference(shape, groups):
     key = jax.random.PRNGKey(2)
