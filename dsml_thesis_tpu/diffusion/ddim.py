@@ -22,6 +22,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .gaussian import q_sample
 from .schedules import DDIMSchedule, DiffusionSchedule
 
 EpsFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
@@ -110,8 +111,6 @@ def ddim_sample(
             # inpainting: re-noise the known region to the current level
             key, kq = jax.random.split(key)
             t = jnp.full((b,), jnp.take(ddim.timesteps, index), dtype=jnp.int32)
-            from .gaussian import q_sample
-
             img_orig = q_sample(sched, x0, t, jax.random.normal(kq, x0.shape))
             img = img_orig * mask + (1.0 - mask) * img
         if eta_noise:
