@@ -24,16 +24,35 @@ from jax.experimental.pallas import tpu as pltpu
 def group_norm_silu_reference(
     x, gamma, beta, num_groups: int = 32, eps: float = 1e-5, silu: bool = True
 ):
-    """jnp spec: x [B, H, W, C] (or [B, N, C]); stats in fp32 per (batch, group)."""
+    """jnp spec: x [B, H, W, C] (or [B, N, C]); stats in fp32 per (batch, group).
+
+    Stats are computed channel-major: reduce over the spatial axis per channel
+    (lane-efficient: C lanes), then combine channels into groups on the tiny
+    [B, C] result. Reshaping the full tensor to (..., G, C/G) instead puts
+    C/G (= 5 for the reference nets) on the lane axis and devolves into tens
+    of thousands of tiny convert+reduce kernels — profiled at 40% of total
+    sampling device time.
+    """
     orig_dtype = x.dtype
     b = x.shape[0]
     c = x.shape[-1]
     assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
-    xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = jnp.mean((xf - mean) ** 2, axis=(1, 3), keepdims=True)
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn.reshape(b, -1, c) * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    cg = c // num_groups
+    xf = x.astype(jnp.float32).reshape(b, -1, c)
+    n_spatial = xf.shape[1]
+    inv_count = 1.0 / (n_spatial * cg)
+
+    ch_sum = jnp.sum(xf, axis=1)          # [B, C]
+    ch_sq = jnp.sum(xf * xf, axis=1)      # [B, C]
+    g_mean = jnp.sum(ch_sum.reshape(b, num_groups, cg), axis=-1) * inv_count
+    g_sq = jnp.sum(ch_sq.reshape(b, num_groups, cg), axis=-1) * inv_count
+    g_rstd = jax.lax.rsqrt(g_sq - g_mean**2 + eps)
+
+    c_mean = jnp.repeat(g_mean, cg, axis=-1)[:, None, :]   # [B, 1, C]
+    c_rstd = jnp.repeat(g_rstd, cg, axis=-1)[:, None, :]
+    xn = (xf - c_mean) * c_rstd * gamma.astype(jnp.float32) + beta.astype(
+        jnp.float32
+    )
     if silu:
         xn = xn * jax.nn.sigmoid(xn)
     return xn.reshape(x.shape).astype(orig_dtype)
@@ -96,6 +115,100 @@ def group_norm_silu_pallas(
     return out.reshape(shape)
 
 
+def _gn_stats_kernel(x_ref, out_ref):
+    """Accumulate per-channel sum and sum-of-squares over spatial blocks.
+
+    One fused read of x per block (vs XLA's two separate convert+reduce
+    passes, profiled at ~5% of HBM bandwidth); outputs rows 0/1 of an
+    (8, C) f32 block (padded to the sublane tile).
+    """
+    j = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)
+    s = jnp.sum(x, axis=0, keepdims=True)
+    sq = jnp.sum(x * x, axis=0, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0, 0:1] += s
+    out_ref[0, 1:2] += sq
+
+
+def _gn_channel_stats_pallas(x3: jnp.ndarray, interpret: bool = False):
+    """x3: [B, N, C] -> (ch_sum, ch_sq) each [B, C] fp32, one read of x."""
+    b, n, c = x3.shape
+    # spatial block: ~2MB of input per grid step, multiple-of-8 rows
+    bn = max(8, min(n, (2 * (1 << 20)) // max(c * x3.dtype.itemsize, 1) // 8 * 8))
+    pad = (-n) % bn
+    if pad:
+        x3 = jnp.pad(x3, ((0, 0), (0, pad), (0, 0)))  # zero rows add nothing
+    grid = (b, (n + pad) // bn)
+    out = pl.pallas_call(
+        _gn_stats_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 8, c), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bn, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(10 * bn * c * 4 + (1 << 21), 100 * (1 << 20))
+        ),
+        interpret=interpret,
+    )(x3)
+    return out[:, 0], out[:, 1]
+
+
+def group_norm_silu_stats_fused(
+    x, gamma, beta, num_groups: int = 32, eps: float = 1e-5, silu: bool = True,
+    interpret: bool = False,
+):
+    """GroupNorm(+SiLU) with Pallas single-pass statistics and jnp
+    normalize/affine/SiLU (so XLA fuses the apply into consumers)."""
+    shape = x.shape
+    b, c = shape[0], shape[-1]
+    cg = c // num_groups
+    x3 = x.reshape(b, -1, c)
+    n = x3.shape[1]
+    ch_sum, ch_sq = _gn_channel_stats_pallas(x3, interpret=interpret)
+    inv_count = 1.0 / (n * cg)
+    g_mean = jnp.sum(ch_sum.reshape(b, num_groups, cg), axis=-1) * inv_count
+    g_sq = jnp.sum(ch_sq.reshape(b, num_groups, cg), axis=-1) * inv_count
+    g_rstd = jax.lax.rsqrt(g_sq - g_mean**2 + eps)
+    c_mean = jnp.repeat(g_mean, cg, axis=-1)[:, None, :]
+    c_rstd = jnp.repeat(g_rstd, cg, axis=-1)[:, None, :]
+    y = (x3.astype(jnp.float32) - c_mean) * c_rstd * gamma.astype(jnp.float32) \
+        + beta.astype(jnp.float32)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.reshape(shape).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gn_stats_fused_diff(x, gamma, beta, num_groups, eps, silu):
+    return group_norm_silu_stats_fused(x, gamma, beta, num_groups, eps, silu)
+
+
+def _gn_sf_fwd(x, gamma, beta, num_groups, eps, silu):
+    return _gn_stats_fused_diff(x, gamma, beta, num_groups, eps, silu), (x, gamma, beta)
+
+
+def _gn_sf_bwd(num_groups, eps, silu, res, g):
+    x, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda x, gamma, beta: group_norm_silu_reference(
+            x, gamma, beta, num_groups=num_groups, eps=eps, silu=silu
+        ),
+        x, gamma, beta,
+    )
+    return vjp(g)
+
+
+_gn_stats_fused_diff.defvjp(_gn_sf_fwd, _gn_sf_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _gn_silu_diff(x, gamma, beta, num_groups, eps, silu):
     return group_norm_silu_pallas(x, gamma, beta, num_groups=num_groups, eps=eps, silu=silu)
@@ -123,17 +236,19 @@ def group_norm_silu(
     x, gamma, beta, num_groups: int = 32, eps: float = 1e-5, silu: bool = True,
     use_pallas=None, interpret: bool = False,
 ):
-    if use_pallas is None:
-        import os
+    import os
 
-        # Default OFF: on v5e the flagship-bench A/B measured the XLA-fused
-        # GroupNorm path ~9% faster end-to-end than this single-pass kernel
-        # (XLA fuses the normalize+SiLU into neighboring ops and avoids the
-        # kernel's whole-row VMEM residency); each unique (n, c) shape also
-        # costs a separate Mosaic compile. Opt in with DSML_PALLAS_GN=1.
+    # Default: the XLA-fused reference path. Flagship-bench A/Bs on v5e:
+    # XLA 6.07 fps > whole-row Pallas kernel 5.52 > Pallas stats kernel 5.56.
+    # XLA's stat reduces look slow in per-op traces but overlap with
+    # neighboring work, while any pallas_call boundary here breaks producer
+    # fusion. Both kernels kept for A/B: DSML_PALLAS_GN=1 (whole-row) or
+    # =stats (stats-only kernel).
+    mode = os.environ.get("DSML_PALLAS_GN", "0")
+    if use_pallas is None:
         n = int(np.prod(x.shape[1:-1])) * x.shape[-1]
         use_pallas = (
-            os.environ.get("DSML_PALLAS_GN", "0") == "1"
+            mode != "0"
             and jax.default_backend() == "tpu"
             and 4 * n <= 8 * 1024 * 1024
         )
@@ -143,7 +258,9 @@ def group_norm_silu(
                 x, gamma, beta, num_groups=num_groups, eps=eps, silu=silu,
                 interpret=True,
             )
-        return _gn_silu_diff(x, gamma, beta, num_groups, eps, silu)
+        if mode == "1":
+            return _gn_silu_diff(x, gamma, beta, num_groups, eps, silu)
+        return _gn_stats_fused_diff(x, gamma, beta, num_groups, eps, silu)
     return group_norm_silu_reference(
         x, gamma, beta, num_groups=num_groups, eps=eps, silu=silu
     )

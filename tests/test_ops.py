@@ -67,6 +67,22 @@ def test_group_norm_silu_pallas_matches_reference(shape, groups):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("shape,groups", [((2, 8, 8, 160), 32), ((3, 100, 64), 32)])
+def test_group_norm_stats_fused_matches_reference(shape, groups):
+    from dsml_thesis_tpu.ops.groupnorm import group_norm_silu_stats_fused
+
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, shape) * 2 + 0.5
+    c = shape[-1]
+    gamma = jax.random.normal(jax.random.PRNGKey(8), (c,)) * 0.1 + 1
+    beta = jax.random.normal(jax.random.PRNGKey(9), (c,)) * 0.1
+    ref = group_norm_silu_reference(x, gamma, beta, num_groups=groups)
+    out = group_norm_silu_stats_fused(x, gamma, beta, num_groups=groups,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
+                               rtol=2e-4)
+
+
 def test_group_norm_matches_torch():
     """Cross-check the jnp spec against torch.nn.functional.group_norm."""
     torch = pytest.importorskip("torch")
