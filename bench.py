@@ -106,6 +106,21 @@ def main():
         imgs = jax.vmap(dec, in_axes=1, out_axes=1)(frames)
         return jnp.clip(imgs, -1, 1)
 
+    n_chips = jax.device_count()
+    if n_chips > 1:
+        # speakers shard over the data mesh: sampling is embarrassingly
+        # parallel across chips (no ICI traffic in the scan)
+        from dsml_thesis_tpu.parallel import make_mesh, replicate, shard_batch
+
+        mesh = make_mesh()
+        params = replicate(mesh, params)
+        sharded = shard_batch(
+            mesh, {"m": masked_lat, "c": ctxs, "u": uctxs, "z": z_id0}
+        )
+        masked_lat, ctxs, uctxs, z_id0 = (
+            sharded["m"], sharded["c"], sharded["u"], sharded["z"]
+        )
+
     synth_j = jax.jit(synth)
     t0 = time.time()
     out = jax.block_until_ready(synth_j(params, jax.random.PRNGKey(10)))
