@@ -73,3 +73,24 @@ def test_progressive_and_save_videos_cli(tmp_path):
     )
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert os.listdir(tmp_path / "mp4s")
+
+
+@pytest.mark.slow
+def test_streaming_pipeline_cli(tmp_path):
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(yaml.safe_load(TINY_MEAD_CFG), f)
+    tuples, audio_dir = _build_tree(str(tmp_path / "mead"), n_clips=2)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "streaming_pipeline.py"),
+         "--cpu", "--config", cfg_path, "--tuples", tuples,
+         "--data-root", str(tmp_path / "mead"), "--audio-dir", audio_dir,
+         "--outdir", str(tmp_path / "stream"), "--batch", "2", "--frames", "3",
+         "--steps", "2", "--size", "16", "--audio-window", "2", "--metrics"],
+        capture_output=True, text=True, env=env, timeout=540,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "cumulative" in out.stdout and "psnr=" in out.stdout
+    assert len(os.listdir(tmp_path / "stream")) == 2
