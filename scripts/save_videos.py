@@ -56,6 +56,8 @@ def main():
     ap.add_argument("--fps", type=int, default=30)
     ap.add_argument("--audio-root", default=None,
                     help="optional dir of <name>.wav files to mux")
+    ap.add_argument("--grid", type=int, default=0,
+                    help="also save an N-column frame grid png per video")
     args = ap.parse_args()
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -71,6 +73,12 @@ def main():
             audio = cand if os.path.exists(cand) else None
         out = os.path.join(args.outdir, name + ".mp4")
         frames_to_mp4(u8, out, fps=args.fps, audio=audio)
+        if args.grid:
+            from PIL import Image
+
+            idx = np.linspace(0, len(u8) - 1, min(args.grid, len(u8))).astype(int)
+            row = np.concatenate([u8[i] for i in idx], axis=1)
+            Image.fromarray(row).save(os.path.join(args.outdir, name + "_grid.png"))
         print(f"{name}: {len(u8)} frames -> {out}")
 
 
