@@ -58,8 +58,7 @@ def main():
         args.res, args.batch, args.frames, args.steps = 16, 1, 2, 4
         lat = 8
     else:
-        name = f"mead-{args.res}-ldm-f4" if args.res != 128 else "mead-128-ldm-f4"
-        cfg = load_config([f"configs/latent-diffusion/{name}.yaml"])
+        cfg = load_config([f"configs/latent-diffusion/mead-{args.res}-ldm-f4.yaml"])
         lat = args.res // 4
 
     ldm = build_model(cfg["model"])

@@ -3,6 +3,10 @@
 
 Times (a) one CFG-doubled UNet eval at the bench shape, (b) one full-clip
 VQGAN decode, (c) implied totals at DDIM-S — to direct optimization effort.
+
+CAVEAT (axon tunnel): block_until_ready may not actually block on remote
+buffers, making these micro-timings unreliably fast. Trust whole-program
+timings (bench.py) for decisions; use jax.profiler traces for attribution.
 """
 import argparse
 import os
