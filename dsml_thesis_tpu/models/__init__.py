@@ -14,3 +14,12 @@ from .encoders import (
     LandmarkEncoder,
     TransformerTextEmbedder,
 )
+from .insight_face import (
+    IRSE,
+    FaceViT,
+    MobileFaceNet,
+    convert_face_vit,
+    convert_irse,
+    convert_mobilefacenet,
+    make_embed_fn,
+)

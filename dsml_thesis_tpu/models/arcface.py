@@ -92,7 +92,8 @@ class IResNet(nn.Module):
                     name=f"layer{li + 1}_{bi}",
                 )(h)
         h = _BN(name="bn2")(h)
-        h = h.reshape(h.shape[0], -1)
+        # flatten in torch NCHW (C-major) order so converted fc weights apply
+        h = jnp.transpose(h, (0, 3, 1, 2)).reshape(h.shape[0], -1)
         h = nn.Dense(self.embed_dim, name="fc")(h)
         # `features` BatchNorm1d (affine, eps 1e-5)
         c = h.shape[-1]

@@ -26,7 +26,10 @@ def main():
     ap.add_argument("--dir-a", required=True)
     ap.add_argument("--dir-b", required=True)
     ap.add_argument("--weights", required=True, help="torch iresnet ckpt")
-    ap.add_argument("--network", default="iresnet18")
+    ap.add_argument(
+        "--network", default="iresnet18",
+        help="iresnet18/34/50/100/200, ir_se50/ir50, mbf/mbf_large, vit_t/s/b",
+    )
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -37,13 +40,31 @@ def main():
 
     from dsml_thesis_tpu.data import load_image
     from dsml_thesis_tpu.metrics import cosine_similarity
+    from dsml_thesis_tpu.models import insight_face as inf
     from dsml_thesis_tpu.models.arcface import _BLOCKS, convert_iresnet, iresnet
 
     sd = torch.load(args.weights, map_location="cpu")
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    params, stats = convert_iresnet(sd, _BLOCKS[args.network])
-    model = iresnet(args.network)
+    if args.network in _BLOCKS:
+        params, stats = convert_iresnet(sd, _BLOCKS[args.network])
+        model = iresnet(args.network)
+    elif args.network in ("ir_se50", "ir50"):
+        mode = "ir_se" if args.network == "ir_se50" else "ir"
+        affine = "output_layer.4.weight" in sd
+        params, stats = inf.convert_irse(sd, num_layers=50)
+        model = inf.IRSE(num_layers=50, mode=mode, affine=affine)
+    elif args.network in ("mbf", "mbf_large"):
+        blocks = (1, 4, 6, 2) if args.network == "mbf" else (2, 8, 12, 4)
+        scale = 2 if args.network == "mbf" else 4
+        params, stats = inf.convert_mobilefacenet(sd, blocks=blocks)
+        model = inf.MobileFaceNet(blocks=blocks, scale=scale)
+    elif args.network in inf.FACE_VIT_FACTORIES:
+        kw = inf.FACE_VIT_FACTORIES[args.network]
+        params, stats = inf.convert_face_vit(sd, depth=kw["depth"])
+        model = inf.FaceViT(**kw)
+    else:
+        raise SystemExit(f"unknown network {args.network!r}")
 
     @jax.jit
     def embed(x):
