@@ -301,22 +301,90 @@ def build_model(model_cfg: Dict) -> LatentDiffusion:
     )
 
 
-def build_finetune(model_cfg: Dict, **encoder_fns):
+def _resolve_edit_attr(name: str) -> int:
+    """SRC_TRG_TXT_DIC attribute name -> AffectNet class index."""
+    from .data.datasets import EMOTION2LABEL
+
+    aliases = {"scared": "fear", "fearful": "fear", "anger": "angry",
+               "disgust": "disgusted", "surprise": "surprised",
+               "contemptuous": "contempt"}
+    return EMOTION2LABEL[aliases.get(name, name)]
+
+
+def build_guidance_encoders(p: Dict) -> Dict:
+    """Construct the frozen guidance encoders from checkpoint paths in the
+    model config (extension keys — the reference hardcodes the pip `clip`
+    download and 'pretrained/model_ir_se50.pth', idloss.py:6-16):
+      clip_ckpt: OpenAI or HF CLIP checkpoint -> clip_image_embed (+ text
+                 directions when clip_bpe, the BPE merge table, is also given)
+      id_ckpt:   IR-SE50 Backbone state_dict -> arcface_embed
+    Returns kwargs for DiffusionCLIPFinetune.
+    """
+    out: Dict = {}
+    if p.get("clip_ckpt"):
+        from .models import clip as clip_mod
+
+        cfg, params = clip_mod.load_clip_checkpoint(p["clip_ckpt"])
+        out["clip_image_embed"] = clip_mod.make_clip_image_embed(
+            cfg, params["visual"]
+        )
+        if p.get("clip_bpe"):
+            import jax.numpy as jnp
+            import numpy as np
+
+            from .data.clip_tokenizer import CLIPTokenizer
+            from .losses.guidance import EMOTION_PROMPTS
+
+            tok = CLIPTokenizer(p["clip_bpe"])
+            dirs = []
+            for label in sorted(EMOTION_PROMPTS):
+                src_txt, trg_txt = EMOTION_PROMPTS[label]
+                src = jnp.asarray(tok.tokenize(
+                    [t.format(src_txt) for t in clip_mod.IMAGENET_TEMPLATES],
+                    context_length=cfg.context_length))
+                trg = jnp.asarray(tok.tokenize(
+                    [t.format(trg_txt) for t in clip_mod.IMAGENET_TEMPLATES],
+                    context_length=cfg.context_length))
+                dirs.append(np.asarray(clip_mod.compute_text_direction(
+                    cfg, params["text"], src, trg)))
+            out["text_direction"] = jnp.asarray(np.stack(dirs))
+    if p.get("id_ckpt"):
+        import torch
+
+        from .models.insight_face import IRSE, convert_irse, make_id_embed_fn
+
+        sd = torch.load(p["id_ckpt"], map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        ip, istats = convert_irse(sd)
+        affine = "output_layer.4.weight" in sd
+        out["arcface_embed"] = make_id_embed_fn(
+            ip, istats, model=IRSE(affine=affine)
+        )
+    return out
+
+
+def build_finetune(model_cfg: Dict, ldm: Optional[LatentDiffusion] = None,
+                   **encoder_fns):
     """Build the finetune wrapper matching the config's target:
       - latent_diffclip.LatentDiffusionCLIP -> DiffusionCLIPFinetune
         (knobs: affectnet-128-clip-ldm-vq-f4.yaml:18-29)
       - ddpm2condtune.LatentDiffusion -> LipreadFinetune
         (knobs: mead-128-ldm-f4-tune.yaml:19-20)
     encoder_fns inject the frozen pretrained callables (clip_image_embed,
-    arcface_embed, classifier_logits, lipreader_fn).
+    arcface_embed, classifier_logits, lipreader_fn); any not injected are
+    built from checkpoint-path config keys via build_guidance_encoders.
     """
     target = model_cfg["target"]
     p = dict(model_cfg.get("params", {}))
-    ldm = build_model(model_cfg)
+    if ldm is None:
+        ldm = build_model(model_cfg)
     if target.endswith("latent_diffclip.LatentDiffusionCLIP"):
         from .models.diffclip import DiffusionCLIPFinetune
 
-        return DiffusionCLIPFinetune(
+        enc = {**build_guidance_encoders(p), **encoder_fns}
+        edit_attr = p.get("edit_attr")
+        ft = DiffusionCLIPFinetune(
             ldm,
             train_steps=p.get("num_train_steps", 6),
             strength=p.get("strength", 0.5),
@@ -324,10 +392,15 @@ def build_finetune(model_cfg: Dict, **encoder_fns):
             id_weight=p.get("id_loss_w", 1.0),
             clip_weight=p.get("clip_loss_w", 1.0),
             cls_weight=p.get("cls_loss_w", 0.0),
-            clip_image_embed=encoder_fns.get("clip_image_embed"),
-            arcface_embed=encoder_fns.get("arcface_embed"),
-            classifier_logits=encoder_fns.get("classifier_logits"),
+            clip_image_embed=enc.get("clip_image_embed"),
+            arcface_embed=enc.get("arcface_embed"),
+            classifier_logits=enc.get("classifier_logits"),
+            edit_attr_label=(
+                _resolve_edit_attr(edit_attr) if edit_attr else None
+            ),
+            text_direction=enc.get("text_direction"),
         )
+        return ft
     if target.endswith("ddpm2condtune.LatentDiffusion"):
         from .models.lipread_tune import LipreadFinetune
 
@@ -338,3 +411,13 @@ def build_finetune(model_cfg: Dict, **encoder_fns):
             start_lr_loss=p.get("start_lr_loss", 0),
         )
     raise NotImplementedError(f"finetune target {target}")
+
+
+FINETUNE_TARGETS = (
+    "latent_diffclip.LatentDiffusionCLIP",
+    "ddpm2condtune.LatentDiffusion",
+)
+
+
+def is_finetune_target(target: str) -> bool:
+    return target.endswith(FINETUNE_TARGETS)

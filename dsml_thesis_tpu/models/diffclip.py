@@ -50,6 +50,13 @@ class DiffusionCLIPFinetune:
     clip_image_embed: Optional[Callable] = None
     arcface_embed: Optional[Callable] = None
     classifier_logits: Optional[Callable] = None
+    # single target attribute (reference edit_attr, yaml :19): every example is
+    # edited toward this class; None = per-example batch['class_label'] targets
+    edit_attr_label: Optional[int] = None
+    # precomputed CLIP text direction(s): (D,) for edit_attr mode or
+    # (n_classes, D) indexed by target label; overridden by a per-batch
+    # 'text_direction' entry
+    text_direction: Optional[jnp.ndarray] = None
 
     def __post_init__(self):
         self.train_ddim = make_ddim_schedule(
@@ -70,7 +77,10 @@ class DiffusionCLIPFinetune:
         'class_label': target emotion}."""
         x_lat = batch["latent"]
         src = batch["original"]
-        target = batch["class_label"]
+        if self.edit_attr_label is not None:
+            target = jnp.full((x_lat.shape[0],), self.edit_attr_label, jnp.int32)
+        else:
+            target = batch["class_label"]
 
         z_edit = self.edit(params, x_lat, target)
         edit = self.ldm.decode_first_stage(params, z_edit)
@@ -85,10 +95,12 @@ class DiffusionCLIPFinetune:
             aux["loss_id"] = id_loss(self.arcface_embed, src, edit)
             loss = loss + self.id_weight * aux["loss_id"]
         if self.clip_weight > 0 and self.clip_image_embed is not None:
-            # per-example text directions indexed by target label
-            d = clip_directional_loss(
-                self.clip_image_embed, src, edit, batch["text_direction"]
-            )
+            tdir = batch.get("text_direction")
+            if tdir is None:
+                tdir = self.text_direction
+                if tdir.ndim == 2:  # per-class table -> per-example rows
+                    tdir = tdir[target]
+            d = clip_directional_loss(self.clip_image_embed, src, edit, tdir)
             aux["loss_clip"] = jnp.mean(diffusionclip_direction_loss(d))
             loss = loss + self.clip_weight * aux["loss_clip"]
         if self.cls_weight > 0 and self.classifier_logits is not None:

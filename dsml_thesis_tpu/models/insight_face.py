@@ -16,7 +16,7 @@ convert_* helpers; nothing ships in-repo (zero-egress environment).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -455,4 +455,42 @@ def make_embed_fn(model: nn.Module, params: Dict, stats: Dict):
     """Bind a tower into an `images -> embeddings` callable (for IDLoss/CSIM)."""
     def fn(images):
         return model.apply({"params": params, "batch_stats": stats}, images)
+    return fn
+
+
+def adaptive_avg_pool2d(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """torch.nn.AdaptiveAvgPool2d semantics on NHWC (exact bin boundaries)."""
+    oh, ow = out_hw if isinstance(out_hw, (tuple, list)) else (out_hw, out_hw)
+
+    def pool_axis(arr, out, axis):
+        size = arr.shape[axis]
+        if size == out:
+            return arr
+        starts = np.floor(np.arange(out) * size / out).astype(np.int32)
+        ends = np.ceil((np.arange(out) + 1) * size / out).astype(np.int32)
+        cs = jnp.cumsum(arr, axis=axis)
+        zero = jnp.zeros_like(jnp.take(cs, jnp.array([0]), axis=axis))
+        cs = jnp.concatenate([zero, cs], axis=axis)
+        tot = jnp.take(cs, jnp.asarray(ends), axis=axis) - jnp.take(
+            cs, jnp.asarray(starts), axis=axis
+        )
+        shape = [1] * arr.ndim
+        shape[axis] = out
+        return tot / jnp.asarray(ends - starts, arr.dtype).reshape(shape)
+
+    return pool_axis(pool_axis(x, oh, 1), ow, 2)
+
+
+def make_id_embed_fn(params: Dict, stats: Dict, model: Optional[nn.Module] = None):
+    """IDLoss.extract_feats equivalent (idloss.py:28-45): [-1,1] images at any
+    size -> clamp -> adaptive pool to 112 -> IR-SE50 embedding. The reference's
+    clamp((y+1)/2, 0, 1) then Normalize(0.5, 0.5) round-trip is exactly
+    clip(y, -1, 1)."""
+    tower = model if model is not None else IRSE()
+
+    def fn(images):
+        x = jnp.clip(images, -1.0, 1.0)
+        x = adaptive_avg_pool2d(x, (112, 112))
+        return tower.apply({"params": params, "batch_stats": stats}, x)
+
     return fn

@@ -85,12 +85,17 @@ class LatentDiffusion:
         x = batch[self.first_stage_key]
         if self.first_stage is not None:
             params["first_stage"] = jax.jit(self.first_stage.init)(keys[0], x)["params"]
-            z = self.first_stage.apply(
-                {"params": params["first_stage"]}, x, method="encode"
-            )
+            if self.first_stage_key == "latent":
+                # batch already carries cached latents (LatentDiffusionCLIP,
+                # first_stage_key: latent in the clip-ldm yaml) — the first
+                # stage is only used for decoding
+                z = x
+            else:
+                z = self.first_stage.apply(
+                    {"params": params["first_stage"]}, x, method="encode"
+                ) * self.scale_factor
         else:
-            z = x
-        z = z * self.scale_factor
+            z = x * self.scale_factor
 
         cond = {}
         for i, spec in enumerate(self.cond_specs):

@@ -1,0 +1,60 @@
+"""Trainer for the guidance-finetune stacks (DiffusionCLIP / lipread).
+
+The reference trains these through the same Lightning spine as the base LDMs
+(main.py:427-753 routing latent_diffclip / ddpm2condtune targets whose
+training_step swaps the eps-MSE for the guidance loss, latent_diffclip.py /
+ddpm2condtune.py:1026-1110). Here the same Trainer machinery is reused with
+the loss module swapped: gradients flow through the k-step differentiable
+reverse DDIM into the UNet while the first stage and guidance encoders stay
+frozen (enforced by the optimizer mask from trainable_filter).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from ..config import build_finetune
+from .trainer import Trainer
+
+
+class FinetuneTrainer(Trainer):
+    """Trainer whose loss is a finetune wrapper over the base LDM.
+
+    encoder_fns: optional injected frozen encoders (clip_image_embed,
+    arcface_embed, classifier_logits, lipreader_fn); anything not injected is
+    built from checkpoint-path keys in the model config (clip_ckpt, clip_bpe,
+    id_ckpt — see config.build_guidance_encoders).
+    """
+
+    def __init__(self, config: Dict, logdir: str, seed: int = 123,
+                 mesh=None, max_steps: Optional[int] = None,
+                 encoder_fns: Optional[Dict] = None):
+        super().__init__(config, logdir, seed=seed, mesh=mesh,
+                         max_steps=max_steps)
+        self.finetune = build_finetune(
+            self.model_cfg, ldm=self.ldm, **(encoder_fns or {})
+        )
+        self.loss_module = self.finetune
+
+    def log_images(self, batch: Dict, step: int, n: int = 4, **kw):
+        """Edited-image grids for the DiffusionCLIP path; the base grids
+        assume an image-keyed batch and do not apply here."""
+        import numpy as np
+        import jax
+
+        if not hasattr(self.finetune, "edit") or "latent" not in batch:
+            return
+        import jax.numpy as jnp
+        import os
+
+        params = jax.device_get(self._state.ema_params)
+        x_lat = jnp.asarray(batch["latent"][:n])
+        if self.finetune.edit_attr_label is not None:
+            target = jnp.full((x_lat.shape[0],),
+                              self.finetune.edit_attr_label, jnp.int32)
+        else:
+            target = jnp.asarray(batch["class_label"][:n])
+        z = self.finetune.edit(params, x_lat, target)
+        edit = np.asarray(jnp.clip(
+            self.ldm.decode_first_stage(params, z), -1, 1))
+        outdir = os.path.join(self.logdir, "images")
+        np.save(os.path.join(outdir, f"edited_step{step:08d}.npy"), edit)

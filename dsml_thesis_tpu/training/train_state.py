@@ -72,14 +72,17 @@ def create_train_state(
 
 
 def make_train_step(
-    ldm: LatentDiffusion, tx: optax.GradientTransformation,
+    loss_module, tx: optax.GradientTransformation,
     ema_decay: float = 0.9999,
 ) -> Callable:
+    """loss_module: anything with training_loss(params, batch, rng) -> (loss,
+    aux-dict) — the LatentDiffusion itself or a finetune wrapper over it."""
+
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(p):
-            return ldm.training_loss(p, batch, step_rng)
+            return loss_module.training_loss(p, batch, step_rng)
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -91,22 +94,20 @@ def make_train_step(
             step=state.step + 1, params=params,
             opt_state=opt_state, ema_params=ema_params,
         )
-        metrics = {"train/loss": aux["loss"], "train/loss_simple": aux["loss_simple"],
-                   "train/loss_vlb": aux["loss_vlb"]}
+        metrics = {f"train/{k}": v for k, v in aux.items()}
         return new_state, metrics
 
     return train_step
 
 
-def make_eval_step(ldm: LatentDiffusion) -> Callable:
+def make_eval_step(loss_module) -> Callable:
     def eval_step(state: TrainState, batch: Dict, rng: jax.Array):
-        _, aux = ldm.training_loss(state.params, batch, rng)
-        _, aux_ema = ldm.training_loss(state.ema_params, batch, rng)
-        return {
-            "val/loss": aux["loss"],
-            "val/loss_simple": aux["loss_simple"],
-            "val_loss": aux["loss_simple"],
-            "val_loss_ema": aux_ema["loss_simple"],
-        }
+        _, aux = loss_module.training_loss(state.params, batch, rng)
+        _, aux_ema = loss_module.training_loss(state.ema_params, batch, rng)
+        out = {f"val/{k}": v for k, v in aux.items()}
+        # the reference's checkpoint monitors (ddpm.py:356-363)
+        out["val_loss"] = aux.get("loss_simple", aux["loss"])
+        out["val_loss_ema"] = aux_ema.get("loss_simple", aux_ema["loss"])
+        return out
 
     return eval_step

@@ -63,6 +63,8 @@ class Trainer:
         self.max_steps = max_steps
 
         self.ldm: LatentDiffusion = build_model(self.model_cfg)
+        # subclasses may wrap the LDM in a different loss (finetune stacks)
+        self.loss_module = self.ldm
         self.mesh = mesh if mesh is not None else make_mesh()
 
         # data
@@ -122,9 +124,9 @@ class Trainer:
         # donate the incoming state: params/opt/EMA buffers are overwritten in
         # place, halving peak HBM during the update
         self._train_step = jax.jit(
-            make_train_step(self.ldm, self._tx), donate_argnums=(0,)
+            make_train_step(self.loss_module, self._tx), donate_argnums=(0,)
         )
-        self._eval_step = jax.jit(make_eval_step(self.ldm))
+        self._eval_step = jax.jit(make_eval_step(self.loss_module))
         return self._state
 
     def _install_signal_handlers(self):

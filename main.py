@@ -75,11 +75,18 @@ def main():
         yaml.safe_dump(config, f)
 
     model_target = config["model"]["target"]
+    from dsml_thesis_tpu.config import is_finetune_target
+
     if "autoencoder" in model_target and "VQModel" in model_target:
         from dsml_thesis_tpu.training.vqgan_trainer import VQGANTrainer
 
         trainer = VQGANTrainer(config, logdir, seed=opt.seed,
                                max_steps=opt.max_steps)
+    elif is_finetune_target(model_target):
+        from dsml_thesis_tpu.training.finetune_trainer import FinetuneTrainer
+
+        trainer = FinetuneTrainer(config, logdir, seed=opt.seed,
+                                  max_steps=opt.max_steps)
     else:
         trainer = Trainer(config, logdir, seed=opt.seed, max_steps=opt.max_steps)
     print(f"logdir: {logdir}; devices: {jax.device_count()}; lr: {trainer.lr:.3e}")
