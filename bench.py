@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""Flagship benchmark: talking-face video synthesis throughput.
+"""Flagship benchmark: talking-face video synthesis throughput, FULL pipeline.
 
 Measures frames/sec/chip for the north-star path (BASELINE.json): MEAD-style
 progressive frame-autoregressive sampling at 256px (f4 VQGAN -> 64x64x3
-latents), DDIM-50 with CFG, including per-frame VQGAN decode to pixels —
-the same work progressive_sampling_difftalk.py does per frame, but compiled
-as one nested lax.scan with speaker batching.
+latents), DDIM-50 with CFG. The timed region is everything the reference does
+per frame (progressive_sampling_difftalk.py:245-319): per-frame masked-frame
+VQ encodes, identity encode, audio-window conditioning encoder, class + CFG
+null embeddings, the DDIM reverse chain, and the per-frame VQGAN decode to
+pixels — compiled as one program (diffusion.video.make_video_pipeline).
 
 Prints ONE JSON line:
   {"metric": "frames_per_sec_per_chip_ddim50_256px", "value": N,
@@ -14,7 +16,8 @@ Prints ONE JSON line:
 vs_baseline: BASELINE.json's target is >=25 frames/s on a v5e-8 => 3.125
 frames/s/chip. vs_baseline = value / 3.125.
 
-Flags: --tiny (CPU smoke), --steps, --frames, --batch, --res.
+Flags: --tiny (CPU smoke), --steps, --frames, --batch, --res, --hot-only
+(legacy pre-encoded-latents timing, round-1 comparable).
 """
 import argparse
 import json
@@ -35,6 +38,9 @@ def parse_args():
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--guidance", type=float, default=2.0)
     ap.add_argument("--no-decode", action="store_true")
+    ap.add_argument("--hot-only", action="store_true",
+                    help="time only the scan over pre-encoded latents "
+                         "(round-1 metric; excludes cond/VQ encodes)")
     return ap.parse_args()
 
 
@@ -46,7 +52,11 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from dsml_thesis_tpu.config import build_model, load_config
-    from dsml_thesis_tpu.diffusion import make_ddim_schedule, progressive_video_sample
+    from dsml_thesis_tpu.diffusion import (
+        make_ddim_schedule,
+        make_video_pipeline,
+        progressive_video_sample,
+    )
 
     if args.tiny:
         import yaml
@@ -63,6 +73,9 @@ def main():
 
     ldm = build_model(cfg["model"])
     ctx_dim = cfg["model"]["params"]["unet_config"]["params"]["context_dim"]
+    c2p = cfg["model"]["params"]["cond_stage_config_2"]["params"]
+    seq_len, adim = c2p["seq_len"], c2p["subspace_dim"]
+    audio_window = (seq_len - 1) // 2
 
     B, F, S = args.batch, args.frames, args.steps
     rng = jax.random.PRNGKey(0)
@@ -71,7 +84,7 @@ def main():
         "masked_image": jnp.zeros((B, args.res, args.res, 3)),
         "identity": jnp.zeros((B, args.res, args.res, 3)),
         "class_label": jnp.zeros((B,), jnp.int32),
-        "audio": jnp.zeros((B,) + _audio_shape(cfg)),
+        "audio": jnp.zeros((B, seq_len, adim)),
     }
     t0 = time.time()
     params = ldm.init_params(rng, batch)
@@ -83,27 +96,45 @@ def main():
 
     ddim = make_ddim_schedule(ldm.schedule, S, eta=0.0)
 
-    # pre-encoded per-frame conditioning (the hot path consumes latents/tokens)
-    masked_lat = jax.random.normal(jax.random.PRNGKey(1), (B, F, lat, lat, 3))
-    ctxs = jax.random.normal(jax.random.PRNGKey(2), (B, F, 1, ctx_dim))
-    uctxs = jax.random.normal(jax.random.PRNGKey(3), (B, F, 1, ctx_dim))
-    z_id0 = jax.random.normal(jax.random.PRNGKey(4), (B, lat, lat, 3))
+    # raw pipeline inputs (synthetic data; compute is data-independent)
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    masked = jax.random.normal(ks[0], (B, F, args.res, args.res, 3)) * 0.5
+    audio_feats = jax.random.normal(ks[1], (B, F, adim))
+    identity = jax.random.normal(ks[2], (B, args.res, args.res, 3)) * 0.5
+    labels = jnp.zeros((B,), jnp.int32)
 
-    def synth(params, key):
-        # params as explicit args: closing over them would embed 157M+ weights
-        # as HLO constants (the axon remote compiler rejects the payload)
-        apply_fn = lambda x, t, ctx, cc: ldm.apply_model(
-            params, x, t, {"crossattn": ctx, "concat": cc}
+    if args.hot_only:
+        masked_lat = jax.random.normal(ks[0], (B, F, lat, lat, 3))
+        ctxs = jax.random.normal(ks[1], (B, F, 1, ctx_dim))
+        uctxs = jax.random.normal(ks[3], (B, F, 1, ctx_dim))
+        z_id0 = jax.random.normal(ks[2], (B, lat, lat, 3))
+
+        def synth(params, key):
+            apply_fn = lambda x, t, ctx, cc: ldm.apply_model(
+                params, x, t, {"crossattn": ctx, "concat": cc}
+            )
+            frames = progressive_video_sample(
+                ddim, apply_fn, masked_lat, ctxs, z_id0, key,
+                uncond_contexts=uctxs, guidance_scale=args.guidance,
+            )
+            if args.no_decode:
+                return frames
+            dec = lambda z: ldm.decode_first_stage(params, z)
+            return jnp.clip(jax.vmap(dec, in_axes=1, out_axes=1)(frames), -1, 1)
+
+        inputs = ()
+    else:
+        pipeline = make_video_pipeline(
+            ldm, ddim, audio_window,
+            guidance_scale=args.guidance, decode=not args.no_decode,
         )
-        frames = progressive_video_sample(
-            ddim, apply_fn, masked_lat, ctxs, z_id0, key,
-            uncond_contexts=uctxs, guidance_scale=args.guidance,
-        )
-        if args.no_decode:
-            return frames
-        dec = lambda z: ldm.decode_first_stage(params, z)
-        imgs = jax.vmap(dec, in_axes=1, out_axes=1)(frames)
-        return jnp.clip(imgs, -1, 1)
+
+        def synth(params, key, m, a, idn, lab):
+            # params as explicit args: closing over them would embed 157M+
+            # weights as HLO constants (the axon remote compiler rejects them)
+            return pipeline(params, m, a, idn, lab, key)
+
+        inputs = (masked, audio_feats, identity, labels)
 
     n_chips = jax.device_count()
     if n_chips > 1:
@@ -113,27 +144,30 @@ def main():
 
         mesh = make_mesh()
         params = replicate(mesh, params)
-        sharded = shard_batch(
-            mesh, {"m": masked_lat, "c": ctxs, "u": uctxs, "z": z_id0}
-        )
-        masked_lat, ctxs, uctxs, z_id0 = (
-            sharded["m"], sharded["c"], sharded["u"], sharded["z"]
-        )
+        if inputs:
+            sh = shard_batch(mesh, {str(i): v for i, v in enumerate(inputs)})
+            inputs = tuple(sh[str(i)] for i in range(len(inputs)))
+        else:
+            sh = shard_batch(
+                mesh, {"m": masked_lat, "c": ctxs, "u": uctxs, "z": z_id0}
+            )
+            masked_lat, ctxs, uctxs, z_id0 = sh["m"], sh["c"], sh["u"], sh["z"]
 
     synth_j = jax.jit(synth)
     t0 = time.time()
-    out = jax.block_until_ready(synth_j(params, jax.random.PRNGKey(10)))
+    out = jax.block_until_ready(synth_j(params, jax.random.PRNGKey(10), *inputs))
     compile_s = time.time() - t0
     print(f"# compile+first run {compile_s:.1f}s out {out.shape}", file=sys.stderr)
 
     n_rep = 1 if args.tiny else 3
     t0 = time.time()
     for i in range(n_rep):
-        out = jax.block_until_ready(synth_j(params, jax.random.PRNGKey(11 + i)))
+        out = jax.block_until_ready(
+            synth_j(params, jax.random.PRNGKey(11 + i), *inputs)
+        )
     dt = (time.time() - t0) / n_rep
     fps = B * F / dt
 
-    n_chips = jax.device_count()
     fps_chip = fps / n_chips
     print(json.dumps({
         "metric": "frames_per_sec_per_chip_ddim50_256px",
@@ -141,11 +175,6 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(fps_chip / 3.125, 3),
     }))
-
-
-def _audio_shape(cfg):
-    p = cfg["model"]["params"]["cond_stage_config_2"]["params"]
-    return (p["seq_len"], p["subspace_dim"])
 
 
 if __name__ == "__main__":

@@ -17,7 +17,7 @@ from .gaussian import (
     get_loss,
     ddpm_p_sample_loop,
 )
-from .video import progressive_video_sample
+from .video import audio_windows, make_video_pipeline, progressive_video_sample
 from .plms import plms_sample
 from .dpm_solver import DPMSolverSchedule, make_dpm_schedule, dpm_solver_sample
 from .ddim import (

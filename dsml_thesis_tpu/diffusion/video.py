@@ -92,5 +92,71 @@ def progressive_video_sample(
         uc,
         frame_keys,
     )
-    (_, _), frames = jax.lax.scan(frame_step, (z_id0, key), xs)
+    # carry dtype is fp32 (generated latents come out of the fp32 eps math);
+    # z_id0 may arrive bf16 from a cast first stage
+    (_, _), frames = jax.lax.scan(
+        frame_step, (z_id0.astype(jnp.float32), key), xs
+    )
     return jnp.moveaxis(frames, 0, 1)  # [B, F, h, w, c]
+
+
+def audio_windows(audio_feats: jnp.ndarray, num_frames: int,
+                  window: int) -> jnp.ndarray:
+    """Per-frame audio windows [B, F, 2w+1, D] from clip features [B, T, D],
+    edge-clamped (reference MEADBase3 window slicing, custom.py:388-397)."""
+    T = audio_feats.shape[1]
+    idx = jnp.clip(
+        jnp.arange(num_frames)[:, None] + jnp.arange(-window, window + 1),
+        0, T - 1,
+    )
+    return audio_feats[:, idx]
+
+
+def make_video_pipeline(ldm, ddim: DDIMSchedule, audio_window: int,
+                        guidance_scale: float = 1.0, decode: bool = True):
+    """The FULL talking-face synthesis pipeline as one jittable function.
+
+    Everything the reference does per frame (progressive_sampling_difftalk.py
+    :287-296) happens inside the compiled program: masked-frame VQ encodes
+    (batched over B*F), identity encode, audio-window conditioning, class/null
+    embeddings, the nested frame ⊃ DDIM scan, and per-frame VQGAN decode.
+
+    pipeline(params, masked_frames[B,F,H,W,3], audio_feats[B,T,D],
+             identity[B,H,W,3], class_label[B], key) -> [B,F,H,W,3] images
+    (or latents when decode=False).
+    """
+
+    def pipeline(params, masked_frames, audio_feats, identity, class_label, key):
+        B, F = masked_frames.shape[:2]
+        m_lat = ldm.encode_first_stage(
+            params, masked_frames.reshape((B * F,) + masked_frames.shape[2:])
+        )
+        m_lat = m_lat.reshape((B, F) + m_lat.shape[1:])
+        z_id0 = ldm.encode_first_stage(params, identity)
+
+        windows = audio_windows(audio_feats, F, audio_window)
+        bf_batch = {
+            "class_label": jnp.repeat(class_label, F),
+            "audio": windows.reshape((B * F,) + windows.shape[2:]),
+        }
+        ctx = ldm.encode_crossattn_tokens(params, bf_batch)
+        ctxs = ctx.reshape((B, F) + ctx.shape[1:])
+        use_cfg = guidance_scale != 1.0
+        uctxs = None
+        if use_cfg:
+            uctx = ldm.encode_crossattn_tokens(params, bf_batch, null=True)
+            uctxs = uctx.reshape((B, F) + uctx.shape[1:])
+
+        apply_fn = lambda x, t, c, cc: ldm.apply_model(
+            params, x, t, {"crossattn": c, "concat": cc}
+        )
+        frames = progressive_video_sample(
+            ddim, apply_fn, m_lat, ctxs, z_id0, key,
+            uncond_contexts=uctxs, guidance_scale=guidance_scale,
+        )
+        if not decode:
+            return frames
+        dec = lambda z: ldm.decode_first_stage(params, z)
+        return jnp.clip(jax.vmap(dec, in_axes=1, out_axes=1)(frames), -1.0, 1.0)
+
+    return pipeline

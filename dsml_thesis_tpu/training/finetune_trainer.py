@@ -46,7 +46,7 @@ class FinetuneTrainer(Trainer):
         import jax.numpy as jnp
         import os
 
-        params = jax.device_get(self._state.ema_params)
+        params = jax.device_get(self._state.ema_full())
         x_lat = jnp.asarray(batch["latent"][:n])
         if self.finetune.edit_attr_label is not None:
             target = jnp.full((x_lat.shape[0],),

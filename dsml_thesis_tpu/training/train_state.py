@@ -30,7 +30,15 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    # EMA shadows of the TRAINABLE groups only — duplicating the frozen first
+    # stage would waste a large fraction of HBM at 256px (3 copies + EMA
+    # bandwidth every step) for parameters that never change
     ema_params: Any
+
+    def ema_full(self) -> Dict:
+        """Full param tree with EMA weights swapped in for trainable groups
+        (the reference's ema_scope, ddpm.py:171-184)."""
+        return {**self.params, **self.ema_params}
 
 
 def make_optimizer(
@@ -63,11 +71,13 @@ def make_optimizer(
 def create_train_state(
     ldm: LatentDiffusion, params: Dict, tx: optax.GradientTransformation
 ) -> TrainState:
+    trainable = ldm.trainable_filter(params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
-        ema_params=jax.tree.map(jnp.copy, params),
+        ema_params={k: jax.tree.map(jnp.copy, v)
+                    for k, v in params.items() if trainable[k]},
     )
 
 
@@ -88,7 +98,8 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema_params = ema_update(
-            state.ema_params, params, state.step + 1, decay=ema_decay
+            state.ema_params, {k: params[k] for k in state.ema_params},
+            state.step + 1, decay=ema_decay,
         )
         new_state = state.replace(
             step=state.step + 1, params=params,
@@ -103,7 +114,7 @@ def make_train_step(
 def make_eval_step(loss_module) -> Callable:
     def eval_step(state: TrainState, batch: Dict, rng: jax.Array):
         _, aux = loss_module.training_loss(state.params, batch, rng)
-        _, aux_ema = loss_module.training_loss(state.ema_params, batch, rng)
+        _, aux_ema = loss_module.training_loss(state.ema_full(), batch, rng)
         out = {f"val/{k}": v for k, v in aux.items()}
         # the reference's checkpoint monitors (ddpm.py:356-363)
         out["val_loss"] = aux.get("loss_simple", aux["loss"])

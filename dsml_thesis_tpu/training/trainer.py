@@ -105,8 +105,15 @@ class Trainer:
         self._tx = None
         self._train_step = None
         self._eval_step = None
+        self._log_images_fn = None
         self._should_stop = False
         self._metrics_file = open(os.path.join(logdir, "metrics.jsonl"), "a")
+        # top-k checkpoint tracking (reference ModelCheckpoint save_top_k=5
+        # with metric-embedded filenames, main.py:580-599)
+        self.save_top_k = self.lightning_cfg.get("modelcheckpoint", {}).get(
+            "params", {}
+        ).get("save_top_k", 5)
+        self._topk: list = []  # [(score, name)] sorted best-first
 
     # ---------- setup ----------
 
@@ -161,6 +168,20 @@ class Trainer:
         self._state = ckptr.restore(path, self._state)
         return self._state
 
+    def save_topk_checkpoint(self, score: float, monitor: str, step: int):
+        """Keep the best save_top_k checkpoints, metric in the filename
+        (reference main.py:588-599)."""
+        import shutil
+
+        name = f"step={step:08d}-{monitor}={score:.5f}"
+        self.save_checkpoint(name)
+        self._topk.append((score, name))
+        self._topk.sort(key=lambda t: t[0])
+        while len(self._topk) > self.save_top_k:
+            _, worst = self._topk.pop()
+            shutil.rmtree(os.path.join(self.logdir, "checkpoints", worst),
+                          ignore_errors=True)
+
     # ---------- logging ----------
 
     def log_metrics(self, metrics: Dict, step: int, split: str = "train"):
@@ -169,32 +190,46 @@ class Trainer:
         self._metrics_file.write(json.dumps(rec) + "\n")
         self._metrics_file.flush()
 
-    def log_images(self, batch: Dict, step: int, n: int = 4, ddim_steps: int = 20):
-        """Input / VQ-reconstruction / conditional sample grids as npy+png."""
-        b = _to_jnp_batch(batch)
-        x = b[self.ldm.first_stage_key][:n]
-        params = jax.device_get(self._state.ema_params)
-        z = self.ldm.encode_first_stage(params, x)
-        xrec = self.ldm.decode_first_stage(params, z)
-        cond = self.ldm.encode_conditioning(params, {k: v[:n] for k, v in b.items()})
-        samples = self.ldm.sample_ddim(
-            params, cond, z.shape, jax.random.PRNGKey(step), steps=ddim_steps
-        )
-        x_samples = self.ldm.decode_first_stage(params, samples)
-        # denoise row: pred_x0 trajectory (reference ImageLogger rows)
+    def _make_log_images_fn(self, n: int, ddim_steps: int):
+        """One jitted program for the whole image-logging pass — on the axon
+        TPU tunnel an unjitted per-call trace would be a fresh multi-minute
+        remote compile every invocation; jit caches on (structure, shapes),
+        which are fixed across calls from the same loader."""
         from ..diffusion import ddim_sample_with_intermediates, make_ddim_schedule
 
         ddim = make_ddim_schedule(self.ldm.schedule, ddim_steps)
-        eps_fn = self.ldm.make_eps_fn(params, cond)
-        _, traj = ddim_sample_with_intermediates(
-            ddim, self.ldm.schedule, eps_fn, z.shape, jax.random.PRNGKey(step),
-            log_every=max(1, ddim.num_steps // 4),
+
+        def fn(params, b, key):
+            x = b[self.ldm.first_stage_key][:n]
+            z = self.ldm.encode_first_stage(params, x)
+            xrec = self.ldm.decode_first_stage(params, z)
+            cond = self.ldm.encode_conditioning(
+                params, {k: v[:n] for k, v in b.items()}
+            )
+            samples = self.ldm.sample_ddim(
+                params, cond, z.shape, key, steps=ddim_steps
+            )
+            x_samples = self.ldm.decode_first_stage(params, samples)
+            # denoise row: pred_x0 trajectory (reference ImageLogger rows)
+            eps_fn = self.ldm.make_eps_fn(params, cond)
+            _, traj = ddim_sample_with_intermediates(
+                ddim, self.ldm.schedule, eps_fn, z.shape, key,
+                log_every=max(1, ddim.num_steps // 4),
+            )
+            denoise_row = self.ldm.decode_first_stage(params, traj[:, 0])
+            return {"inputs": x, "reconstruction": xrec, "samples": x_samples,
+                    "denoise_row": denoise_row}
+
+        return jax.jit(fn)
+
+    def log_images(self, batch: Dict, step: int, n: int = 4, ddim_steps: int = 20):
+        """Input / VQ-reconstruction / conditional sample grids as npy+png."""
+        b = _to_jnp_batch(batch)
+        if self._log_images_fn is None:
+            self._log_images_fn = self._make_log_images_fn(n, ddim_steps)
+        grids = self._log_images_fn(
+            self._state.ema_full(), b, jax.random.PRNGKey(step)
         )
-        denoise_row = self.ldm.decode_first_stage(
-            params, traj[:, 0]  # trajectory of the first example
-        )
-        grids = {"inputs": x, "reconstruction": xrec, "samples": x_samples,
-                 "denoise_row": denoise_row}
         outdir = os.path.join(self.logdir, "images")
         for k, v in grids.items():
             arr = np.asarray(jnp.clip(v, -1, 1))
@@ -238,7 +273,6 @@ class Trainer:
         assert self.train_data is not None
         self._install_signal_handlers()
         rng = jax.random.PRNGKey(self.seed)
-        best = float("inf")
         monitor = self.ldm.monitor
         first_batch = None
         profiler = None
@@ -249,6 +283,19 @@ class Trainer:
                 os.path.join(self.logdir, "profile"), profile_at_step
             )
 
+        try:
+            self._fit_epochs(epochs, log_every, image_every, val_max_batches,
+                             rng, monitor, first_batch, profiler)
+        except BaseException:
+            # reference main.py:730-734: melk() rescue-save on any exception
+            if self._state is not None:
+                print("Summoning checkpoint (exception).")
+                self.save_checkpoint("last")
+            raise
+        return self._state
+
+    def _fit_epochs(self, epochs, log_every, image_every, val_max_batches,
+                    rng, monitor, first_batch, profiler):
         for epoch in range(epochs):
             t_epoch = time.time()
             for batch in self.train_data:
@@ -284,12 +331,11 @@ class Trainer:
                 val.update(device_memory_stats())
                 self.log_metrics(val, int(self._state.step), split="val")
                 score = val.get(monitor, val.get("val_loss", float("inf")))
-                if score < best:
-                    best = score
-                    self.save_checkpoint(f"best-{monitor}")
+                self.save_topk_checkpoint(
+                    float(score), monitor, int(self._state.step)
+                )
             self.save_checkpoint("last")
             if self._should_stop or (
                 self.max_steps is not None and int(self._state.step) >= self.max_steps
             ):
                 break
-        return self._state

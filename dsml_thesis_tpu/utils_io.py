@@ -95,7 +95,11 @@ def load_params(
         try:
             state = ckptr.restore(os.path.abspath(ckpt))
             if isinstance(state, dict) and "ema_params" in state:
-                return state["ema_params"] if use_ema else state["params"]
+                # ema_params shadows the trainable groups only; merge over the
+                # full tree (frozen first stage lives in params)
+                if use_ema:
+                    return {**state["params"], **state["ema_params"]}
+                return state["params"]
             return state
         except Exception:
             return ckptr.restore(os.path.abspath(ckpt), template)

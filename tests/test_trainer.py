@@ -60,3 +60,63 @@ def test_trainer_fit_val_checkpoint(tmp_path):
     ) if False else None  # structural restore check below
     restored = trainer.restore_checkpoint("last")
     assert int(restored.step) == 3
+
+
+def test_resume_roundtrips_opt_and_ema_state(tmp_path):
+    """Mid-run resume restores params, AdamW moments, and EMA shadows exactly,
+    and training continues from the restored step (VERDICT r1 item 6)."""
+    import jax
+
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = _config(batch=8)
+    t1 = Trainer(cfg, str(tmp_path / "a"), seed=0, max_steps=2)
+    s2 = t1.fit(epochs=1, log_every=1, val_max_batches=1)
+    t1.save_checkpoint("mid")
+
+    # fresh trainer in a new logdir restores the checkpoint bit-for-bit
+    t2 = Trainer(cfg, str(tmp_path / "a"), seed=99, max_steps=4)
+    first = next(iter(t2.train_data))
+    t2.init_state(first)
+    restored = t2.restore_checkpoint("mid")
+
+    ref = jax.device_get(s2)
+    got = jax.device_get(restored)
+    assert int(got.step) == int(ref.step) == 2
+    for name, a, b in (
+        ("params", ref.params, got.params),
+        ("ema", ref.ema_params, got.ema_params),
+        ("opt", ref.opt_state, got.opt_state),
+    ):
+        la = jax.tree.leaves(a)
+        lb = jax.tree.leaves(b)
+        assert len(la) == len(lb), name
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # EMA shadows cover only trainable groups (no frozen first stage copy)
+    assert "first_stage" in got.params
+    assert "first_stage" not in got.ema_params
+    assert set(got.ema_params) <= set(got.params)
+
+    # training continues from the restored state
+    s4 = t2.fit(epochs=10, log_every=1, val_max_batches=1)
+    assert int(s4.step) == 4
+
+
+def test_topk_checkpoints_with_metric_names(tmp_path):
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = _config(batch=8)
+    cfg["lightning"] = {"modelcheckpoint": {"params": {"save_top_k": 2}}}
+    trainer = Trainer(cfg, str(tmp_path / "run"), seed=0, max_steps=1)
+    trainer.fit(epochs=1, log_every=1, val_max_batches=1)
+    # synthesize more val scores to exercise the top-k window
+    trainer.save_topk_checkpoint(0.5, "val_loss_ema", 10)
+    trainer.save_topk_checkpoint(0.1, "val_loss_ema", 20)
+    trainer.save_topk_checkpoint(0.3, "val_loss_ema", 30)
+    names = sorted(os.listdir(tmp_path / "run" / "checkpoints"))
+    kept = [n for n in names if n.startswith("step=")]
+    assert len(kept) == 2
+    assert any("val_loss_ema=0.10000" in n for n in kept)
+    assert any("val_loss_ema=0.30000" in n for n in kept)

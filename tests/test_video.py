@@ -64,3 +64,63 @@ def test_cfg_branch_changes_output():
                                    jax.random.PRNGKey(3),
                                    uncond_contexts=uctxs, guidance_scale=3.0)
     assert np.abs(np.asarray(no_cfg) - np.asarray(cfg)).max() > 1e-5
+
+
+def test_full_pipeline_matches_manual_assembly():
+    """make_video_pipeline (everything in-graph) == hand-assembled encode →
+    progressive_video_sample → decode (the CLI's round-1 shape)."""
+    import sys
+    import yaml
+
+    sys.path.insert(0, "tests")
+    from test_ldm import TINY_MEAD_CFG
+
+    from dsml_thesis_tpu.config import build_model
+    from dsml_thesis_tpu.diffusion import audio_windows, make_video_pipeline
+
+    cfg = yaml.safe_load(TINY_MEAD_CFG)
+    ldm = build_model(cfg["model"])
+    B, F, w = 2, 3, 2  # seq_len 5 -> window 2
+    init_batch = {
+        "image": jnp.zeros((B, 16, 16, 3)),
+        "masked_image": jnp.zeros((B, 16, 16, 3)),
+        "identity": jnp.zeros((B, 16, 16, 3)),
+        "class_label": jnp.array([1, 5]),
+        "audio": jnp.zeros((B, 5, 32)),
+    }
+    params = ldm.init_params(jax.random.PRNGKey(0), init_batch)
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    masked = jax.random.normal(ks[0], (B, F, 16, 16, 3)) * 0.3
+    audio = jax.random.normal(ks[1], (B, F, 32))
+    identity = jax.random.normal(ks[2], (B, 16, 16, 3)) * 0.3
+    labels = jnp.array([1, 5], jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    ddim = make_ddim_schedule(ldm.schedule, 4, eta=0.0)
+    pipe = make_video_pipeline(ldm, ddim, w, guidance_scale=2.0)
+    out = jax.jit(pipe)(params, masked, audio, identity, labels, key)
+    assert out.shape == (B, F, 16, 16, 3)
+
+    # manual assembly (scripts/progressive_sampling.py round-1 shape)
+    m_lat = ldm.encode_first_stage(params, masked.reshape(B * F, 16, 16, 3))
+    m_lat = m_lat.reshape(B, F, 8, 8, 3)
+    z_id0 = ldm.encode_first_stage(params, identity)
+    win = audio_windows(audio, F, w)
+    np.testing.assert_array_equal(  # edge clamping
+        np.asarray(win[0, 0, 0]), np.asarray(audio[0, 0]))
+    ctxs, uctxs = [], []
+    for t in range(F):
+        bt = {"class_label": labels, "audio": win[:, t]}
+        ctxs.append(ldm.encode_crossattn_tokens(params, bt))
+        uctxs.append(ldm.encode_crossattn_tokens(params, bt, null=True))
+    ctxs, uctxs = jnp.stack(ctxs, 1), jnp.stack(uctxs, 1)
+    apply_fn = lambda x, t, c, cc: ldm.apply_model(
+        params, x, t, {"crossattn": c, "concat": cc})
+    frames = progressive_video_sample(
+        ddim, apply_fn, m_lat, ctxs, z_id0, key,
+        uncond_contexts=uctxs, guidance_scale=2.0)
+    dec = lambda z: ldm.decode_first_stage(params, z)
+    ref = jnp.clip(jax.vmap(dec, in_axes=1, out_axes=1)(frames), -1, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
