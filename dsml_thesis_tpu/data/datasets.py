@@ -134,7 +134,7 @@ class MEADTalkingFace(Dataset):
     def __init__(self, tuples_path: str, data_root: str, audio_dir: str,
                  audio_window: int = 8, size: int = 128, mode: str = "train",
                  max_shortcut: int = 60, include_landmarks: bool = False,
-                 seed: int = 0):
+                 force_align: bool = False, seed: int = 0):
         assert mode in ("train", "sample")
         with open(tuples_path, "rb") as f:
             self.tuples = sorted(list(pickle.load(f)))
@@ -145,7 +145,22 @@ class MEADTalkingFace(Dataset):
         self.mode = mode
         self.max_shortcut = max_shortcut
         self.include_landmarks = include_landmarks
+        # sample mode: pin the identity frame to frame 0 (reference
+        # force_align, custom.py:355-358)
+        self.force_align = force_align
         self.rng = np.random.RandomState(seed)
+        self._mean_landmarks = None
+
+    def _mean_lm(self):
+        """Dataset-mean landmarks, the reference's fallback when a frame's
+        landmark pickle is empty (custom.py:367, mean_landmarks.pkl)."""
+        if self._mean_landmarks is None:
+            p = os.path.join(self.data_root, "mean_landmarks.pkl")
+            self._mean_landmarks = (
+                np.asarray(_load_pickle(p), np.float32) if os.path.exists(p)
+                else np.full((68, 2), self.size / 2, np.float32)
+            )
+        return self._mean_landmarks
 
     def __len__(self):
         return len(self.tuples)
@@ -156,15 +171,20 @@ class MEADTalkingFace(Dataset):
     def _landmarks_dir(self, subj, emotion, lvl, nbr):
         return os.path.join(self.data_root, subj, "landmarks", "front", emotion, lvl, nbr)
 
-    def _mask_mouth(self, image: np.ndarray, landmarks) -> np.ndarray:
+    def _mask_mouth(self, image: np.ndarray, landmarks):
+        """Mask everything below the mouth top; returns (masked image,
+        normalized non-mouth landmarks[0:48] raveled) — custom.py:360-371."""
         masked = image.copy()
         if landmarks is not None:
             mouth = landmarks[48:68]
             min_y = int(np.min(mouth[:, 1])) - 5
         else:
-            min_y = self.size // 2
+            landmarks = self._mean_lm()
+            min_y = self.size // 2  # reference hardcodes 64 at size 128
         masked[max(min_y, 0):, :, :] = -1.0
-        return masked
+        mlm = np.clip(np.asarray(landmarks[0:48], np.float32), 0, self.size)
+        mlm = mlm / (self.size / 2) - 1.0
+        return masked, mlm.ravel()
 
     def _audio_window_at(self, audio_features: np.ndarray, t: int) -> np.ndarray:
         n = len(audio_features)
@@ -188,7 +208,10 @@ class MEADTalkingFace(Dataset):
 
         anchor = self.rng.randint(n) if self.mode == "train" else 0
         image = load_image(os.path.join(clip_dir, frames[anchor]), self.size)
-        id_idx = self.rng.randint(min(n, anchor + self.max_shortcut))
+        if self.mode == "sample" and self.force_align:
+            id_idx = 0
+        else:
+            id_idx = self.rng.randint(min(n, anchor + self.max_shortcut))
         identity = load_image(os.path.join(clip_dir, frames[id_idx]), self.size)
 
         ex: Dict = {
@@ -200,25 +223,36 @@ class MEADTalkingFace(Dataset):
             "num_frames": np.int32(n),
             "subj": subj, "lvl": lvl, "nbr": nbr,
         }
+        ex["identity_idx"] = np.int32(id_idx)
         if self.mode == "train":
             landmarks = lm(anchor)
-            ex["masked_image"] = self._mask_mouth(image, landmarks)
+            ex["masked_image"], ex["masked_landmarks"] = self._mask_mouth(
+                image, landmarks
+            )
             ex["audio"] = self._audio_window_at(np.asarray(audio), anchor).astype(
                 np.float32
             )
-            if self.include_landmarks and landmarks is not None:
-                ex["landmarks"] = np.asarray(landmarks, dtype=np.float32)
+            if self.include_landmarks:
+                ex["landmarks"] = np.asarray(
+                    landmarks if landmarks is not None else self._mean_lm(),
+                    dtype=np.float32,
+                )
         else:
-            masked, lms = [], []
+            masked, mlms, lms = [], [], []
             for k in range(n):
                 img_k = load_image(os.path.join(clip_dir, frames[k]), self.size)
                 landmarks = lm(k)
-                masked.append(self._mask_mouth(img_k, landmarks))
-                if landmarks is not None:
-                    lms.append(np.asarray(landmarks, dtype=np.float32))
+                m, mlm = self._mask_mouth(img_k, landmarks)
+                masked.append(m)
+                mlms.append(mlm)
+                lms.append(np.asarray(
+                    landmarks if landmarks is not None else self._mean_lm(),
+                    dtype=np.float32,
+                ))
             ex["masked_image"] = np.stack(masked)
+            ex["masked_landmarks"] = np.stack(mlms)
             ex["audio"] = np.asarray(audio, dtype=np.float32)
-            if lms:
+            if self.include_landmarks:
                 ex["landmarks"] = np.stack(lms)
         return ex
 

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Device profile of the flagship full-pipeline bench (one warm iteration).
+
+Traces bench.py's synth program with jax.profiler, parses the trace.json.gz,
+and prints the top device-time ops (aggregated by fusion name). Run warm —
+the persistent compile cache makes the trace iteration representative.
+
+Usage: python scripts/profile_bench.py [--steps 50 --frames 8 --batch 8
+       --res 256] [--top 15] [--outdir /tmp/jaxprof]
+"""
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_trace(outdir, top=15):
+    """Aggregate per-op device durations from the newest trace.json.gz."""
+    traces = sorted(
+        glob.glob(os.path.join(outdir, "**", "trace.json.gz"), recursive=True),
+        key=os.path.getmtime,
+    )
+    if not traces:
+        return None
+    with gzip.open(traces[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # identify device pids: process_name metadata mentioning TPU / device
+    dev_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            name = e.get("args", {}).get("name", "")
+            if any(s in name for s in ("TPU", "/device:", "Device")):
+                dev_pids.add(e["pid"])
+    durs = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e:
+            durs[e.get("name", "?")] += e["dur"]
+            total += e["dur"]
+    ranked = sorted(durs.items(), key=lambda kv: -kv[1])[:top]
+    return total, ranked
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("--outdir", default="/tmp/jaxprof")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from dsml_thesis_tpu.config import build_model, load_config
+    from dsml_thesis_tpu.diffusion import make_ddim_schedule, make_video_pipeline
+    from dsml_thesis_tpu.utils_io import cast_sampling_params
+
+    cfg = load_config([f"configs/latent-diffusion/mead-{args.res}-ldm-f4.yaml"])
+    ldm = build_model(cfg["model"])
+    c2p = cfg["model"]["params"]["cond_stage_config_2"]["params"]
+    w = (c2p["seq_len"] - 1) // 2
+    B, F = args.batch, args.frames
+
+    batch = {
+        "image": jnp.zeros((B, args.res, args.res, 3)),
+        "masked_image": jnp.zeros((B, args.res, args.res, 3)),
+        "identity": jnp.zeros((B, args.res, args.res, 3)),
+        "class_label": jnp.zeros((B,), jnp.int32),
+        "audio": jnp.zeros((B, c2p["seq_len"], c2p["subspace_dim"])),
+    }
+    params = cast_sampling_params(ldm.init_params(jax.random.PRNGKey(0), batch))
+    ddim = make_ddim_schedule(ldm.schedule, args.steps, eta=0.0)
+    pipeline = make_video_pipeline(ldm, ddim, w, guidance_scale=2.0)
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    masked = jax.random.normal(ks[0], (B, F, args.res, args.res, 3)) * 0.5
+    audio = jax.random.normal(ks[1], (B, F, c2p["subspace_dim"]))
+    ident = jax.random.normal(ks[2], (B, args.res, args.res, 3)) * 0.5
+    labels = jnp.zeros((B,), jnp.int32)
+
+    synth = jax.jit(lambda p, k: pipeline(p, masked, audio, ident, labels, k))
+    t0 = time.time()
+    jax.block_until_ready(synth(params, jax.random.PRNGKey(10)))
+    print(f"# warmup {time.time()-t0:.1f}s", file=sys.stderr)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    with jax.profiler.trace(args.outdir):
+        jax.block_until_ready(synth(params, jax.random.PRNGKey(11)))
+
+    res = parse_trace(args.outdir, args.top)
+    if res is None:
+        print("no trace written", file=sys.stderr)
+        sys.exit(1)
+    total, ranked = res
+    print(f"total device-op time: {total/1e6:.3f} s "
+          f"(B={B} F={F} S={args.steps} res={args.res})")
+    for name, dur in ranked:
+        print(f"{dur/1e6:8.3f}s  {100*dur/total:5.1f}%  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
