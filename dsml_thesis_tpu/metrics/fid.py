@@ -84,6 +84,34 @@ def kid_from_features(
     return float(np.mean(vals)), float(np.std(vals))
 
 
+def precision_recall(
+    real_feats: np.ndarray, fake_feats: np.ndarray, k: int = 3,
+) -> Tuple[float, float]:
+    """Improved precision & recall (Kynkaanniemi et al. 2019), the PRC metric
+    torch-fidelity reports (reference metrics.sh:7-14, --prc): a sample is
+    covered if it falls inside any k-NN-radius ball of the other set.
+    precision = coverage of fake by real manifold; recall = of real by fake.
+    """
+    def pairwise(a, b):
+        aa = (a * a).sum(1)[:, None]
+        bb = (b * b).sum(1)[None, :]
+        return np.sqrt(np.clip(aa + bb - 2 * (a @ b.T), 0, None))
+
+    def knn_radius(x):
+        d = pairwise(x, x)
+        # k-th nearest excluding self (self-distance 0 occupies column 0)
+        return np.sort(d, axis=1)[:, k]
+
+    d_fake_real = pairwise(fake_feats, real_feats)
+    precision = float(
+        (d_fake_real <= knn_radius(real_feats)[None, :]).any(axis=1).mean()
+    )
+    recall = float(
+        (d_fake_real.T <= knn_radius(fake_feats)[None, :]).any(axis=1).mean()
+    )
+    return precision, recall
+
+
 def compute_features(
     image_dir_or_array, extractor: Callable[[np.ndarray], np.ndarray],
     batch: int = 32, size: Optional[int] = None,

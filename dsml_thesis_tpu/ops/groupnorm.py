@@ -33,17 +33,30 @@ def group_norm_silu_reference(
     of thousands of tiny convert+reduce kernels — profiled at 40% of total
     sampling device time.
     """
+    import os
+
     orig_dtype = x.dtype
     b = x.shape[0]
     c = x.shape[-1]
     assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
     cg = c // num_groups
+    variant = os.environ.get("DSML_GN_VARIANT", "ref")
+    if "barrier" in variant:
+        # materialize x once so the stats reduces and the normalize pass share
+        # one buffer instead of each re-fusing (and re-running) the producer
+        x = jax.lax.optimization_barrier(x)
     xf = x.astype(jnp.float32).reshape(b, -1, c)
     n_spatial = xf.shape[1]
     inv_count = 1.0 / (n_spatial * cg)
 
-    ch_sum = jnp.sum(xf, axis=1)          # [B, C]
-    ch_sq = jnp.sum(xf * xf, axis=1)      # [B, C]
+    if "cat" in variant:
+        # single-pass stats: one reduce over [x, x^2] concatenated on lanes
+        # (one read of x instead of two separate convert+reduce fusions)
+        both = jnp.sum(jnp.concatenate([xf, xf * xf], axis=-1), axis=1)
+        ch_sum, ch_sq = both[:, :c], both[:, c:]
+    else:
+        ch_sum = jnp.sum(xf, axis=1)          # [B, C]
+        ch_sq = jnp.sum(xf * xf, axis=1)      # [B, C]
     g_mean = jnp.sum(ch_sum.reshape(b, num_groups, cg), axis=-1) * inv_count
     g_sq = jnp.sum(ch_sq.reshape(b, num_groups, cg), axis=-1) * inv_count
     g_rstd = jax.lax.rsqrt(g_sq - g_mean**2 + eps)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 def parse_trace(outdir, top=15):
     """Aggregate per-op device durations from the newest trace.json.gz."""
     traces = sorted(
-        glob.glob(os.path.join(outdir, "**", "trace.json.gz"), recursive=True),
+        glob.glob(os.path.join(outdir, "**", "*trace.json.gz"), recursive=True),
         key=os.path.getmtime,
     )
     if not traces:
