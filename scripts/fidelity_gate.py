@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Fidelity gate for the flagship bf16+flash sampling path.
+
+Runs the 256px progressive sampler twice on IDENTICAL weights and noise:
+  A) reference numerics: fp32 params, XLA attention (DSML_FLASH_ATTN=0)
+  B) flagship numerics: bf16-cast params, Pallas flash attention
+and reports PSNR(B vs A) over the decoded frames — the recorded fidelity of
+every numerical shortcut the benchmark takes (BASELINE budget: within 0.5 dB
+of reference numerics). Optionally also isolates the flash kernel alone
+(fp32 params, flash on) with --isolate-flash.
+
+Random-init weights make this conservative: an untrained UNet's reverse chain
+amplifies rounding differences more than a trained, smooth model would.
+
+Usage: python scripts/fidelity_gate.py [--res 256 --steps 50 --frames 4
+       --batch 2] [--config path.yaml] [--isolate-flash] [--tiny]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--guidance", type=float, default=2.0)
+    ap.add_argument("--isolate-flash", action="store_true")
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke")
+    args = ap.parse_args()
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+
+    from dsml_thesis_tpu.config import build_model, load_config
+    from dsml_thesis_tpu.diffusion import make_ddim_schedule, make_video_pipeline
+    from dsml_thesis_tpu.metrics import psnr, to_unit_range
+    from dsml_thesis_tpu.utils_io import cast_sampling_params
+
+    if args.tiny:
+        import yaml
+
+        sys.path.insert(0, "tests")
+        from test_ldm import TINY_MEAD_CFG
+
+        cfg = yaml.safe_load(TINY_MEAD_CFG)
+        args.res, args.batch, args.frames, args.steps = 16, 1, 2, 4
+    else:
+        path = args.config or f"configs/latent-diffusion/mead-{args.res}-ldm-f4.yaml"
+        cfg = load_config([path])
+
+    def build(dtype):
+        c = json.loads(json.dumps(cfg))  # deep copy
+        p = c["model"]["params"]
+        p["unet_config"]["params"]["dtype"] = dtype
+        if "dtype" in p.get("first_stage_config", {}).get("params", {}):
+            p["first_stage_config"]["params"]["dtype"] = dtype
+        return build_model(c["model"])
+
+    ldm32 = build("float32")
+    ldm16 = build("bfloat16") if not args.tiny else ldm32
+
+    c2p = cfg["model"]["params"].get("cond_stage_config_2", {}).get(
+        "params", {"seq_len": 5, "subspace_dim": 32})
+    w = (c2p["seq_len"] - 1) // 2
+    B, F, S = args.batch, args.frames, args.steps
+    batch = {
+        "image": jnp.zeros((B, args.res, args.res, 3)),
+        "masked_image": jnp.zeros((B, args.res, args.res, 3)),
+        "identity": jnp.zeros((B, args.res, args.res, 3)),
+        "class_label": jnp.zeros((B,), jnp.int32),
+        "audio": jnp.zeros((B, c2p["seq_len"], c2p["subspace_dim"])),
+    }
+    params32 = ldm32.init_params(jax.random.PRNGKey(0), batch)
+    params16 = cast_sampling_params(params32)
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    masked = jax.random.normal(ks[0], (B, F, args.res, args.res, 3)) * 0.5
+    audio = jax.random.normal(ks[1], (B, F, c2p["subspace_dim"]))
+    ident = jax.random.normal(ks[2], (B, args.res, args.res, 3)) * 0.5
+    labels = jnp.zeros((B,), jnp.int32)
+    key = jax.random.PRNGKey(7)
+    ddim = make_ddim_schedule(ldm32.schedule, S, eta=0.0)
+
+    def run(ldm, params, flash: bool):
+        os.environ["DSML_FLASH_ATTN"] = "1" if flash else "0"
+        pipe = make_video_pipeline(ldm, ddim, w, guidance_scale=args.guidance)
+        t0 = time.time()
+        out = jax.block_until_ready(jax.jit(
+            lambda p, k: pipe(p, masked, audio, ident, labels, k)
+        )(params, key))
+        print(f"# flash={flash} dtype={ldm.unet.dtype if hasattr(ldm.unet, 'dtype') else '?'} "
+              f"compile+run {time.time()-t0:.1f}s", file=sys.stderr)
+        return out
+
+    ref = run(ldm32, params32, flash=False)
+    flag = run(ldm16, params16, flash=True)
+    p_flag = float(jnp.mean(psnr(to_unit_range(flag), to_unit_range(ref))))
+    result = {"metric": "psnr_bf16flash_vs_fp32_db", "value": round(p_flag, 2),
+              "steps": S, "frames": F, "res": args.res}
+    if args.isolate_flash:
+        mid = run(ldm32, params32, flash=True)
+        result["psnr_flash_only_db"] = round(float(jnp.mean(
+            psnr(to_unit_range(mid), to_unit_range(ref)))), 2)
+        result["psnr_bf16_given_flash_db"] = round(float(jnp.mean(
+            psnr(to_unit_range(flag), to_unit_range(mid)))), 2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

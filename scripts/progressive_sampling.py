@@ -49,7 +49,7 @@ def main():
 
     from dsml_thesis_tpu.config import build_model, load_config
     from dsml_thesis_tpu.data import MEADTalkingFace
-    from dsml_thesis_tpu.diffusion import make_ddim_schedule, progressive_video_sample
+    from dsml_thesis_tpu.diffusion import make_ddim_schedule, make_video_pipeline
     from dsml_thesis_tpu.utils_io import load_params
 
     cfg = load_config([args.config])
@@ -76,50 +76,31 @@ def main():
     n_clips = min(args.clips or len(ds), len(ds))
     ddim = make_ddim_schedule(ldm.schedule, args.steps, eta=0.0)
 
-    @jax.jit
-    def synth_clip(params, masked_lat, ctxs, uctxs, z_id0, key):
-        apply_fn = lambda x, t, ctx, cc: ldm.apply_model(
-            params, x, t, {"crossattn": ctx, "concat": cc}
-        )
-        frames = progressive_video_sample(
-            ddim, apply_fn, masked_lat, ctxs, z_id0, key,
-            uncond_contexts=uctxs, guidance_scale=args.scale,
-        )
-        dec = lambda z: ldm.decode_first_stage(params, z)
-        return jnp.clip(jax.vmap(dec, in_axes=1, out_axes=1)(frames), -1, 1)
+    # the FULL pipeline (VQ encodes + cond encoders + nested scan + decode)
+    # is one compiled program — no per-frame host round-trips
+    pipeline = jax.jit(make_video_pipeline(
+        ldm, ddim, args.audio_window, guidance_scale=args.scale,
+    ))
 
     os.makedirs(args.outdir, exist_ok=True)
     for ci in range(n_clips):
         ex = ds[ci]
         F = int(ex["num_frames"]) if args.frames is None else args.frames
         masked = ex["masked_image"][:F]
-        audio = ex["audio"]
+        audio = np.asarray(ex["audio"], np.float32)[:F]
         if masked.shape[0] < F:  # pad by repeating last frame
             rep = F - masked.shape[0]
             masked = np.concatenate([masked, np.repeat(masked[-1:], rep, 0)])
-        # audio windows per frame
-        w = args.audio_window
-        windows = np.stack([
-            audio[[min(max(t + i, 0), len(audio) - 1)
-                   for i in range(-w, w + 1)]]
-            for t in range(F)
-        ])  # [F, 2w+1, adim]
-
-        # encode everything up-front
-        m_lat = ldm.encode_first_stage(params, jnp.asarray(masked))[None]  # [1,F,h,w,3]
-        z_id0 = ldm.encode_first_stage(params, jnp.asarray(ex["identity"])[None])
+        if audio.shape[0] < F:
+            audio = np.concatenate(
+                [audio, np.repeat(audio[-1:], F - audio.shape[0], 0)]
+            )
         label = jnp.asarray([ex["class_label"]], jnp.int32)
-        ctxs, uctxs = [], []
-        for t in range(F):
-            batch_t = {"class_label": label, "audio": jnp.asarray(windows[t])[None]}
-            ctxs.append(ldm.encode_crossattn_tokens(params, batch_t))
-            uctxs.append(ldm.encode_crossattn_tokens(params, batch_t, null=True))
-        ctxs = jnp.stack(ctxs, axis=1)   # [1, F, 1, D]
-        uctxs = jnp.stack(uctxs, axis=1)
 
-        vid = np.asarray(
-            synth_clip(params, m_lat, ctxs, uctxs, z_id0, jax.random.PRNGKey(ci))
-        )[0]
+        vid = np.asarray(pipeline(
+            params, jnp.asarray(masked)[None], jnp.asarray(audio)[None],
+            jnp.asarray(ex["identity"])[None], label, jax.random.PRNGKey(ci),
+        ))[0]
         name = f"{ex['subj']}_{ex['human_label']}_{ex['lvl']}_{ex['nbr']}"
         with open(os.path.join(args.outdir, f"{name}.pkl"), "wb") as f:
             pickle.dump({

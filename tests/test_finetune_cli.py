@@ -202,3 +202,120 @@ def test_diffclip_finetune_cli(tmp_path):
         assert "val/loss_id" in val[-1]
     ckpts = os.listdir(runs[0] / "checkpoints")
     assert any("last" in c for c in ckpts)
+
+
+TUNE_CFG = """
+model:
+  base_learning_rate: 1.0e-4
+  target: ldm.models.diffusion.ddpm2condtune.LatentDiffusion
+  params:
+    linear_start: 0.0015
+    linear_end: 0.0205
+    timesteps: 50
+    image_size: 8
+    channels: 3
+    first_stage_key: image
+    cond_stage_key_1: class_label
+    cond_stage_key_2: audio
+    cond_stage_trainable: true
+    conditioning_key: crossattn
+    monitor: val_loss
+    start_lr_loss: 0
+    lr_loss_w: 1.0
+    unet_config:
+      target: ldm.modules.diffusionmodules.openaimodel.UNetModel
+      params:
+        image_size: 8
+        in_channels: 9
+        out_channels: 3
+        model_channels: 32
+        attention_resolutions: [2]
+        num_res_blocks: 1
+        channel_mult: [1, 2]
+        num_head_channels: 16
+        use_spatial_transformer: true
+        transformer_depth: 1
+        context_dim: 48
+    first_stage_config:
+      target: ldm.models.autoencoder.VQModelInterface
+      params:
+        embed_dim: 3
+        n_embed: 64
+        ddconfig:
+          double_z: false
+          z_channels: 3
+          resolution: 16
+          in_channels: 3
+          out_ch: 3
+          ch: 32
+          ch_mult: [1, 2]
+          num_res_blocks: 1
+          attn_resolutions: [8]
+          dropout: 0.0
+        lossconfig: {{target: torch.nn.Identity}}
+    cond_stage_config_1:
+      target: ldm.modules.encoders.modules.ClassEmbedder
+      params: {{embed_dim: 16, n_classes: 8, key: class_label, p_uncond: 0.2}}
+    cond_stage_config_2:
+      target: ldm.modules.encoders.modules.Conv1DTemporalAttention
+      params: {{seq_len: 5, subspace_dim: 32, subspace2hidden: false}}
+
+data:
+  target: main.DataModuleFromConfig
+  params:
+    batch_size: 2
+    num_workers: 0
+    train:
+      target: taming.data.custom.MEADBase5
+      params:
+        audio_window: 2
+        size: 16
+        mode: train
+        tuples_path: {tuples}
+        data_root: {root}
+        audio_dir: {audio}
+    validation:
+      target: taming.data.custom.MEADBase5
+      params:
+        audio_window: 2
+        size: 16
+        mode: train
+        tuples_path: {tuples}
+        data_root: {root}
+        audio_dir: {audio}
+
+lightning:
+  trainer: {{max_epochs: 1}}
+"""
+
+
+@pytest.mark.slow
+def test_lipread_finetune_cli(tmp_path):
+    """ddpm2condtune target routes through FinetuneTrainer via main.py
+    (lipreader externally injected upstream too; L2-only without it)."""
+    from test_video_cli import _build_tree
+
+    root = str(tmp_path / "mead")
+    os.makedirs(root)
+    tuples_path, audio_dir = _build_tree(root, n_clips=2, frames=4, size=16)
+
+    cfg_path = tmp_path / "tiny-tune.yaml"
+    cfg_path.write_text(TUNE_CFG.format(tuples=tuples_path, root=root,
+                                        audio=audio_dir))
+    logroot = tmp_path / "logs"
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "main.py", "--base", str(cfg_path), "-t",
+         "--max-steps", "2", "--cpu", "--logdir", str(logroot),
+         "--scale_lr", "false", "--no-test"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    runs = list(logroot.iterdir())
+    metrics = [json.loads(l) for l in
+               (runs[0] / "metrics.jsonl").read_text().splitlines()]
+    val = [m for m in metrics if m["split"] == "val"]
+    assert val and "val/l2_loss" in val[-1]
+    assert np.isfinite(val[-1]["val_loss"])
