@@ -41,6 +41,9 @@ def parse_args():
     ap.add_argument("--hot-only", action="store_true",
                     help="time only the scan over pre-encoded latents "
                          "(round-1 metric; excludes cond/VQ encodes)")
+    ap.add_argument("--config", default=None,
+                    help="override the model yaml (e.g. the reference-faithful "
+                         "mead-256-ldm-f4-fullattn.yaml)")
     return ap.parse_args()
 
 
@@ -68,7 +71,9 @@ def main():
         args.res, args.batch, args.frames, args.steps = 16, 1, 2, 4
         lat = 8
     else:
-        cfg = load_config([f"configs/latent-diffusion/mead-{args.res}-ldm-f4.yaml"])
+        cfg = load_config([
+            args.config or f"configs/latent-diffusion/mead-{args.res}-ldm-f4.yaml"
+        ])
         lat = args.res // 4
 
     ldm = build_model(cfg["model"])
