@@ -19,7 +19,15 @@ from .gaussian import (
 )
 from .video import audio_windows, make_video_pipeline, progressive_video_sample
 from .plms import plms_sample
-from .dpm_solver import DPMSolverSchedule, make_dpm_schedule, dpm_solver_sample
+from .dpm_solver import (
+    DPMSolverSchedule,
+    VPContinuous,
+    dpm_solver_sample,
+    dpm_solver_sample_adaptive,
+    dpm_solver_sample_suite,
+    make_dpm_schedule,
+    make_vp_continuous,
+)
 from .ddim import (
     cfg_eps_fn,
     p_sample_ddim,

@@ -1,0 +1,150 @@
+"""DPM-Solver suite numerical parity vs the reference torch implementation.
+
+The reference dpm_solver module (talking_face/ldm/models/diffusion/
+dpm_solver/dpm_solver.py) is pure torch+math — it runs directly as an oracle
+with a toy analytic eps model implemented identically in torch and JAX.
+"""
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from reference_oracle import reference_available
+
+from dsml_thesis_tpu.diffusion import (
+    dpm_solver_sample_adaptive,
+    dpm_solver_sample_suite,
+    make_schedule,
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference tree not mounted"
+)
+
+SHAPE = (2, 4, 4, 3)
+
+
+def _toy_eps_np(x, t_in):
+    """Analytic toy eps model, same math in both frameworks."""
+    return 0.3 * np.tanh(x) + 0.1 * np.sin(0.01 * t_in)
+
+
+def _setup():
+    sys.path.insert(0, "/root/reference/talking_face")
+    from ldm.models.diffusion.dpm_solver.dpm_solver import (
+        DPM_Solver,
+        NoiseScheduleVP,
+        model_wrapper,
+    )
+
+    sched = make_schedule("linear", 1000, 0.0015, 0.0205)
+    ns = NoiseScheduleVP(
+        "discrete",
+        alphas_cumprod=torch.from_numpy(np.asarray(sched.alphas_cumprod)),
+    )
+
+    def torch_model(x, t_in):
+        return 0.3 * torch.tanh(x) + 0.1 * torch.sin(
+            0.01 * t_in.reshape(-1, *([1] * (x.dim() - 1)))
+        )
+
+    def jax_eps(x, t_in):
+        t = jnp.reshape(t_in, (-1,) + (1,) * (x.ndim - 1))
+        return 0.3 * jnp.tanh(x) + 0.1 * jnp.sin(0.01 * t)
+
+    model_fn = model_wrapper(torch_model, ns, model_type="noise")
+    rs = np.random.RandomState(0)
+    x_T = rs.randn(*SHAPE).astype(np.float32)
+    return sched, ns, DPM_Solver, model_fn, jax_eps, x_T
+
+
+# NB on parameters: the vendored reference crashes on (a) singlestep with
+# time_uniform/time_quadratic spacing (`torch.cumsum` missing dim,
+# dpm_solver.py:495) and (b) multistep order-3 with the lower-order tail
+# (2-tuple unpack of a 3-long history, :773) — both fixed in upstream
+# DPM-Solver by indexing [-2:]/passing dim. Our implementation follows the
+# intended semantics; the oracle comparisons below use the reference's
+# working paths (singlestep: logSNR spacing; multistep-3: steps >= 15).
+@pytest.mark.parametrize("method,order,steps,predict_x0,solver_type,skip", [
+    ("multistep", 2, 12, True, "dpm_solver", "time_uniform"),
+    ("multistep", 3, 20, True, "dpm_solver", "time_uniform"),
+    ("multistep", 3, 20, False, "dpm_solver", "time_uniform"),
+    ("multistep", 2, 12, False, "dpm_solver", "time_uniform"),
+    ("multistep", 2, 20, True, "taylor", "time_uniform"),
+    ("singlestep", 2, 12, True, "dpm_solver", "logSNR"),
+    ("singlestep", 3, 13, True, "dpm_solver", "logSNR"),
+    ("singlestep", 3, 12, False, "taylor", "logSNR"),
+])
+def test_suite_matches_reference(method, order, steps, predict_x0,
+                                 solver_type, skip):
+    sched, ns, DPM_Solver, model_fn, jax_eps, x_T = _setup()
+    solver = DPM_Solver(model_fn, ns, predict_x0=predict_x0)
+    with torch.no_grad():
+        ref = solver.sample(
+            torch.from_numpy(x_T.transpose(0, 3, 1, 2)), steps=steps,
+            order=order, method=method, skip_type=skip,
+            solver_type=solver_type, lower_order_final=True,
+        ).numpy().transpose(0, 2, 3, 1)
+
+    out = dpm_solver_sample_suite(
+        sched, jax_eps, SHAPE, jax.random.PRNGKey(0), steps=steps,
+        order=order, method=method, predict_x0=predict_x0,
+        solver_type=solver_type, skip_type=skip, x_T=jnp.asarray(x_T),
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_logsnr_skip_matches_reference():
+    sched, ns, DPM_Solver, model_fn, jax_eps, x_T = _setup()
+    solver = DPM_Solver(model_fn, ns, predict_x0=True)
+    with torch.no_grad():
+        ref = solver.sample(
+            torch.from_numpy(x_T.transpose(0, 3, 1, 2)), steps=10, order=2,
+            method="multistep", skip_type="logSNR",
+        ).numpy().transpose(0, 2, 3, 1)
+    out = dpm_solver_sample_suite(
+        sched, jax_eps, SHAPE, jax.random.PRNGKey(0), steps=10, order=2,
+        method="multistep", skip_type="logSNR", x_T=jnp.asarray(x_T),
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_adaptive_matches_reference(order):
+    sched, ns, DPM_Solver, model_fn, jax_eps, x_T = _setup()
+    solver = DPM_Solver(model_fn, ns, predict_x0=True)
+    with torch.no_grad():
+        ref = solver.sample(
+            torch.from_numpy(x_T.transpose(0, 3, 1, 2)), order=order,
+            method="adaptive", atol=0.01, rtol=0.05,
+        ).numpy().transpose(0, 2, 3, 1)
+    out = dpm_solver_sample_adaptive(
+        sched, jax_eps, SHAPE, jax.random.PRNGKey(0), order=order,
+        atol=0.01, rtol=0.05, x_T=jnp.asarray(x_T),
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-2)
+
+
+def test_convergence_order():
+    """Higher order converges faster to the fine-step reference solution."""
+    sched, _, _, _, jax_eps, x_T = _setup()
+    gold = dpm_solver_sample_suite(
+        sched, jax_eps, SHAPE, jax.random.PRNGKey(0), steps=200, order=3,
+        method="multistep", x_T=jnp.asarray(x_T),
+    )
+
+    def err(order, steps):
+        out = dpm_solver_sample_suite(
+            sched, jax_eps, SHAPE, jax.random.PRNGKey(0), steps=steps,
+            order=order, method="multistep", x_T=jnp.asarray(x_T),
+        )
+        return float(jnp.abs(out - gold).max())
+
+    e1, e2, e3 = err(1, 10), err(2, 10), err(3, 10)
+    assert e2 < e1
+    assert e3 <= e2 * 1.5  # order-3 at worst comparable, usually better
