@@ -75,6 +75,55 @@ def align_face(
     return warp_affine(image, m, output_size)
 
 
+def reference_eye_rotation(image: np.ndarray, landmarks: np.ndarray) -> np.ndarray:
+    """The reference FaceAligner.align (align/align.py:65-147), exactly.
+
+    Rotation-only (scale 1, no translation) about the eye midpoint with
+    reflect padding, replicating two reference quirks bit-for-bit:
+      - its landmark table swaps eyes (right_eye = 36:42, left_eye = 42:48,
+        align.py:23-31), so `angle - 180` lands near 0 for upright faces;
+      - the cv2-convention (x, y) rotation matrix is fed to scipy's
+        affine_transform, which interprets it over (row=y, col=x) indices as
+        an output→input map.
+    Output keeps the input size (the desiredFaceWidth crop is dead code —
+    the translation that would use it is commented out upstream).
+    """
+    import scipy.ndimage
+
+    left = landmarks[42:48].mean(axis=0).astype(int)    # "left_eye" 42:48
+    right = landmarks[36:42].mean(axis=0).astype(int)   # "right_eye" 36:42
+    angle = np.degrees(np.arctan2(right[1] - left[1],
+                                  right[0] - left[0])) - 180.0
+    cx = (left[0] + right[0]) // 2
+    cy = (left[1] + right[1]) // 2
+    a = np.cos(np.radians(angle))
+    b = np.sin(np.radians(angle))
+    # cv2.getRotationMatrix2D((cx, cy), angle, 1.0)
+    m2 = np.array([[a, b, (1 - a) * cx - b * cy],
+                   [-b, a, b * cx + (1 - a) * cy]])
+    matrix = np.zeros((3, 3), m2.dtype)
+    matrix[:2, :2] = m2[:, :2]
+    matrix[2, 2] = 1.0
+    offset = np.zeros(3, m2.dtype)
+    offset[:2] = m2[:, 2]
+    return scipy.ndimage.affine_transform(image, matrix, offset, mode="reflect")
+
+
+def affectnet_square_crop(image: np.ndarray, bbox) -> np.ndarray:
+    """The AffectNet detector-box squaring crop (align.py:271-284): extend the
+    SHORTER side one-sidedly (start clamped at 0, end over-extended)."""
+    x1, y1, x2, y2 = [max(int(v), 0) for v in bbox]
+    w, h = x2 - x1, y2 - y1
+    offset = (max(w, h) - min(w, h)) // 2
+    if w < h:
+        x1 = max(x1 - offset, 0)
+        return image[y1:y2, x1:x2 + offset]
+    if w > h:
+        y1 = max(y1 - offset, 0)
+        return image[y1:y2 + offset, x1:x2]
+    return image[y1:y2, x1:x2]
+
+
 def mask_mouth_region(image_m11: np.ndarray, landmarks: np.ndarray,
                       margin: int = 5) -> np.ndarray:
     """Blank everything below the mouth's top edge (MEAD masking rule)."""

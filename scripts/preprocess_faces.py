@@ -24,17 +24,79 @@ from PIL import Image
 from dsml_thesis_tpu.data.align import align_face, crop_mouth_roi, mask_mouth_region
 
 
+def run_affectnet_csv(args):
+    """crop_align_affectnet (align/align.py:220-313): CSV-driven AffectNet
+    pipeline — resize 256, detector bbox squared crop (fallback: the CSV's
+    face box), resize to --size, re-detect landmarks, reference eye rotation,
+    save as `<label>_<name>` for labels 0..7."""
+    import csv
+
+    from dsml_thesis_tpu.data.align import (
+        affectnet_square_crop,
+        reference_eye_rotation,
+    )
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from preprocess_mead import make_fan_detector
+
+    detect = make_fan_detector(args.device)
+    os.makedirs(args.outdir, exist_ok=True)
+
+    def resize(img, s):
+        return np.asarray(Image.fromarray(img).resize((s, s), Image.BILINEAR))
+
+    n = 0
+    with open(args.csv) as f:
+        for row in csv.DictReader(f):
+            label = int(row["expression"])
+            if not 0 <= label <= 7:  # skip None/Uncertain/No-Face
+                continue
+            path = os.path.join(args.images, row["subDirectory_filePath"])
+            if not os.path.exists(path):
+                continue
+            name = os.path.basename(row["subDirectory_filePath"])
+            save = os.path.join(args.outdir, f"{label}_{name}")
+            if os.path.exists(save):
+                continue
+            img = np.asarray(Image.open(path).convert("RGB"))
+            img256 = resize(img, 256)
+            lm = detect(img256)
+            if lm is not None:
+                bbox = (lm[:, 0].min(), lm[:, 1].min(),
+                        lm[:, 0].max(), lm[:, 1].max())
+                img_ = affectnet_square_crop(img256, bbox)
+            else:
+                x, y, w, h = (int(row["face_x"]), int(row["face_y"]),
+                              int(row["face_width"]), int(row["face_height"]))
+                img_ = img[x:x + w, y:y + h]
+            img_ = resize(img_, args.size)
+            lm2 = detect(img_)
+            if lm2 is not None:
+                img_ = reference_eye_rotation(img_, lm2).astype(np.uint8)
+            Image.fromarray(img_).save(save)
+            n += 1
+    print(f"affectnet-csv: saved {n} aligned crops -> {args.outdir}")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["align", "mask", "mouth"], required=True)
+    ap.add_argument("--mode", choices=["align", "mask", "mouth", "affectnet-csv"],
+                    required=True)
     ap.add_argument("--images", required=True, help="dir of jpg/png frames")
-    ap.add_argument("--landmarks", required=True,
+    ap.add_argument("--landmarks", default=None,
                     help="dir of <name>.pkl 68-point landmark files")
     ap.add_argument("--outdir", required=True)
     ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--label", type=int, default=None,
                     help="emotion label prefix for aligned AffectNet naming")
+    ap.add_argument("--csv", default=None,
+                    help="AffectNet Manually_Annotated file list (affectnet-csv)")
+    ap.add_argument("--device", default="cpu")
     args = ap.parse_args()
+    if args.mode == "affectnet-csv":
+        assert args.csv, "--csv required for affectnet-csv"
+        return run_affectnet_csv(args)
+    assert args.landmarks, "--landmarks required"
 
     os.makedirs(args.outdir, exist_ok=True)
     paths = sorted(

@@ -89,3 +89,85 @@ def test_mouth_cli_over_synthetic_tree(tmp_path):
     out = np.load(tmp_path / "mouths" /
                   "subj=M001_emo=happy_lvl=level_1_nbr=001.npy")
     assert out.shape == (F, 88, 88, 3)
+
+
+def _stub_align_deps():
+    """align/align.py imports dlib/imutils/skimage/etc at module level; the
+    FaceAligner geometry under test touches none of them (dlib only in
+    __init__, stubbed to no-ops)."""
+    import types
+
+    def mod(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    mod("dlib", get_frontal_face_detector=lambda: None,
+        shape_predictor=lambda p: None)
+    mod("imutils")
+    mod("matplotlib", use=lambda *a, **k: None)
+    mod("matplotlib.pyplot")
+    sk = mod("skimage")
+    sk.io = mod("skimage.io", imread=None, imsave=None)
+    sk.transform = mod("skimage.transform", rescale=None,
+                       estimate_transform=None, warp=None, resize=None)
+    mod("face_alignment")
+    mod("tqdm", tqdm=lambda x, *a, **k: x)
+
+
+def test_reference_eye_rotation_oracle():
+    """Exact parity with the reference FaceAligner.align (incl. its swapped
+    eye table and the cv2-matrix-into-scipy coordinate quirk)."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from reference_oracle import reference_available
+
+    if not reference_available():
+        pytest.skip("reference tree not mounted")
+    _stub_align_deps()
+    import cv2
+
+    # newer cv2 rejects numpy-int rotation centers; coerce (env shim only)
+    orig_rot = cv2.getRotationMatrix2D
+
+    def _rot(center, angle, scale=1.0):
+        return orig_rot((float(center[0]), float(center[1])),
+                        float(angle), scale)
+
+    cv2.getRotationMatrix2D = _rot
+    sys.path.insert(0, "/root/reference/face_reenactment/align")
+    from align import FaceAligner
+
+    from dsml_thesis_tpu.data.align import reference_eye_rotation
+
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (96, 96, 3), dtype=np.uint8).astype(np.float64)
+    lm = np.zeros((68, 2), np.float32)
+    # tilted eyes: reference right_eye=36:42, left_eye=42:48
+    lm[36:42] = [30, 40]
+    lm[42:48] = [60, 48]
+    lm[36:42, 0] += np.arange(6)  # non-degenerate clusters
+    lm[42:48, 0] += np.arange(6)
+
+    fa = FaceAligner(desiredFaceWidth=96)
+    ref = fa.align(img.copy(), shape=lm.copy())
+    ours = reference_eye_rotation(img, lm)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_affectnet_square_crop():
+    from dsml_thesis_tpu.data.align import affectnet_square_crop
+
+    img = np.arange(100 * 120 * 3, dtype=np.uint8).reshape(100, 120, 3)
+    # tall box: width extended one-sidedly
+    out = affectnet_square_crop(img, (50, 10, 70, 60))
+    assert out.shape[0] == 50 and out.shape[1] == 50  # 20 wide -> 35..85 slice
+    # wide box: height extended
+    out = affectnet_square_crop(img, (10, 40, 70, 60))
+    assert out.shape[1] == 60 and out.shape[0] == 60
+    # square box unchanged
+    out = affectnet_square_crop(img, (10, 10, 40, 40))
+    assert out.shape[:2] == (30, 30)
