@@ -46,8 +46,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from dsml_thesis_tpu.config import build_model, load_config
+    from dsml_thesis_tpu.diffusion import make_ddim_schedule, make_video_pipeline
     from dsml_thesis_tpu.data import MEADTalkingFace
-    from dsml_thesis_tpu.diffusion import make_ddim_schedule, progressive_video_sample
     from dsml_thesis_tpu.metrics import psnr, ssim, to_unit_range
     from dsml_thesis_tpu.utils_io import cast_sampling_params, load_params
 
@@ -72,8 +72,9 @@ def main():
     B, F, w = args.batch, args.frames, args.audio_window
 
     def prepare(idx_list):
-        """Host side: load + window audio + VQ-encode all conditioning."""
-        ms, ids, labels, wins, gts, names = [], [], [], [], [], []
+        """Host side: file IO only — all encodes run inside the compiled
+        pipeline on-device (overlapped with the previous batch's synthesis)."""
+        ms, ids, labels, feats, gts, names = [], [], [], [], [], []
         for ci in idx_list:
             ex = ds[ci]
             masked = ex["masked_image"][:F]
@@ -91,43 +92,24 @@ def main():
                 masked = np.concatenate(
                     [masked, np.repeat(masked[-1:], F - masked.shape[0], 0)]
                 )
-            audio = ex["audio"]
-            win = np.stack([
-                audio[[min(max(t + i, 0), len(audio) - 1) for i in range(-w, w + 1)]]
-                for t in range(F)
-            ])
+            audio = np.asarray(ex["audio"], np.float32)[:F]
+            if audio.shape[0] < F:
+                audio = np.concatenate(
+                    [audio, np.repeat(audio[-1:], F - audio.shape[0], 0)]
+                )
             ms.append(masked)
             ids.append(ex["identity"])
             labels.append(ex["class_label"])
-            wins.append(win)
+            feats.append(audio)
             gts.append(gt_frames)
             names.append(f"{ex['subj']}_{ex['human_label']}_{ex['lvl']}_{ex['nbr']}")
-        masked = jnp.asarray(np.stack(ms))           # [B, F, H, W, 3]
-        m_lat = jax.vmap(
-            lambda m: ldm.encode_first_stage(params, m), in_axes=0
-        )(masked)
-        z_id0 = ldm.encode_first_stage(params, jnp.asarray(np.stack(ids)))
-        label = jnp.asarray(labels, jnp.int32)
-        wins = jnp.asarray(np.stack(wins))           # [B, F, 2w+1, adim]
-        ctxs, uctxs = [], []
-        for t in range(F):
-            bt = {"class_label": label, "audio": wins[:, t]}
-            ctxs.append(ldm.encode_crossattn_tokens(params, bt))
-            uctxs.append(ldm.encode_crossattn_tokens(params, bt, null=True))
-        return (m_lat, jnp.stack(ctxs, 1), jnp.stack(uctxs, 1), z_id0,
+        return (jnp.asarray(np.stack(ms)), jnp.asarray(np.stack(feats)),
+                jnp.asarray(np.stack(ids)), jnp.asarray(labels, jnp.int32),
                 names, gts)
 
-    @jax.jit
-    def synth(params, m_lat, ctxs, uctxs, z_id0, key):
-        apply_fn = lambda x, t, c, cc: ldm.apply_model(
-            params, x, t, {"crossattn": c, "concat": cc}
-        )
-        frames = progressive_video_sample(
-            ddim, apply_fn, m_lat, ctxs, z_id0, key,
-            uncond_contexts=uctxs, guidance_scale=args.scale,
-        )
-        dec = lambda z: ldm.decode_first_stage(params, z)
-        return jnp.clip(jax.vmap(dec, in_axes=1, out_axes=1)(frames), -1, 1)
+    synth = jax.jit(make_video_pipeline(
+        ldm, ddim, w, guidance_scale=args.scale,
+    ))
 
     # pipeline: host prep thread feeds a queue; device consumes
     batches = [list(range(s, min(s + B, len(ds))))
@@ -148,8 +130,8 @@ def main():
         item = q.get()
         if item is None:
             break
-        bi, (m_lat, ctxs, uctxs, z_id0, names, gts) = item
-        vids = np.asarray(synth(params, m_lat, ctxs, uctxs, z_id0,
+        bi, (masked, feats, ids, labels, names, gts) = item
+        vids = np.asarray(synth(params, masked, feats, ids, labels,
                                 jax.random.PRNGKey(bi)))
         done_frames += vids.shape[0] * vids.shape[1]
         line = f"batch {bi}: {vids.shape}"
