@@ -416,26 +416,33 @@ def dpm_solver_sample_suite(
         models = jnp.stack([m0, m0, m0])
         ts = jnp.stack([nodes[0]] * 3)
 
-        def step(carry, inp):
-            x, models, ts = carry
-            t_next, order_i = inp
+        def update(x, models, ts, t_next, order_i):
             hist_m = [models[0], models[1], models[2]]
             hist_t = [ts[0], ts[1], ts[2]]
             x1 = _first_update(vp, x, hist_t[-1], t_next, hist_m[-1], predict_x0)
             x2 = _second_update_m(vp, x, hist_m, hist_t, t_next, predict_x0,
                                   solver_type)
             x3 = _third_update_m(vp, x, hist_m, hist_t, t_next, predict_x0)
-            x_new = jax.lax.switch(order_i - 1, [lambda: x1, lambda: x2,
-                                                 lambda: x3])
+            return jax.lax.switch(order_i - 1, [lambda: x1, lambda: x2,
+                                                lambda: x3])
+
+        def step(carry, inp):
+            x, models, ts = carry
+            t_next, order_i = inp
+            x_new = update(x, models, ts, t_next, order_i)
             m_new = model_fn(x_new, t_next)
             models = jnp.stack([models[1], models[2], m_new])
             ts = jnp.stack([ts[1], ts[2], t_next])
             return (x_new, models, ts), None
 
-        (x, _, _), _ = jax.lax.scan(
-            step, (x, models, ts),
-            (nodes[1:], jnp.asarray(orders)),
-        )
+        # the last node's model value is never consumed — update it outside
+        # the scan (the reference's `if step < steps` guard, :1105-1106)
+        if steps > 1:
+            (x, models, ts), _ = jax.lax.scan(
+                step, (x, models, ts),
+                (nodes[1:-1], jnp.asarray(orders[:-1])),
+            )
+        x = update(x, models, ts, nodes[-1], jnp.int32(orders[-1]))
     elif method in ("singlestep", "singlestep_fixed"):
         if method == "singlestep":
             orders = _singlestep_orders(steps, order)

@@ -98,6 +98,13 @@ class DiffusionCLIPFinetune:
             tdir = batch.get("text_direction")
             if tdir is None:
                 tdir = self.text_direction
+                if tdir is None:
+                    raise ValueError(
+                        "clip_loss_w > 0 needs a CLIP text direction: supply "
+                        "batch['text_direction'], set text_direction, or add "
+                        "clip_bpe (the BPE merge table) next to clip_ckpt in "
+                        "the config so build_guidance_encoders precomputes it"
+                    )
                 if tdir.ndim == 2:  # per-class table -> per-example rows
                     tdir = tdir[target]
             d = clip_directional_loss(self.clip_image_embed, src, edit, tdir)

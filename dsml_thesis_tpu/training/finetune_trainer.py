@@ -37,24 +37,32 @@ class FinetuneTrainer(Trainer):
 
     def log_images(self, batch: Dict, step: int, n: int = 4, **kw):
         """Edited-image grids for the DiffusionCLIP path; the base grids
-        assume an image-keyed batch and do not apply here."""
-        import numpy as np
+        assume an image-keyed batch and do not apply here. One jitted program
+        (cached on first call) — unjitted op-by-op dispatch would be a fresh
+        multi-minute remote compile per call on the axon tunnel."""
+        import os
+
         import jax
+        import jax.numpy as jnp
+        import numpy as np
 
         if not hasattr(self.finetune, "edit") or "latent" not in batch:
             return
-        import jax.numpy as jnp
-        import os
+        if self._log_images_fn is None:
+            def fn(params, x_lat, target):
+                z = self.finetune.edit(params, x_lat, target)
+                return jnp.clip(self.ldm.decode_first_stage(params, z), -1, 1)
 
-        params = jax.device_get(self._state.ema_full())
+            self._log_images_fn = jax.jit(fn)
+
         x_lat = jnp.asarray(batch["latent"][:n])
         if self.finetune.edit_attr_label is not None:
             target = jnp.full((x_lat.shape[0],),
                               self.finetune.edit_attr_label, jnp.int32)
         else:
             target = jnp.asarray(batch["class_label"][:n])
-        z = self.finetune.edit(params, x_lat, target)
-        edit = np.asarray(jnp.clip(
-            self.ldm.decode_first_stage(params, z), -1, 1))
+        edit = np.asarray(
+            self._log_images_fn(self._state.ema_full(), x_lat, target)
+        )
         outdir = os.path.join(self.logdir, "images")
         np.save(os.path.join(outdir, f"edited_step{step:08d}.npy"), edit)

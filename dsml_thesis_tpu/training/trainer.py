@@ -165,7 +165,19 @@ class Trainer:
 
         path = os.path.abspath(os.path.join(self.logdir, "checkpoints", name))
         ckptr = ocp.StandardCheckpointer()
-        self._state = ckptr.restore(path, self._state)
+        try:
+            self._state = ckptr.restore(path, self._state)
+        except Exception:
+            # legacy layout (round 1): ema_params shadowed the FULL tree;
+            # restore with a full-tree template, then strip to trainable groups
+            legacy = self._state.replace(
+                ema_params=jax.tree.map(jnp.copy, self._state.params)
+            )
+            state = ckptr.restore(path, legacy)
+            trainable = self.ldm.trainable_filter(state.params)
+            self._state = state.replace(ema_params={
+                k: v for k, v in state.ema_params.items() if trainable[k]
+            })
         return self._state
 
     def save_topk_checkpoint(self, score: float, monitor: str, step: int):
@@ -173,6 +185,8 @@ class Trainer:
         (reference main.py:588-599)."""
         import shutil
 
+        if len(self._topk) >= self.save_top_k and score >= self._topk[-1][0]:
+            return  # cannot enter the top-k: skip the (multi-GB) serialization
         name = f"step={step:08d}-{monitor}={score:.5f}"
         self.save_checkpoint(name)
         self._topk.append((score, name))

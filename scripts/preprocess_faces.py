@@ -68,6 +68,10 @@ def run_affectnet_csv(args):
             else:
                 x, y, w, h = (int(row["face_x"]), int(row["face_y"]),
                               int(row["face_width"]), int(row["face_height"]))
+                # the reference's fallback indexes rows by x / cols by y
+                # (align.py:288) and asserts x==y, w==h upfront (:252) —
+                # quirks kept/dropped respectively: the crop is replicated
+                # verbatim, the data-dependent assert is not
                 img_ = img[x:x + w, y:y + h]
             img_ = resize(img_, args.size)
             lm2 = detect(img_)

@@ -116,8 +116,7 @@ def run_crop(args):
     skip = set()
     for src_dir in clips:
         rel = os.path.relpath(src_dir, args.src)
-        res_dir = os.path.join(args.out, rel.replace(os.sep + "video" + os.sep,
-                                                     os.sep + "video" + os.sep))
+        res_dir = os.path.join(args.out, rel)  # output mirrors the source tree
         os.makedirs(res_dir, exist_ok=True)
         frames = sorted(os.listdir(src_dir))
         bbox = None
@@ -185,11 +184,16 @@ def run_mouth(args):
         info = data["info"]
         lm_dir = os.path.join(args.src, info["subj"], "landmarks", "front",
                               info["human_label"], info["lvl"], info["nbr"])
+        mean_p = os.path.join(args.src, "mean_landmarks.pkl")
+        mean_lm = (np.asarray(load_pickle(mean_p), np.float32)
+                   if os.path.exists(mean_p) else
+                   np.full((68, 2), vid.shape[1] / 2, np.float32))
         lms = []
         for k, p in enumerate(sorted(glob.glob(os.path.join(lm_dir, "*.pkl")))):
             if k >= len(vid):
                 break
-            lms.append(np.asarray(load_pickle(p), np.float32))
+            lm = load_pickle(p)  # empty pkl (detection failure) -> None
+            lms.append(np.asarray(lm, np.float32) if lm is not None else mean_lm)
         lms = np.stack(lms)
         frames = ((vid[: len(lms)] + 1) * 127.5).astype(np.uint8)
         mouths = cut_mouth_sequence(frames, lms, crop=args.crop,

@@ -87,13 +87,18 @@ def main():
         ex = ds[ci]
         F = int(ex["num_frames"]) if args.frames is None else args.frames
         masked = ex["masked_image"][:F]
-        audio = np.asarray(ex["audio"], np.float32)[:F]
         if masked.shape[0] < F:  # pad by repeating last frame
             rep = F - masked.shape[0]
             masked = np.concatenate([masked, np.repeat(masked[-1:], rep, 0)])
-        if audio.shape[0] < F:
+        # keep F + window audio frames: the last frames' windows reach t + w
+        # into real future audio (reference clamps at the true clip length,
+        # custom.py:394-396); pad-by-repeat beyond the clip end is equivalent
+        # to that clamp
+        w = args.audio_window
+        audio = np.asarray(ex["audio"], np.float32)[: F + w]
+        if audio.shape[0] < F + w:
             audio = np.concatenate(
-                [audio, np.repeat(audio[-1:], F - audio.shape[0], 0)]
+                [audio, np.repeat(audio[-1:], F + w - audio.shape[0], 0)]
             )
         label = jnp.asarray([ex["class_label"]], jnp.int32)
 

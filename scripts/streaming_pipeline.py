@@ -92,10 +92,12 @@ def main():
                 masked = np.concatenate(
                     [masked, np.repeat(masked[-1:], F - masked.shape[0], 0)]
                 )
-            audio = np.asarray(ex["audio"], np.float32)[:F]
-            if audio.shape[0] < F:
+            # F + window frames: tail windows reach real future audio
+            # (pad-by-repeat == the reference's end-of-clip clamp)
+            audio = np.asarray(ex["audio"], np.float32)[: F + w]
+            if audio.shape[0] < F + w:
                 audio = np.concatenate(
-                    [audio, np.repeat(audio[-1:], F - audio.shape[0], 0)]
+                    [audio, np.repeat(audio[-1:], F + w - audio.shape[0], 0)]
                 )
             ms.append(masked)
             ids.append(ex["identity"])

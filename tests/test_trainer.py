@@ -120,3 +120,30 @@ def test_topk_checkpoints_with_metric_names(tmp_path):
     assert len(kept) == 2
     assert any("val_loss_ema=0.10000" in n for n in kept)
     assert any("val_loss_ema=0.30000" in n for n in kept)
+
+
+def test_restore_legacy_full_ema_checkpoint(tmp_path):
+    """Round-1 checkpoints shadowed the FULL tree in ema_params; restoring
+    them falls back to the legacy template and strips to trainable groups."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = _config(batch=8)
+    t = Trainer(cfg, str(tmp_path / "run"), seed=0, max_steps=1)
+    first = next(iter(t.train_data))
+    t.init_state(first)
+
+    legacy = jax.device_get(t._state).replace(
+        ema_params=jax.tree.map(jnp.copy, jax.device_get(t._state.params))
+    )
+    path = tmp_path / "run" / "checkpoints" / "legacy"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(path.resolve()), legacy, force=True)
+    ckptr.wait_until_finished()
+
+    restored = t.restore_checkpoint("legacy")
+    assert "first_stage" not in restored.ema_params
+    assert set(restored.ema_params) <= set(restored.params)

@@ -92,7 +92,8 @@ def test_full_pipeline_matches_manual_assembly():
 
     ks = jax.random.split(jax.random.PRNGKey(1), 4)
     masked = jax.random.normal(ks[0], (B, F, 16, 16, 3)) * 0.3
-    audio = jax.random.normal(ks[1], (B, F, 32))
+    # audio longer than F: tail frames' windows must see real future audio
+    audio = jax.random.normal(ks[1], (B, F + w, 32))
     identity = jax.random.normal(ks[2], (B, 16, 16, 3)) * 0.3
     labels = jnp.array([1, 5], jnp.int32)
     key = jax.random.PRNGKey(7)
@@ -109,6 +110,8 @@ def test_full_pipeline_matches_manual_assembly():
     win = audio_windows(audio, F, w)
     np.testing.assert_array_equal(  # edge clamping
         np.asarray(win[0, 0, 0]), np.asarray(audio[0, 0]))
+    np.testing.assert_array_equal(  # future audio beyond F is used
+        np.asarray(win[0, F - 1, -1]), np.asarray(audio[0, F - 1 + w]))
     ctxs, uctxs = [], []
     for t in range(F):
         bt = {"class_label": labels, "audio": win[:, t]}
