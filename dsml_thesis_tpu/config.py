@@ -171,7 +171,22 @@ _BUILDERS = {
     "dsml_thesis_tpu.models.encoders.TransformerTextEmbedder": (
         lambda p: TransformerTextEmbedder(**p)
     ),
+    # end-to-end trainable wav2vec2 conditioning (the reference's MEADBase4
+    # experimental path, modules.py:291-328)
+    "ldm.modules.encoders.modules.AudioEmbedder": (
+        lambda p: _build_audio_embedder(p)
+    ),
+    "dsml_thesis_tpu.models.wav2vec2.AudioEmbedder": (
+        lambda p: _build_audio_embedder(p)
+    ),
 }
+
+
+def _build_audio_embedder(p):
+    from .models.wav2vec2 import AudioEmbedder
+
+    return AudioEmbedder(win_len=p.get("win_len", 4),
+                         subspace_dim=p.get("subspace_dim", 768))
 
 
 def _register_data_targets():

@@ -14,6 +14,7 @@ from .encoders import (
     LandmarkEncoder,
     TransformerTextEmbedder,
 )
+from .wav2vec2 import AudioEmbedder, Wav2Vec2, Wav2Vec2Config, convert_wav2vec2
 from .insight_face import (
     IRSE,
     FaceViT,

@@ -23,14 +23,15 @@ import numpy as np
 
 
 def linear_interpolation_to_frames(features: np.ndarray, num_frames: int) -> np.ndarray:
-    """[T, D] CNN features (49 Hz) -> [num_frames, D] via linear interp."""
-    import jax
+    """[T, D] CNN features (49 Hz) -> [num_frames, D], align_corners=True
+    (matching the reference's F.interpolate, modules.py:209-216)."""
     import jax.numpy as jnp
 
-    out = jax.image.resize(
-        jnp.asarray(features), (num_frames, features.shape[1]), method="linear"
+    from dsml_thesis_tpu.models.wav2vec2 import interp_align_corners
+
+    return np.asarray(
+        interp_align_corners(jnp.asarray(features)[None], num_frames)[0]
     )
-    return np.asarray(out)
 
 
 def load_wav_16k(path: str) -> np.ndarray:
@@ -67,16 +68,62 @@ def main():
     ap.add_argument("--outdir", required=True)
     ap.add_argument("--model", default="facebook/wav2vec2-base-960h",
                     help="local wav2vec2 snapshot path or model id")
+    ap.add_argument("--backend", choices=["flax", "torch"], default="flax",
+                    help="flax: the in-framework Wav2Vec2 (TPU-capable) fed "
+                         "by converted torch weights; torch: HF model on CPU")
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
-    # torch pipeline: the Flax wav2vec2 port rejects base-960h's
-    # do_stable_layer_norm=False config; this is offline host preprocessing,
-    # so CPU torch is appropriate.
-    import torch
-    from transformers import Wav2Vec2FeatureExtractor, Wav2Vec2Model
+    from transformers import Wav2Vec2FeatureExtractor
 
     extractor = Wav2Vec2FeatureExtractor.from_pretrained(args.model)
-    model = Wav2Vec2Model.from_pretrained(args.model).eval()
+
+    if args.backend == "flax":
+        import jax
+
+        if args.cpu:
+            jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        import jax.numpy as jnp
+        from transformers import Wav2Vec2Model as TorchW2V
+
+        from dsml_thesis_tpu.models.wav2vec2 import (
+            Wav2Vec2,
+            config_from_hf,
+            convert_wav2vec2,
+        )
+
+        tm = TorchW2V.from_pretrained(args.model).eval()
+        cfg = config_from_hf(tm.config)
+        params = convert_wav2vec2(tm.state_dict(), cfg)
+        del tm
+        model = Wav2Vec2(cfg)
+
+        def featurize(wav: np.ndarray, num_frames: int) -> np.ndarray:
+            # jit caches per (audio_len, num_frames); feature shapes vary per
+            # clip — padding to buckets would amortize compiles if needed
+            out = jax.jit(model.apply, static_argnames="num_frames")(
+                {"params": params}, jnp.asarray(wav)[None],
+                num_frames=num_frames,
+            )
+            return np.asarray(out[0])
+    else:
+        import torch
+        from transformers import Wav2Vec2Model
+
+        model = Wav2Vec2Model.from_pretrained(args.model).eval()
+
+        def featurize(wav: np.ndarray, num_frames: int) -> np.ndarray:
+            # CNN features (49 Hz) -> interpolate to the video frame count ->
+            # projection -> transformer encoder
+            with torch.no_grad():
+                x = torch.from_numpy(wav)[None]
+                feats = model.feature_extractor(x).transpose(1, 2)[0].numpy()
+                feats = linear_interpolation_to_frames(feats, num_frames)
+                hidden = model.feature_projection(
+                    torch.from_numpy(feats)[None]
+                )[0]
+                return model.encoder(hidden).last_hidden_state[0].numpy()
 
     with open(args.tuples, "rb") as f:
         tuples = sorted(list(pickle.load(f)))
@@ -86,22 +133,14 @@ def main():
         wav = load_wav_16k(
             os.path.join(args.audio_root, subj, "audio", emo, lvl, f"{clip}.wav")
         )
-        inputs = extractor(wav, sampling_rate=16000, return_tensors="pt")
+        wav = np.asarray(
+            extractor(wav, sampling_rate=16000)["input_values"][0], np.float32
+        )
         frame_dir = os.path.join(
             args.frames_root, subj, "video", "front", emo, lvl, clip
         )
         num_frames = len(os.listdir(frame_dir))
-
-        # CNN feature extractor (49 Hz) -> interpolate to the video frame
-        # count -> projection -> transformer encoder
-        with torch.no_grad():
-            feats = model.feature_extractor(inputs["input_values"])  # [1, D, T]
-            feats = feats.transpose(1, 2)[0].numpy()  # [T, D]
-            feats = linear_interpolation_to_frames(feats, num_frames)
-            hidden = model.feature_projection(
-                torch.from_numpy(feats)[None]
-            )[0]
-            x = model.encoder(hidden).last_hidden_state[0].numpy()
+        x = featurize(wav, num_frames)
         assert x.shape[0] == num_frames
         with open(os.path.join(args.outdir, f"{subj}_{emo}_{lvl}_{clip}.pkl"),
                   "wb") as f:
