@@ -140,7 +140,7 @@ class Trainer:
         def melk(*_a):
             # reference main.py:708-716: dump a rescue checkpoint on signal
             print("Summoning checkpoint (signal).")
-            self.save_checkpoint("last")
+            self.save_checkpoint("last", wait=True)
             self._should_stop = True
 
         for sig in (signal.SIGTERM, signal.SIGUSR1):
@@ -151,20 +151,32 @@ class Trainer:
 
     # ---------- checkpointing ----------
 
-    def save_checkpoint(self, name: str):
-        import orbax.checkpoint as ocp
+    def _checkpointer(self):
+        if getattr(self, "_ckptr", None) is None:
+            import orbax.checkpoint as ocp
 
+            self._ckptr = ocp.StandardCheckpointer()
+        return self._ckptr
+
+    def save_checkpoint(self, name: str, wait: bool = False):
+        """Async by default: the host->disk write overlaps the next training
+        steps (StandardCheckpointer commits in the background); wait=True
+        blocks (rescue saves, end of fit)."""
         path = os.path.abspath(os.path.join(self.logdir, "checkpoints", name))
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = self._checkpointer()
         state = jax.device_get(self._state)
         ckptr.save(path, state, force=True)
-        ckptr.wait_until_finished()
+        if wait:
+            ckptr.wait_until_finished()
+
+    def wait_for_checkpoints(self):
+        if getattr(self, "_ckptr", None) is not None:
+            self._ckptr.wait_until_finished()
 
     def restore_checkpoint(self, name: str):
-        import orbax.checkpoint as ocp
-
+        self.wait_for_checkpoints()
         path = os.path.abspath(os.path.join(self.logdir, "checkpoints", name))
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = self._checkpointer()
         try:
             self._state = ckptr.restore(path, self._state)
         except Exception:
@@ -191,6 +203,8 @@ class Trainer:
         self.save_checkpoint(name)
         self._topk.append((score, name))
         self._topk.sort(key=lambda t: t[0])
+        if len(self._topk) > self.save_top_k:
+            self.wait_for_checkpoints()  # don't delete an in-flight save
         while len(self._topk) > self.save_top_k:
             _, worst = self._topk.pop()
             shutil.rmtree(os.path.join(self.logdir, "checkpoints", worst),
@@ -304,8 +318,9 @@ class Trainer:
             # reference main.py:730-734: melk() rescue-save on any exception
             if self._state is not None:
                 print("Summoning checkpoint (exception).")
-                self.save_checkpoint("last")
+                self.save_checkpoint("last", wait=True)
             raise
+        self.wait_for_checkpoints()
         return self._state
 
     def _fit_epochs(self, epochs, log_every, image_every, val_max_batches,
