@@ -204,18 +204,18 @@ def flash_attention_bwd(q, k, v, do, scale=None, block_q: int = 256,
     return shape4(dq, nq), shape4(dk, nk), shape4(dv, nk)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash_attention_diff(q, k, v, scale):
-    return flash_attention(q, k, v, scale=scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_attention_diff(q, k, v, scale, block_q=256):
+    return flash_attention(q, k, v, scale=scale, block_q=block_q)
 
 
-def _flash_fwd(q, k, v, scale):
-    return flash_attention(q, k, v, scale=scale), (q, k, v)
+def _flash_fwd(q, k, v, scale, block_q):
+    return flash_attention(q, k, v, scale=scale, block_q=block_q), (q, k, v)
 
 
-def _flash_bwd(scale, res, g):
+def _flash_bwd(scale, block_q, res, g):
     q, k, v = res
-    return flash_attention_bwd(q, k, v, g, scale=scale)
+    return flash_attention_bwd(q, k, v, g, scale=scale, block_q=block_q)
 
 
 _flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
@@ -226,9 +226,9 @@ def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
     jnp path otherwise (tiny-KV cross-attention, CPU tests)."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    if use_pallas is None:
-        import os
+    import os
 
+    if use_pallas is None:
         use_pallas = (
             os.environ.get("DSML_FLASH_ATTN", "1") != "0"
             and _on_tpu() and q.shape[2] >= 256 and k.shape[2] >= 256
@@ -236,5 +236,9 @@ def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
     if use_pallas:
         if interpret:
             return flash_attention(q, k, v, scale=scale, interpret=True)
-        return _flash_attention_diff(q, k, v, scale)
+        # v5e A/B on the flagship bench (frames/s/chip): 128 -> 5.50,
+        # 256 -> 5.99, 512 -> 6.08, 1024 -> 6.13 — bigger q-blocks win
+        # monotonically (fewer grid steps; N=1024 runs as one program)
+        block_q = int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024"))
+        return _flash_attention_diff(q, k, v, scale, block_q)
     return attention_reference(q, k, v, scale=scale)

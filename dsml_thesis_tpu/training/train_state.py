@@ -86,12 +86,23 @@ def make_train_step(
     ema_decay: float = 0.9999,
 ) -> Callable:
     """loss_module: anything with training_loss(params, batch, rng) -> (loss,
-    aux-dict) — the LatentDiffusion itself or a finetune wrapper over it."""
+    aux-dict) — the LatentDiffusion itself or a finetune wrapper over it.
+    Losses declaring a `global_step` kwarg (adopt_weight warmups, e.g. the
+    lipread finetune's start_lr_loss) receive the live step counter."""
+    import inspect
+
+    takes_step = "global_step" in inspect.signature(
+        loss_module.training_loss
+    ).parameters
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(p):
+            if takes_step:
+                return loss_module.training_loss(
+                    p, batch, step_rng, global_step=state.step
+                )
             return loss_module.training_loss(p, batch, step_rng)
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

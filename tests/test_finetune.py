@@ -132,3 +132,42 @@ def test_lipread_finetune_loss():
     )(params)
     assert np.isfinite(float(loss))
     assert "lr_loss" in aux and "l2_loss" in aux
+
+
+def test_lipread_start_lr_loss_warmup_uses_live_step():
+    """adopt_weight gating gets the real global step through the train step
+    (mead-128-ldm-f4-tune.yaml start_lr_loss knob)."""
+    import optax
+
+    from dsml_thesis_tpu.training.train_state import (
+        TrainState,
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = yaml.safe_load(TINY_MEAD_CFG)
+    ldm = build_model(cfg["model"])
+    batch = {
+        "image": jnp.zeros((2, 16, 16, 3)),
+        "masked_image": jnp.zeros((2, 16, 16, 3)),
+        "identity": jnp.zeros((2, 16, 16, 3)),
+        "class_label": jnp.array([0, 1]),
+        "audio": jnp.zeros((2, 5, 32)),
+        "landmarks": jnp.ones((2, 68, 2)) * 8.0,
+    }
+    params = ldm.init_params(jax.random.PRNGKey(0), batch)
+    wk = jax.random.normal(jax.random.PRNGKey(1), (88 * 88, 16)) * 0.01
+    ft = LipreadFinetune(ldm, lipreader_fn=lambda m: m.reshape(m.shape[0], -1) @ wk,
+                         decode_steps=2, mouth_crop=12, mouth_size=88,
+                         lr_loss_weight=1.0, start_lr_loss=1)
+
+    tx = optax.sgd(0.0)  # keep params fixed; only the step counter moves
+    state = create_train_state(ldm, params, tx)
+    step = jax.jit(make_train_step(ft, tx))
+    state, m0 = step(state, batch, jax.random.PRNGKey(2))
+    state, m1 = step(state, batch, jax.random.PRNGKey(2))
+    # step 0: lr_loss gated off (global_step 0 < threshold 1) -> loss == l2
+    np.testing.assert_allclose(float(m0["train/loss"]),
+                               float(m0["train/l2_loss"]), rtol=1e-6)
+    # step 1: gate open -> loss includes the lipread term
+    assert float(m1["train/loss"]) > float(m1["train/l2_loss"]) + 1e-8
