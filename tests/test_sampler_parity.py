@@ -104,3 +104,57 @@ def test_ddim_chain_matches_reference_sampler(scale):
     )
     out = np.asarray(out).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("scale", [1.0, 2.0])
+def test_plms_chain_matches_reference_sampler(scale):
+    """Full PLMS multistep chain vs the reference PLMSSampler (plms.py)."""
+    install_reference_path()
+    from ldm.models.diffusion.plms import PLMSSampler
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel as TorchUNet
+
+    from dsml_thesis_tpu.diffusion import plms_sample
+
+    PLMSSampler.register_buffer = lambda self, name, attr: setattr(self, name, attr)
+
+    torch.manual_seed(2)
+    tm = TorchUNet(image_size=16, **{**UNET_KW,
+                                     "attention_resolutions": [2, 1],
+                                     "channel_mult": [1, 2]}).eval()
+    sched = make_schedule("linear", 100, 0.0015, 0.0205)
+    oracle = _OracleModel(tm, sched)
+    sampler = PLMSSampler(oracle)
+
+    rs = np.random.RandomState(3)
+    x_T = rs.randn(2, 3, 16, 16).astype(np.float32)
+    ctx = rs.randn(2, 1, 24).astype(np.float32)
+    uc = rs.randn(2, 1, 24).astype(np.float32)
+    S = 6
+
+    with torch.no_grad():
+        ref, _ = sampler.sample(
+            S, batch_size=2, shape=(3, 16, 16),
+            conditioning=torch.from_numpy(ctx),
+            eta=0.0, x_T=torch.from_numpy(x_T), verbose=False,
+            unconditional_guidance_scale=scale,
+            unconditional_conditioning=torch.from_numpy(uc) if scale != 1 else None,
+        )
+    ref = ref.numpy()
+
+    params = convert.convert_unet(
+        tm.state_dict(), num_res_blocks=1, channel_mult=(1, 2),
+        attention_resolutions=(2, 1),
+    )
+    jm = UNetModel(**UNET_KW)
+    apply_fn = lambda x, t, c: jm.apply({"params": params}, x, t, c)
+    eps_fn = cfg_eps_fn(
+        apply_fn, jnp.asarray(ctx),
+        jnp.asarray(uc) if scale != 1 else None, scale,
+    )
+    ddim = make_ddim_schedule(sched, S, eta=0.0)
+    out = plms_sample(
+        ddim, eps_fn, (2, 16, 16, 3), jax.random.PRNGKey(0),
+        x_T=jnp.asarray(x_T.transpose(0, 2, 3, 1)),
+    )
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-3)
