@@ -94,3 +94,21 @@ def test_streaming_pipeline_cli(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "cumulative" in out.stdout and "psnr=" in out.stdout
     assert len(os.listdir(tmp_path / "stream")) == 2
+
+
+@pytest.mark.slow
+def test_fidelity_gate_cli_tiny():
+    """scripts/fidelity_gate.py --tiny stays runnable (CPU smoke)."""
+    import json
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "fidelity_gate.py"),
+         "--tiny"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "psnr_bf16flash_vs_fp32_db"
+    assert np.isfinite(rec["value"])
