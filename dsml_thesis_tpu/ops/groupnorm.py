@@ -54,6 +54,14 @@ def group_norm_silu_reference(
         # (one read of x instead of two separate convert+reduce fusions)
         both = jnp.sum(jnp.concatenate([xf, xf * xf], axis=-1), axis=1)
         ch_sum, ch_sq = both[:, :c], both[:, c:]
+    elif "pair" in variant:
+        # variadic reduce: (sum, sum_sq) in ONE reduction op — single read of
+        # x, no concat materialization
+        zero = jnp.zeros((), jnp.float32)
+        ch_sum, ch_sq = jax.lax.reduce(
+            (xf, xf * xf), (zero, zero),
+            lambda a, b: (a[0] + b[0], a[1] + b[1]), (1,),
+        )
     else:
         ch_sum = jnp.sum(xf, axis=1)          # [B, C]
         ch_sq = jnp.sum(xf * xf, axis=1)      # [B, C]

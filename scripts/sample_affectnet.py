@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--scale", type=float, default=3.0)
     ap.add_argument("--eta", type=float, default=0.0)
+    ap.add_argument("--sampler", default="ddim",
+                    choices=["ddim", "plms", "dpm++", "dpm"],
+                    help="ddim (reference default), plms, dpm++ (DPM-Solver++ "
+                         "multistep, data prediction), dpm (eps prediction)")
+    ap.add_argument("--order", type=int, default=2,
+                    help="dpm/dpm++ solver order (1-3)")
     ap.add_argument("--classes", type=int, nargs="*", default=list(range(8)))
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-ema", action="store_true")
@@ -62,10 +68,29 @@ def main():
         batch = {"class_label": jnp.full((n,), label, dtype=jnp.int32)}
         cond = ldm.encode_conditioning(params, batch)
         uncond = ldm.null_conditioning(params, batch, batch_size=n)
-        z = ldm.sample_ddim(
-            params, cond, (n, lat, lat, ch), key, steps=args.steps,
-            eta=args.eta, uncond=uncond, guidance_scale=args.scale,
-        )
+        shape = (n, lat, lat, ch)
+        if args.sampler == "ddim":
+            z = ldm.sample_ddim(
+                params, cond, shape, key, steps=args.steps,
+                eta=args.eta, uncond=uncond, guidance_scale=args.scale,
+            )
+        else:
+            from dsml_thesis_tpu.diffusion import (
+                dpm_solver_sample_suite,
+                make_ddim_schedule,
+                plms_sample,
+            )
+
+            eps_fn = ldm.make_eps_fn(params, cond, uncond, args.scale)
+            if args.sampler == "plms":
+                ddim = make_ddim_schedule(ldm.schedule, args.steps, eta=0.0)
+                z = plms_sample(ddim, eps_fn, shape, key)
+            else:
+                z = dpm_solver_sample_suite(
+                    ldm.schedule, eps_fn, shape, key, steps=args.steps,
+                    order=args.order, method="multistep",
+                    predict_x0=(args.sampler == "dpm++"),
+                )
         x = ldm.decode_first_stage(params, z)
         return jnp.clip(x, -1.0, 1.0)
 
