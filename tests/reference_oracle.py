@@ -17,8 +17,19 @@ def reference_available() -> bool:
 
 
 def install_reference_path(root=REFERENCE_ROOT):
-    """Make `ldm.*` / `taming.*` of the reference importable, stubbing the
-    heavyweight deps its module headers pull in but our oracles don't use."""
+    """Make `ldm.*` / `taming.*` of the requested reference subtree importable,
+    stubbing the heavyweight deps its module headers pull in but our oracles
+    don't use.
+
+    Both subtrees define the same package names, so cached modules from a
+    previously-imported subtree are purged and `root` is pinned to the front
+    of sys.path — otherwise test ORDER decides which fork an oracle test gets.
+    """
+    for k in [k for k in sys.modules if k.split(".")[0] in ("ldm", "taming")]:
+        del sys.modules[k]
+    for other in (REFERENCE_ROOT, TALKING_ROOT):
+        while other in sys.path:
+            sys.path.remove(other)
     if "omegaconf" not in sys.modules:
         om = types.ModuleType("omegaconf")
         lc = types.ModuleType("omegaconf.listconfig")

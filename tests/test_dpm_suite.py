@@ -14,7 +14,7 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
-from reference_oracle import reference_available
+from reference_oracle import TALKING_ROOT, install_reference_path, reference_available
 
 from dsml_thesis_tpu.diffusion import (
     dpm_solver_sample_adaptive,
@@ -35,7 +35,7 @@ def _toy_eps_np(x, t_in):
 
 
 def _setup():
-    sys.path.insert(0, "/root/reference/talking_face")
+    install_reference_path(TALKING_ROOT)
     from ldm.models.diffusion.dpm_solver.dpm_solver import (
         DPM_Solver,
         NoiseScheduleVP,
