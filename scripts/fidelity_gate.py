@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--guidance", type=float, default=2.0)
     ap.add_argument("--isolate-flash", action="store_true")
+    ap.add_argument("--ab-env", default=None, metavar="KEY=VALUE",
+                    help="env var applied ONLY to the flagship (B) run — "
+                         "gates opt-in approximations, e.g. "
+                         "DSML_GN_SUBSAMPLE=2, against reference numerics")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -94,8 +98,18 @@ def main():
     key = jax.random.PRNGKey(7)
     ddim = make_ddim_schedule(ldm32.schedule, S, eta=0.0)
 
-    def run(ldm, params, flash: bool):
+    ab_key = ab_val = None
+    if args.ab_env:
+        ab_key, _, ab_val = args.ab_env.partition("=")
+        os.environ.pop(ab_key, None)
+
+    def run(ldm, params, flash: bool, ab: bool = False):
         os.environ["DSML_FLASH_ATTN"] = "1" if flash else "0"
+        if ab_key:
+            if ab:
+                os.environ[ab_key] = ab_val
+            else:
+                os.environ.pop(ab_key, None)
         pipe = make_video_pipeline(ldm, ddim, w, guidance_scale=args.guidance)
         t0 = time.time()
         out = jax.block_until_ready(jax.jit(
@@ -106,10 +120,12 @@ def main():
         return out
 
     ref = run(ldm32, params32, flash=False)
-    flag = run(ldm16, params16, flash=True)
+    flag = run(ldm16, params16, flash=True, ab=True)
     p_flag = float(jnp.mean(psnr(to_unit_range(flag), to_unit_range(ref))))
     result = {"metric": "psnr_bf16flash_vs_fp32_db", "value": round(p_flag, 2),
               "steps": S, "frames": F, "res": args.res}
+    if args.ab_env:
+        result["ab_env"] = args.ab_env
     if args.isolate_flash:
         mid = run(ldm32, params32, flash=True)
         result["psnr_flash_only_db"] = round(float(jnp.mean(
