@@ -365,7 +365,8 @@ class DataLoader:
 
     def __init__(self, dataset: Dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 4, seed: int = 123,
-                 prefetch: int = 2):
+                 prefetch: int = 2, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -374,6 +375,23 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        # Multi-host: batch_size is the GLOBAL batch; every process walks the
+        # same seeded permutation and takes a disjoint batch_size/process_count
+        # slice of each batch (replaces the reference's DistributedSampler).
+        if process_count is None:
+            try:
+                import jax
+
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            except Exception:
+                process_index, process_count = 0, 1
+        assert batch_size % process_count == 0, (
+            f"global batch_size {batch_size} must divide evenly over "
+            f"{process_count} processes"
+        )
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self):
         n = len(self.dataset)
@@ -384,8 +402,12 @@ class DataLoader:
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
         end = len(idx) - (len(idx) % self.batch_size if self.drop_last else 0)
+        per = self.batch_size // self.process_count
         for s in range(0, end, self.batch_size):
-            yield idx[s:s + self.batch_size]
+            b = idx[s:s + self.batch_size]
+            if len(b) < self.batch_size and self.process_count > 1:
+                break  # a ragged tail cannot shard evenly across processes
+            yield b[self.process_index * per:(self.process_index + 1) * per]
 
     def __iter__(self):
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)

@@ -41,6 +41,15 @@ class Wav2Vec2Config:
     intermediate_size: int = 3072
     num_conv_pos_embeddings: int = 128
     num_conv_pos_embedding_groups: int = 16
+    # CTC character head (the torchaudio WAV2VEC2_ASR_* "bundle" models emit
+    # vocab-size logits; reference scripts/mead_bundle.py:44-58). None = no head.
+    ctc_vocab: Optional[int] = None
+
+
+# torchaudio WAV2VEC2_ASR_LARGE_960H ≡ HF facebook/wav2vec2-large-960h:
+# same post-norm layout as base, scaled up, plus a CTC lm_head.
+LARGE_960H = Wav2Vec2Config(hidden_size=1024, num_layers=24, num_heads=16,
+                            intermediate_size=4096, ctc_vocab=32)
 
 
 def interp_align_corners(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
@@ -141,6 +150,11 @@ class Wav2Vec2(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, name="enc_ln")(h)
         for i in range(c.num_layers):
             h = EncoderLayer(c, name=f"layer_{i}")(h)
+        if c.ctc_vocab is not None:
+            # CTC emission logits; the bundle precompute interpolates these
+            # (not the CNN features) to the video frame rate, so callers pass
+            # num_frames=None and resample the output (mead_bundle.py:58-59)
+            h = nn.Dense(c.ctc_vocab, name="lm_head")(h)
         return h
 
 
@@ -193,12 +207,14 @@ class AudioEmbedder(nn.Module):
         return ("audio_encoder/feature_extractor",)
 
 
-def config_from_hf(hf_config) -> Wav2Vec2Config:
-    """transformers Wav2Vec2Config -> Wav2Vec2Config (post-norm layout only)."""
+def config_from_hf(hf_config, ctc: bool = False) -> Wav2Vec2Config:
+    """transformers Wav2Vec2Config -> Wav2Vec2Config (post-norm layout only).
+    ctc=True adds the Wav2Vec2ForCTC lm_head (vocab_size logits)."""
     assert not getattr(hf_config, "do_stable_layer_norm", False), (
-        "only the do_stable_layer_norm=False (base) layout is implemented"
+        "only the do_stable_layer_norm=False (base/large-960h) layout is implemented"
     )
     return Wav2Vec2Config(
+        ctc_vocab=hf_config.vocab_size if ctc else None,
         conv_dim=tuple(hf_config.conv_dim),
         conv_kernel=tuple(hf_config.conv_kernel),
         conv_stride=tuple(hf_config.conv_stride),
@@ -213,7 +229,13 @@ def config_from_hf(hf_config) -> Wav2Vec2Config:
 
 
 def convert_wav2vec2(sd: Dict, cfg: Wav2Vec2Config = Wav2Vec2Config()) -> Dict:
-    """torch transformers Wav2Vec2Model state_dict -> Flax Wav2Vec2 params."""
+    """torch transformers Wav2Vec2Model / Wav2Vec2ForCTC state_dict ->
+    Flax Wav2Vec2 params (ForCTC keys carry a 'wav2vec2.' prefix and an
+    unprefixed lm_head)."""
+    if any(k.startswith("wav2vec2.") for k in sd):
+        sd = {(k[len("wav2vec2."):] if k.startswith("wav2vec2.") else k): v
+              for k, v in sd.items()}
+
     def np32(k):
         v = sd[k]
         if hasattr(v, "detach"):
@@ -266,4 +288,6 @@ def convert_wav2vec2(sd: Dict, cfg: Wav2Vec2Config = Wav2Vec2Config()) -> Dict:
             "fc2": dense(f"{t}.feed_forward.output_dense"),
             "ln2": ln(f"{t}.final_layer_norm"),
         }
+    if cfg.ctc_vocab is not None:
+        params["lm_head"] = dense("lm_head")
     return params

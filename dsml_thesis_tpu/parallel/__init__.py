@@ -1,1 +1,7 @@
-from .mesh import make_mesh, shard_batch, replicate
+from .mesh import (
+    distributed_init,
+    is_main_process,
+    make_mesh,
+    replicate,
+    shard_batch,
+)

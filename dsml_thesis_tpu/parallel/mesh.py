@@ -7,9 +7,13 @@ SPMD partitioner inserts the gradient psum over ICI — no NCCL/process-group
 plumbing. A second `model` axis is reserved for tensor-parallel extensions
 (unused at this model scale, per SURVEY.md §2.4).
 
-Multi-host: call jax.distributed.initialize() before make_mesh(); the mesh
-spans all global devices and batches must be per-host shards of the global
-batch (jax.make_array_from_process_local_data).
+Multi-host (DCN): call `distributed_init()` (or pass --multihost to main.py)
+before make_mesh(); the mesh then spans all global devices. Each process
+loads its own 1/process_count slice of the global batch (data.DataLoader
+shards deterministically by process_index) and `shard_batch` assembles the
+global jax.Array from the process-local shards via
+jax.make_array_from_process_local_data. The global batch size — and hence
+the LR scale — is independent of the number of hosts.
 """
 from __future__ import annotations
 
@@ -18,6 +22,36 @@ from typing import Optional, Sequence
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Idempotent jax.distributed.initialize for multi-host (DCN) runs.
+
+    With no arguments, JAX auto-detects the coordinator from the cluster
+    environment (TPU pod metadata / SLURM / env vars) — the standard path on
+    Cloud TPU pods. Replaces the reference's implicit torch.distributed
+    process-group setup inside PyTorch Lightning DDP (main.py:532).
+    """
+    if jax.process_count() > 1:  # already initialized
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError) as e:  # single-process / already init
+        if coordinator_address is not None or num_processes is not None:
+            raise
+        print(f"distributed_init: staying single-process ({e})")
+
+
+def is_main_process() -> bool:
+    """True on the process that owns host-side artifacts (metrics, images).
+    Equivalent of the reference's PL rank_zero_only guards (main.py:318,329)."""
+    return jax.process_index() == 0
 
 
 def make_mesh(
@@ -41,13 +75,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Place a host-local batch dict onto the mesh, sharded along axis 0."""
-    sh = batch_sharding(mesh)
+def shard_batch(mesh: Mesh, batch, force_global: bool = False):
+    """Place a batch dict onto the mesh, sharded along axis 0.
+
+    Single-process: a plain device_put with a NamedSharding. Multi-process:
+    `batch` is this process's slice of the global batch (global_batch /
+    process_count rows, produced by DataLoader's process sharding) and the
+    global jax.Array is assembled across hosts with
+    jax.make_array_from_process_local_data. `force_global` exercises the
+    multi-process assembly path in single-process tests.
+    """
+    multiproc = jax.process_count() > 1 or force_global
 
     def put(x):
         spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if not multiproc:
+            return jax.device_put(x, sharding)
+        x = np.asarray(x)
+        if spec == P():  # replicated: every process supplies the full value
+            return jax.make_array_from_process_local_data(sharding, x, x.shape)
+        nproc = jax.process_count()
+        global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
     return jax.tree.map(put, batch)
 

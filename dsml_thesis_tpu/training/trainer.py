@@ -28,7 +28,7 @@ import numpy as np
 
 from ..config import build_model, instantiate_from_config
 from ..models.ldm import LatentDiffusion
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import is_main_process, make_mesh, replicate, shard_batch
 from .train_state import (
     TrainState,
     create_train_state,
@@ -207,12 +207,15 @@ class Trainer:
             self.wait_for_checkpoints()  # don't delete an in-flight save
         while len(self._topk) > self.save_top_k:
             _, worst = self._topk.pop()
-            shutil.rmtree(os.path.join(self.logdir, "checkpoints", worst),
-                          ignore_errors=True)
+            if is_main_process():  # shared fs: evict once
+                shutil.rmtree(os.path.join(self.logdir, "checkpoints", worst),
+                              ignore_errors=True)
 
     # ---------- logging ----------
 
     def log_metrics(self, metrics: Dict, step: int, split: str = "train"):
+        if not is_main_process():  # rank_zero_only (reference main.py:318)
+            return
         rec = {"step": step, "split": split}
         rec.update({k: float(v) for k, v in metrics.items()})
         self._metrics_file.write(json.dumps(rec) + "\n")
@@ -252,6 +255,10 @@ class Trainer:
 
     def log_images(self, batch: Dict, step: int, n: int = 4, ddim_steps: int = 20):
         """Input / VQ-reconstruction / conditional sample grids as npy+png."""
+        if jax.process_count() > 1:
+            # the grid program runs on host-local (non-addressable-globally)
+            # arrays; skipping keeps every process's device program identical
+            return
         b = _to_jnp_batch(batch)
         if self._log_images_fn is None:
             self._log_images_fn = self._make_log_images_fn(n, ddim_steps)

@@ -18,7 +18,7 @@ import numpy as np
 from ..config import instantiate_from_config
 from ..losses.vqperceptual import VQGANLoss
 from ..models.autoencoder import VQModel
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import is_main_process, make_mesh, replicate, shard_batch
 from .vqgan import create_vqgan_state, make_vqgan_train_step
 
 
@@ -106,7 +106,7 @@ class VQGANTrainer:
                 sb = shard_batch(self.mesh, jb)
                 self._state, metrics = self._step(self._state, sb)
                 step = int(self._state.step)
-                if step % log_every == 0:
+                if step % log_every == 0 and is_main_process():
                     rec = {"step": step, "split": "train"}
                     rec.update({k: float(v) for k, v in metrics.items()})
                     self._metrics_file.write(json.dumps(rec) + "\n")

@@ -71,6 +71,12 @@ def main():
     ap.add_argument("--backend", choices=["flax", "torch"], default="flax",
                     help="flax: the in-framework Wav2Vec2 (TPU-capable) fed "
                          "by converted torch weights; torch: HF model on CPU")
+    ap.add_argument("--variant", choices=["base", "bundle"], default="base",
+                    help="base: hidden-state features, CNN output interpolated "
+                         "to the frame rate pre-encoder (mead.py:154-202); "
+                         "bundle: CTC emission logits interpolated post-model "
+                         "(scripts/mead_bundle.py:44-59; pair with a "
+                         "wav2vec2-large-960h ForCTC snapshot via --model)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -85,6 +91,7 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         import jax.numpy as jnp
+        from transformers import Wav2Vec2ForCTC as TorchCTC
         from transformers import Wav2Vec2Model as TorchW2V
 
         from dsml_thesis_tpu.models.wav2vec2 import (
@@ -93,8 +100,9 @@ def main():
             convert_wav2vec2,
         )
 
-        tm = TorchW2V.from_pretrained(args.model).eval()
-        cfg = config_from_hf(tm.config)
+        bundle = args.variant == "bundle"
+        tm = (TorchCTC if bundle else TorchW2V).from_pretrained(args.model).eval()
+        cfg = config_from_hf(tm.config, ctc=bundle)
         params = convert_wav2vec2(tm.state_dict(), cfg)
         del tm
         model = Wav2Vec2(cfg)
@@ -102,6 +110,13 @@ def main():
         def featurize(wav: np.ndarray, num_frames: int) -> np.ndarray:
             # jit caches per (audio_len, num_frames); feature shapes vary per
             # clip — padding to buckets would amortize compiles if needed
+            if bundle:
+                # full model at native 49 Hz, then interpolate the logits
+                out = jax.jit(model.apply)({"params": params},
+                                           jnp.asarray(wav)[None])
+                return linear_interpolation_to_frames(
+                    np.asarray(out[0]), num_frames
+                )
             out = jax.jit(model.apply, static_argnames="num_frames")(
                 {"params": params}, jnp.asarray(wav)[None],
                 num_frames=num_frames,
@@ -109,21 +124,30 @@ def main():
             return np.asarray(out[0])
     else:
         import torch
-        from transformers import Wav2Vec2Model
+        from transformers import Wav2Vec2ForCTC, Wav2Vec2Model
 
-        model = Wav2Vec2Model.from_pretrained(args.model).eval()
+        if args.variant == "bundle":
+            model = Wav2Vec2ForCTC.from_pretrained(args.model).eval()
 
-        def featurize(wav: np.ndarray, num_frames: int) -> np.ndarray:
-            # CNN features (49 Hz) -> interpolate to the video frame count ->
-            # projection -> transformer encoder
-            with torch.no_grad():
-                x = torch.from_numpy(wav)[None]
-                feats = model.feature_extractor(x).transpose(1, 2)[0].numpy()
-                feats = linear_interpolation_to_frames(feats, num_frames)
-                hidden = model.feature_projection(
-                    torch.from_numpy(feats)[None]
-                )[0]
-                return model.encoder(hidden).last_hidden_state[0].numpy()
+            def featurize(wav: np.ndarray, num_frames: int) -> np.ndarray:
+                # emission logits at 49 Hz -> interpolate to the frame count
+                with torch.no_grad():
+                    logits = model(torch.from_numpy(wav)[None]).logits[0]
+                return linear_interpolation_to_frames(logits.numpy(), num_frames)
+        else:
+            model = Wav2Vec2Model.from_pretrained(args.model).eval()
+
+            def featurize(wav: np.ndarray, num_frames: int) -> np.ndarray:
+                # CNN features (49 Hz) -> interpolate to the video frame count
+                # -> projection -> transformer encoder
+                with torch.no_grad():
+                    x = torch.from_numpy(wav)[None]
+                    feats = model.feature_extractor(x).transpose(1, 2)[0].numpy()
+                    feats = linear_interpolation_to_frames(feats, num_frames)
+                    hidden = model.feature_projection(
+                        torch.from_numpy(feats)[None]
+                    )[0]
+                    return model.encoder(hidden).last_hidden_state[0].numpy()
 
     with open(args.tuples, "rb") as f:
         tuples = sorted(list(pickle.load(f)))

@@ -82,9 +82,88 @@ def run_affectnet_csv(args):
     print(f"affectnet-csv: saved {n} aligned crops -> {args.outdir}")
 
 
+def run_detect_crop(args):
+    """face_detection.py equivalent: detector bounding-box crops of the
+    AffectNet CSV rows, saved as `<label>_<origname>` (reference
+    face_reenactment/scripts/face_detection.py:15-26). The detector is
+    external as upstream (MTCNN there); uses the `mtcnn` package when
+    importable, else the FAN landmark bbox."""
+    import csv
+
+    detect_box = None
+    try:
+        from mtcnn import MTCNN  # optional, as upstream
+
+        det = MTCNN()
+
+        def detect_box(img):
+            d = det.detect_faces(img)
+            return d[0]["box"] if d else None
+    except ImportError:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from preprocess_mead import make_fan_detector
+
+        fan = make_fan_detector(args.device)
+
+        def detect_box(img):
+            lm = fan(img)
+            if lm is None:
+                return None
+            x0, y0 = lm[:, 0].min(), lm[:, 1].min()
+            return [int(x0), int(y0), int(lm[:, 0].max() - x0),
+                    int(lm[:, 1].max() - y0)]
+
+    os.makedirs(args.outdir, exist_ok=True)
+    n = 0
+    with open(args.csv) as f:
+        for row in csv.DictReader(f):
+            label = int(row["expression"])
+            if not 0 <= label <= 7:
+                continue
+            path = os.path.join(args.images, row["subDirectory_filePath"])
+            if not os.path.exists(path):
+                continue
+            img = np.asarray(Image.open(path).convert("RGB"))
+            box = detect_box(img)
+            if box is None:
+                continue
+            x, y, w, h = box
+            name = os.path.basename(row["subDirectory_filePath"])
+            Image.fromarray(img[y:y + h, x:x + w]).save(
+                os.path.join(args.outdir, f"{label}_{name}")
+            )
+            n += 1
+    print(f"detect-crop: saved {n} face crops -> {args.outdir}")
+
+
+def run_openface(args):
+    """affectnet_openface.py equivalent: run the OpenFace FaceLandmarkImg
+    binary (AU extraction + 128px sim-aligned crops) over the CSV rows
+    (reference face_reenactment/scripts/affectnet_openface.py:12-22)."""
+    import csv
+    import subprocess
+
+    cmd = (f"{args.openface_bin} -f {{img}} -out_dir {args.outdir} -aus "
+           "-simalign -au_static -nobadaligned -simsize 128 "
+           "-format_aligned jpg -nomask")
+    os.makedirs(args.outdir, exist_ok=True)
+    n = 0
+    with open(args.csv) as f:
+        for row in csv.DictReader(f):
+            if not 0 <= int(row["expression"]) <= 7:
+                continue
+            path = os.path.join(args.images, row["subDirectory_filePath"])
+            if not os.path.exists(path):
+                continue
+            subprocess.run(cmd.format(img=path).split(), check=False)
+            n += 1
+    print(f"openface: processed {n} images -> {args.outdir}")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["align", "mask", "mouth", "affectnet-csv"],
+    ap.add_argument("--mode", choices=["align", "mask", "mouth", "affectnet-csv",
+                                       "detect-crop", "openface"],
                     required=True)
     ap.add_argument("--images", required=True, help="dir of jpg/png frames")
     ap.add_argument("--landmarks", default=None,
@@ -96,10 +175,14 @@ def main():
     ap.add_argument("--csv", default=None,
                     help="AffectNet Manually_Annotated file list (affectnet-csv)")
     ap.add_argument("--device", default="cpu")
+    ap.add_argument("--openface-bin", default="FaceLandmarkImg",
+                    help="OpenFace FaceLandmarkImg binary (openface mode)")
     args = ap.parse_args()
-    if args.mode == "affectnet-csv":
-        assert args.csv, "--csv required for affectnet-csv"
-        return run_affectnet_csv(args)
+    if args.mode in ("affectnet-csv", "detect-crop", "openface"):
+        assert args.csv, f"--csv required for {args.mode}"
+        return {"affectnet-csv": run_affectnet_csv,
+                "detect-crop": run_detect_crop,
+                "openface": run_openface}[args.mode](args)
     assert args.landmarks, "--landmarks required"
 
     os.makedirs(args.outdir, exist_ok=True)

@@ -69,6 +69,33 @@ def test_wav2vec2_parity():
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
 
 
+def test_wav2vec2_ctc_bundle_parity():
+    """The 'bundle' audio precompute variant (reference mead_bundle.py:44-59):
+    CTC emission logits at native 49 Hz, interpolated to the frame rate AFTER
+    the whole model — vs a transformers Wav2Vec2ForCTC oracle."""
+    import torch.nn.functional as TF
+
+    hf_cfg, cfg = _tiny_cfg()
+    cfg = w2v.Wav2Vec2Config(**{**cfg.__dict__, "ctc_vocab": hf_cfg.vocab_size})
+    hf_cfg.final_dropout = 0.0
+    torch.manual_seed(7)
+    tm = transformers.Wav2Vec2ForCTC(hf_cfg).eval()
+
+    rs = np.random.RandomState(8)
+    audio = rs.randn(1, 800).astype(np.float32) * 0.1
+    with torch.no_grad():
+        emission = tm(torch.from_numpy(audio)).logits  # [1, T, vocab]
+    F = 9
+    ref = TF.interpolate(emission.transpose(1, 2), size=F,
+                         align_corners=True, mode="linear").transpose(1, 2)
+
+    params = w2v.convert_wav2vec2(tm.state_dict(), cfg)
+    logits = w2v.Wav2Vec2(cfg).apply({"params": params}, jnp.asarray(audio))
+    out = w2v.interp_align_corners(logits, F)
+    assert out.shape == ref.shape == (1, F, hf_cfg.vocab_size)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-4, rtol=1e-3)
+
+
 def test_interp_align_corners_matches_torch():
     import torch.nn.functional as F
 
