@@ -112,3 +112,28 @@ def make_vqgan_train_step(
         return new_state, metrics
 
     return step
+
+
+def make_vqgan_eval_step(model: VQModel, loss: VQGANLoss) -> Callable:
+    """Validation pass (reference VQModel.validation_step,
+    autoencoder.py:165-196): generator + discriminator losses on a val batch,
+    no updates; rec_loss is the perceptual-weighted reconstruction NLL the
+    reference monitors (val/rec_loss in the checkpoint filenames)."""
+
+    def step(state: VQGANTrainState, batch: Dict):
+        x = batch["image"]
+        rec, qloss, _ = model.apply({"params": state.ae_params}, x)
+        g_total, g_log = loss.generator_loss(
+            state.loss_params, qloss, x, rec, state.step
+        )
+        d_total, d_log = loss.discriminator_loss(
+            state.loss_params, x, rec, state.step
+        )
+        return {
+            "val/rec_loss": g_log["nll_loss"],
+            "val/aeloss": g_total,
+            "val/quant_loss": g_log["quant_loss"],
+            "val/disc_loss": d_total,
+        }
+
+    return step

@@ -19,7 +19,7 @@ from ..config import instantiate_from_config
 from ..losses.vqperceptual import VQGANLoss
 from ..models.autoencoder import VQModel
 from ..parallel import is_main_process, make_mesh, replicate, shard_batch
-from .vqgan import create_vqgan_state, make_vqgan_train_step
+from .vqgan import create_vqgan_state, make_vqgan_eval_step, make_vqgan_train_step
 
 
 def build_vqgan(model_cfg: Dict):
@@ -63,11 +63,17 @@ class VQGANTrainer:
         self.batch_size = data_cfg.get("batch_size", 8)
         from ..data import DataLoader
 
-        self.train_data = None
+        self.train_data = self.val_data = None
         if "train" in data_cfg:
             self.train_data = DataLoader(
                 instantiate_from_config(data_cfg["train"]),
                 batch_size=self.batch_size, shuffle=True,
+                num_workers=data_cfg.get("num_workers", 4), seed=seed,
+            )
+        if "validation" in data_cfg:
+            self.val_data = DataLoader(
+                instantiate_from_config(data_cfg["validation"]),
+                batch_size=self.batch_size, shuffle=False,
                 num_workers=data_cfg.get("num_workers", 4), seed=seed,
             )
         n_dev = int(np.prod(self.mesh.devices.shape))
@@ -75,6 +81,12 @@ class VQGANTrainer:
         self.lr = base_lr * self.batch_size * n_dev
         self._metrics_file = open(os.path.join(logdir, "metrics.jsonl"), "a")
         self._state = None
+        # top-k checkpoints on val/rec_loss with metric-embedded names, the
+        # reference's VQ checkpoint convention (main.py:588-599; e.g.
+        # "epoch=5-val_rec_loss=0.138" in affectnet-128-ldm-vq-f4.yaml:47)
+        self.save_top_k = config.get("lightning", {}).get(
+            "modelcheckpoint", {}).get("params", {}).get("save_top_k", 5)
+        self._topk: list = []
 
     def init_state(self, image_shape):
         state, ae_tx, disc_tx = create_vqgan_state(
@@ -85,6 +97,7 @@ class VQGANTrainer:
         self._step = jax.jit(
             make_vqgan_train_step(self.model, self.loss, ae_tx, disc_tx)
         )
+        self._eval_step = jax.jit(make_vqgan_eval_step(self.model, self.loss))
         return self._state
 
     def save_checkpoint(self, name: str):
@@ -95,14 +108,68 @@ class VQGANTrainer:
         ckptr.save(path, jax.device_get(self._state), force=True)
         ckptr.wait_until_finished()
 
-    def fit(self, epochs: int = 1, log_every: int = 100):
+    def validate(self, max_batches: Optional[int] = None) -> Optional[Dict]:
+        if self.val_data is None:
+            return None
+        sums, n = {}, 0
+        for i, batch in enumerate(self.val_data):
+            if max_batches is not None and i >= max_batches:
+                break
+            sb = shard_batch(self.mesh, {"image": jnp.asarray(batch["image"])})
+            m = self._eval_step(self._state, sb)
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def save_topk_checkpoint(self, score: float, step: int):
+        import shutil
+
+        if len(self._topk) >= self.save_top_k and score >= self._topk[-1][0]:
+            return
+        name = f"step={step:08d}-val_rec_loss={score:.5f}"
+        self.save_checkpoint(name)
+        self._topk.append((score, name))
+        self._topk.sort(key=lambda t: t[0])
+        while len(self._topk) > self.save_top_k:
+            _, worst = self._topk.pop()
+            if is_main_process():
+                shutil.rmtree(os.path.join(self.logdir, "checkpoints", worst),
+                              ignore_errors=True)
+
+    def log_reconstructions(self, batch, step: int, n: int = 4):
+        """inputs | reconstructions grid (reference VQModel.log_images,
+        autoencoder.py:216-231)."""
+        if jax.process_count() > 1:
+            return
+        x = jnp.asarray(batch["image"])[:n]
+        rec, _, _ = jax.jit(self.model.apply)({"params": self._state.ae_params}, x)
+        outdir = os.path.join(self.logdir, "images")
+        os.makedirs(outdir, exist_ok=True)
+        arr = np.asarray(jnp.clip(jnp.concatenate([x, rec], axis=0), -1, 1))
+        np.save(os.path.join(outdir, f"recon_step{step:08d}.npy"), arr)
+        try:
+            from PIL import Image
+
+            row = np.concatenate(list((arr + 1) * 127.5), axis=1).astype(np.uint8)
+            Image.fromarray(row).save(
+                os.path.join(outdir, f"recon_step{step:08d}.png"))
+        except Exception:
+            pass
+
+    def fit(self, epochs: int = 1, log_every: int = 100,
+            image_every: Optional[int] = None,
+            val_max_batches: Optional[int] = None):
         assert self.train_data is not None
+        first_batch = None
         for epoch in range(epochs):
             t0 = time.time()
             for batch in self.train_data:
                 jb = {"image": jnp.asarray(batch["image"])}
                 if self._state is None:
                     self.init_state(jb["image"].shape)
+                if first_batch is None:
+                    first_batch = batch
                 sb = shard_batch(self.mesh, jb)
                 self._state, metrics = self._step(self._state, sb)
                 step = int(self._state.step)
@@ -111,9 +178,20 @@ class VQGANTrainer:
                     rec.update({k: float(v) for k, v in metrics.items()})
                     self._metrics_file.write(json.dumps(rec) + "\n")
                     self._metrics_file.flush()
+                if image_every and step % image_every == 0:
+                    self.log_reconstructions(first_batch, step)
                 if self.max_steps is not None and step >= self.max_steps:
                     break
             print(f"epoch {epoch}: {time.time() - t0:.1f}s, step {int(self._state.step)}")
+            val = self.validate(max_batches=val_max_batches)
+            if val is not None:
+                step = int(self._state.step)
+                if is_main_process():
+                    self._metrics_file.write(json.dumps(
+                        {"step": step, "split": "val",
+                         **{k: float(v) for k, v in val.items()}}) + "\n")
+                    self._metrics_file.flush()
+                self.save_topk_checkpoint(float(val["val/rec_loss"]), step)
             self.save_checkpoint("last")
             if self.max_steps is not None and int(self._state.step) >= self.max_steps:
                 break
