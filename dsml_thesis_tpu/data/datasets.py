@@ -386,6 +386,9 @@ class DataLoader:
                 process_count = jax.process_count()
             except Exception:
                 process_index, process_count = 0, 1
+        if process_index is None:
+            process_index = 0
+        assert 0 <= process_index < process_count
         assert batch_size % process_count == 0, (
             f"global batch_size {batch_size} must divide evenly over "
             f"{process_count} processes"
@@ -395,7 +398,10 @@ class DataLoader:
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        if self.drop_last or self.process_count > 1:
+            # multi-process always drops the ragged tail (see _batches)
+            return n // self.batch_size
+        return -(-n // self.batch_size)
 
     def _batches(self):
         idx = np.arange(len(self.dataset))
@@ -411,22 +417,44 @@ class DataLoader:
 
     def __iter__(self):
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
         batches = list(self._batches())
         self.epoch += 1
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def worker():
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in batches:
-                    examples = list(pool.map(self.dataset.__getitem__, b))
-                    q.put(collate(examples))
-            q.put(None)
+                    if stop.is_set():
+                        return
+                    if not put(collate(list(pool.map(self.dataset.__getitem__, b)))):
+                        return
+            put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            # consumer stopped early (break / max_batches): release the
+            # producer so its thread + pool + prefetched batches don't leak
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue_mod.Empty:
+                pass

@@ -33,8 +33,12 @@ def distributed_init(coordinator_address: Optional[str] = None,
     environment (TPU pod metadata / SLURM / env vars) — the standard path on
     Cloud TPU pods. Replaces the reference's implicit torch.distributed
     process-group setup inside PyTorch Lightning DDP (main.py:532).
+
+    Must run before any JAX call that initializes the XLA backend (so the
+    idempotence guard is jax.distributed.is_initialized, NOT process_count,
+    which would itself initialize the backend and break initialize()).
     """
-    if jax.process_count() > 1:  # already initialized
+    if jax.distributed.is_initialized():
         return
     try:
         jax.distributed.initialize(
@@ -42,7 +46,7 @@ def distributed_init(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError) as e:  # single-process / already init
+    except ValueError as e:  # auto-detect found no cluster environment
         if coordinator_address is not None or num_processes is not None:
             raise
         print(f"distributed_init: staying single-process ({e})")

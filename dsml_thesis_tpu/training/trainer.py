@@ -1,8 +1,12 @@
 """Config-driven training harness.
 
 Replaces the reference's PyTorch-Lightning spine (main.py:427-753):
-  - LR scaling: lr = accumulate × n_devices × batch_size × base_lr
-    (main.py:686-701), disable with scale_lr=False
+  - LR scaling: lr = accumulate × batch_size × base_lr, where batch_size is
+    the GLOBAL batch. This is the reference rule (main.py:686-701,
+    accumulate × n_gpu × per-gpu-bs × base_lr) expressed in effective-batch
+    terms — under DDP the global batch is n_gpu × per-gpu-bs, here the YAML
+    batch_size IS the global batch, independent of chip/host count. Disable
+    with scale_lr=False.
   - top-k Orbax checkpointing keyed on the model monitor (main.py:580-599)
   - signal-based save: SIGTERM/SIGUSR1 -> checkpoint 'last' (main.py:708-725)
   - periodic image logging: input / reconstruction / CFG samples grids
@@ -78,6 +82,9 @@ class Trainer:
                 instantiate_from_config(self.data_cfg["train"]),
                 batch_size=bs, shuffle=True, num_workers=nw, seed=seed,
             )
+        # eval splits drop the ragged tail (< batch_size samples): SPMD
+        # sharding needs the batch axis divisible by the data mesh — a
+        # documented divergence from the reference's full-set validation
         if "validation" in self.data_cfg:
             self.val_data = DataLoader(
                 instantiate_from_config(self.data_cfg["validation"]),
@@ -94,9 +101,8 @@ class Trainer:
         accumulate = self.lightning_cfg.get("trainer", {}).get(
             "accumulate_grad_batches", 1
         )
-        n_dev = int(np.prod(self.mesh.devices.shape))
         if config.get("scale_lr", True):
-            self.lr = accumulate * n_dev * bs * base_lr
+            self.lr = accumulate * bs * base_lr
         else:
             self.lr = base_lr
         self.grad_accum = accumulate
@@ -195,21 +201,13 @@ class Trainer:
     def save_topk_checkpoint(self, score: float, monitor: str, step: int):
         """Keep the best save_top_k checkpoints, metric in the filename
         (reference main.py:588-599)."""
-        import shutil
+        from .checkpointing import save_topk
 
-        if len(self._topk) >= self.save_top_k and score >= self._topk[-1][0]:
-            return  # cannot enter the top-k: skip the (multi-GB) serialization
-        name = f"step={step:08d}-{monitor}={score:.5f}"
-        self.save_checkpoint(name)
-        self._topk.append((score, name))
-        self._topk.sort(key=lambda t: t[0])
-        if len(self._topk) > self.save_top_k:
-            self.wait_for_checkpoints()  # don't delete an in-flight save
-        while len(self._topk) > self.save_top_k:
-            _, worst = self._topk.pop()
-            if is_main_process():  # shared fs: evict once
-                shutil.rmtree(os.path.join(self.logdir, "checkpoints", worst),
-                              ignore_errors=True)
+        save_topk(self._topk, self.save_top_k, score,
+                  f"step={step:08d}-{monitor}={score:.5f}",
+                  self.save_checkpoint,
+                  os.path.join(self.logdir, "checkpoints"),
+                  wait_fn=self.wait_for_checkpoints)
 
     # ---------- logging ----------
 
@@ -363,13 +361,14 @@ class Trainer:
 
                 val = self.validate(jax.random.fold_in(rng, epoch),
                                     max_batches=val_max_batches)
+                score = val.get(monitor, val.get("val_loss"))
                 val["epoch_seconds"] = epoch_s
                 val.update(device_memory_stats())
                 self.log_metrics(val, int(self._state.step), split="val")
-                score = val.get(monitor, val.get("val_loss", float("inf")))
-                self.save_topk_checkpoint(
-                    float(score), monitor, int(self._state.step)
-                )
+                if score is not None:  # val split smaller than one batch
+                    self.save_topk_checkpoint(
+                        float(score), monitor, int(self._state.step)
+                    )
             self.save_checkpoint("last")
             if self._should_stop or (
                 self.max_steps is not None and int(self._state.step) >= self.max_steps

@@ -76,9 +76,10 @@ class VQGANTrainer:
                 batch_size=self.batch_size, shuffle=False,
                 num_workers=data_cfg.get("num_workers", 4), seed=seed,
             )
-        n_dev = int(np.prod(self.mesh.devices.shape))
+        # effective-batch LR rule (see Trainer docstring): batch_size is the
+        # GLOBAL batch, so the scale is chip/host-count invariant
         base_lr = config["model"].get("base_learning_rate", 4.5e-6)
-        self.lr = base_lr * self.batch_size * n_dev
+        self.lr = base_lr * self.batch_size
         self._metrics_file = open(os.path.join(logdir, "metrics.jsonl"), "a")
         self._state = None
         # top-k checkpoints on val/rec_loss with metric-embedded names, the
@@ -98,6 +99,7 @@ class VQGANTrainer:
             make_vqgan_train_step(self.model, self.loss, ae_tx, disc_tx)
         )
         self._eval_step = jax.jit(make_vqgan_eval_step(self.model, self.loss))
+        self._recon_fn = jax.jit(self.model.apply)  # once: reused every log
         return self._state
 
     def save_checkpoint(self, name: str):
@@ -123,19 +125,12 @@ class VQGANTrainer:
         return {k: v / max(n, 1) for k, v in sums.items()}
 
     def save_topk_checkpoint(self, score: float, step: int):
-        import shutil
+        from .checkpointing import save_topk
 
-        if len(self._topk) >= self.save_top_k and score >= self._topk[-1][0]:
-            return
-        name = f"step={step:08d}-val_rec_loss={score:.5f}"
-        self.save_checkpoint(name)
-        self._topk.append((score, name))
-        self._topk.sort(key=lambda t: t[0])
-        while len(self._topk) > self.save_top_k:
-            _, worst = self._topk.pop()
-            if is_main_process():
-                shutil.rmtree(os.path.join(self.logdir, "checkpoints", worst),
-                              ignore_errors=True)
+        save_topk(self._topk, self.save_top_k, score,
+                  f"step={step:08d}-val_rec_loss={score:.5f}",
+                  self.save_checkpoint,
+                  os.path.join(self.logdir, "checkpoints"))
 
     def log_reconstructions(self, batch, step: int, n: int = 4):
         """inputs | reconstructions grid (reference VQModel.log_images,
@@ -143,7 +138,7 @@ class VQGANTrainer:
         if jax.process_count() > 1:
             return
         x = jnp.asarray(batch["image"])[:n]
-        rec, _, _ = jax.jit(self.model.apply)({"params": self._state.ae_params}, x)
+        rec, _, _ = self._recon_fn({"params": self._state.ae_params}, x)
         outdir = os.path.join(self.logdir, "images")
         os.makedirs(outdir, exist_ok=True)
         arr = np.asarray(jnp.clip(jnp.concatenate([x, rec], axis=0), -1, 1))
@@ -184,7 +179,7 @@ class VQGANTrainer:
                     break
             print(f"epoch {epoch}: {time.time() - t0:.1f}s, step {int(self._state.step)}")
             val = self.validate(max_batches=val_max_batches)
-            if val is not None:
+            if val:  # {} when the val split is smaller than one batch
                 step = int(self._state.step)
                 if is_main_process():
                     self._metrics_file.write(json.dumps(

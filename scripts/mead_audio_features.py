@@ -107,20 +107,21 @@ def main():
         del tm
         model = Wav2Vec2(cfg)
 
+        # wrap jit ONCE so its trace cache persists across clips: compiles
+        # only per distinct (audio_len, num_frames) shape pair, not per call
+        apply_jit = jax.jit(model.apply, static_argnames="num_frames")
+        apply_native_jit = jax.jit(model.apply)
+
         def featurize(wav: np.ndarray, num_frames: int) -> np.ndarray:
-            # jit caches per (audio_len, num_frames); feature shapes vary per
-            # clip — padding to buckets would amortize compiles if needed
             if bundle:
                 # full model at native 49 Hz, then interpolate the logits
-                out = jax.jit(model.apply)({"params": params},
-                                           jnp.asarray(wav)[None])
+                out = apply_native_jit({"params": params},
+                                       jnp.asarray(wav)[None])
                 return linear_interpolation_to_frames(
                     np.asarray(out[0]), num_frames
                 )
-            out = jax.jit(model.apply, static_argnames="num_frames")(
-                {"params": params}, jnp.asarray(wav)[None],
-                num_frames=num_frames,
-            )
+            out = apply_jit({"params": params}, jnp.asarray(wav)[None],
+                            num_frames=num_frames)
             return np.asarray(out[0])
     else:
         import torch

@@ -128,8 +128,15 @@ def run_detect_crop(args):
             if box is None:
                 continue
             x, y, w, h = box
+            # detectors return negative coords near image edges; clamp so the
+            # slice can't wrap around or come out empty
+            x0, y0 = max(int(x), 0), max(int(y), 0)
+            x1 = min(int(x) + int(w), img.shape[1])
+            y1 = min(int(y) + int(h), img.shape[0])
+            if x1 <= x0 or y1 <= y0:
+                continue
             name = os.path.basename(row["subDirectory_filePath"])
-            Image.fromarray(img[y:y + h, x:x + w]).save(
+            Image.fromarray(img[y0:y1, x0:x1]).save(
                 os.path.join(args.outdir, f"{label}_{name}")
             )
             n += 1
@@ -143,9 +150,6 @@ def run_openface(args):
     import csv
     import subprocess
 
-    cmd = (f"{args.openface_bin} -f {{img}} -out_dir {args.outdir} -aus "
-           "-simalign -au_static -nobadaligned -simsize 128 "
-           "-format_aligned jpg -nomask")
     os.makedirs(args.outdir, exist_ok=True)
     n = 0
     with open(args.csv) as f:
@@ -155,7 +159,13 @@ def run_openface(args):
             path = os.path.join(args.images, row["subDirectory_filePath"])
             if not os.path.exists(path):
                 continue
-            subprocess.run(cmd.format(img=path).split(), check=False)
+            # argv list, not str.split: paths may contain spaces
+            subprocess.run(
+                [args.openface_bin, "-f", path, "-out_dir", args.outdir,
+                 "-aus", "-simalign", "-au_static", "-nobadaligned",
+                 "-simsize", "128", "-format_aligned", "jpg", "-nomask"],
+                check=False,
+            )
             n += 1
     print(f"openface: processed {n} images -> {args.outdir}")
 

@@ -6,9 +6,12 @@ jax.make_array_from_process_local_data) and the deterministic per-process
 slicing in DataLoader (the DistributedSampler equivalent, reference
 main.py:532 DDP semantics).
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dsml_thesis_tpu.data.datasets import DataLoader, SyntheticDataset
 from dsml_thesis_tpu.parallel import distributed_init, is_main_process, make_mesh
@@ -58,12 +61,60 @@ def test_dataloader_drops_ragged_tail_multiprocess():
                     num_workers=1, process_index=0, process_count=2)
     batches = list(p0._batches())
     assert len(batches) == 1  # the 2-item tail cannot shard over 2 processes
+    assert len(p0) == 1  # __len__ agrees with iteration
     single = DataLoader(ds, batch_size=8, shuffle=False, drop_last=False,
                         num_workers=1, process_index=0, process_count=1)
-    assert len(list(single._batches())) == 2  # tail kept single-process
+    assert len(list(single._batches())) == len(single) == 2  # tail kept
+
+
+def test_dataloader_defaults_process_index_zero():
+    spec = {"x": ((2,), "float32")}
+    ds = SyntheticDataset(spec=spec, length=8, seed=0)
+    dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=1,
+                    process_count=2)  # index omitted -> 0
+    assert dl.process_index == 0
+    assert len(next(iter(dl._batches()))) == 2
+
+
+def test_dataloader_early_break_releases_producer():
+    """Breaking out of iteration mid-epoch (validate(max_batches=1)) must not
+    leave the producer thread blocked on the bounded queue forever."""
+    import threading
+    import time
+
+    spec = {"x": ((2,), "float32")}
+    ds = SyntheticDataset(spec=spec, length=64, seed=0)
+    before = threading.active_count()
+    for _ in range(5):
+        for i, _b in enumerate(DataLoader(ds, batch_size=4, shuffle=False,
+                                          num_workers=1, prefetch=1)):
+            if i == 0:
+                break
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before + 1  # producers exited
 
 
 def test_distributed_init_single_process_noop():
-    distributed_init()  # auto-detect path: stays single-process, no raise
-    assert jax.process_count() == 1
+    """In a FRESH process (backend not yet initialized), the auto-detect path
+    stays single-process without raising; a late call (backend already up, as
+    in this pytest process) raises RuntimeError instead of silently degrading
+    to N independent replicas on a pod."""
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "from dsml_thesis_tpu.parallel import distributed_init;"
+         "distributed_init();"
+         "print('pc', jax.process_count())"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "pc 1" in out.stdout, out.stderr
+
+    with pytest.raises(RuntimeError):
+        distributed_init()  # backend already initialized in this process
     assert is_main_process()

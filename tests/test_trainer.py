@@ -46,8 +46,10 @@ def test_trainer_fit_val_checkpoint(tmp_path):
     assert any(l["split"] == "train" for l in lines)
     assert any("val_loss_ema" in l for l in lines if l["split"] == "val")
 
-    # LR scaling: accumulate(1) * 8 devices * bs 8 * base 1e-5
-    np.testing.assert_allclose(trainer.lr, 8 * 8 * 1e-5, rtol=1e-6)
+    # LR scaling: accumulate(1) * global batch 8 * base 1e-5 — the reference's
+    # effective-batch rule (accum x n_gpu x per-gpu-bs), chip-count invariant
+    # since batch_size here is the global batch
+    np.testing.assert_allclose(trainer.lr, 8 * 1e-5, rtol=1e-6)
 
     # checkpoint round-trip
     assert os.path.isdir(tmp_path / "run" / "checkpoints" / "last")
