@@ -37,12 +37,16 @@ def progressive_video_sample(
     key: jax.Array,
     uncond_contexts: Optional[jnp.ndarray] = None,  # [B, F, L, D]
     guidance_scale: float = 1.0,
+    x_T: Optional[jnp.ndarray] = None,  # [B, F, h, w, c] injected init noise
 ) -> jnp.ndarray:
     """Generate all frames; returns latents [B, F, h, w, c].
 
     CFG swaps only the crossattn branch (reference ddim2cond.py:165-169); the
     concat branch (masked + identity latents) is shared between both branches,
     so the batch-doubled UNet call concatenates them identically.
+
+    x_T injects each frame's initial noise (parity tests / reproducibility —
+    the reference draws torch.randn per frame, :306); default PRNG-per-frame.
     """
     B, F = masked_latents.shape[:2]
     S = ddim.num_steps
@@ -52,7 +56,7 @@ def progressive_video_sample(
 
     def frame_step(carry, per_frame):
         z_id, key = carry
-        m_lat, ctx, uctx, kf = per_frame
+        m_lat, ctx, uctx, kf, xT_f = per_frame
         concat = jnp.concatenate([m_lat, z_id], axis=-1)  # [B, h, w, 2c]
 
         if use_cfg:
@@ -69,7 +73,8 @@ def progressive_video_sample(
             def eps_fn(x, t):
                 return apply_fn(x, t, ctx, concat)
 
-        img = jax.random.normal(kf, lat_shape, dtype=jnp.float32)
+        img = (xT_f if x_T is not None
+               else jax.random.normal(kf, lat_shape, dtype=jnp.float32))
 
         def ddim_step(img, i):
             index = S - 1 - i
@@ -91,6 +96,8 @@ def progressive_video_sample(
         jnp.moveaxis(contexts, 1, 0),        # [F, B, L, D]
         uc,
         frame_keys,
+        jnp.moveaxis(x_T.astype(jnp.float32), 1, 0) if x_T is not None
+        else jnp.zeros((F, 1, 1, 1, 1)),
     )
     # carry dtype is fp32 (generated latents come out of the fp32 eps math);
     # z_id0 may arrive bf16 from a cast first stage

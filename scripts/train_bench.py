@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark: img/s/chip on the MEAD 4-cond LDM.
+
+Times the jitted, donated train step (bf16 UNet, flash attention fwd+bwd)
+over synthetic batches at the real config shapes. The timed region is N
+dispatched steps closed by a device_get of the final loss — per-step
+block_until_ready is unreliable through the axon tunnel (CLAUDE.md), so only
+the whole-loop wall time is reported.
+
+Reference equivalent: the per-epoch seconds the CUDACallback prints
+(main.py:404-424); the recorded round-2 number is 223.6 img/s/chip at
+bs16/128px (PROFILE.md).
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config",
+                    default="configs/latent-diffusion/mead-128-ldm-f4.yaml")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--audio-window", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny CPU smoke (4 steps, 32px)")
+    args = ap.parse_args()
+
+    if args.cpu or args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from dsml_thesis_tpu.config import build_model, load_config
+    from dsml_thesis_tpu.training.train_state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    cfg = load_config([os.path.join(repo, args.config)])
+    if args.tiny:
+        args.batch, args.res, args.steps, args.warmup = 2, 32, 4, 1
+        up = cfg["model"]["params"]["unet_config"]["params"]
+        up["model_channels"] = 32
+        cfg["model"]["params"]["first_stage_config"]["params"]["ddconfig"][
+            "resolution"] = args.res
+
+    ldm = build_model(cfg["model"])
+    c2p = cfg["model"]["params"]["cond_stage_config_2"]["params"]
+    ctx_w, aud_dim = c2p["seq_len"], c2p["subspace_dim"]
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.randn(args.batch, args.res, args.res, 3),
+                             jnp.float32) * 0.3,
+        "masked_image": jnp.zeros((args.batch, args.res, args.res, 3)),
+        "identity": jnp.zeros((args.batch, args.res, args.res, 3)),
+        "class_label": jnp.zeros((args.batch,), jnp.int32),
+        "audio": jnp.asarray(rng.randn(args.batch, ctx_w, aud_dim),
+                             jnp.float32),
+    }
+
+    t0 = time.time()
+    params = ldm.init_params(jax.random.PRNGKey(0), batch)
+    tx = make_optimizer(ldm, params, base_lr=1e-4)
+    state = create_train_state(ldm, params, tx)
+    step_fn = jax.jit(make_train_step(ldm, tx), donate_argnums=(0,))
+    key = jax.random.PRNGKey(1)
+    print(f"# init {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    for i in range(args.warmup):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(key, i))
+    jax.device_get(metrics)
+    print(f"# compile+warmup {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    for i in range(args.steps):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(key, 100 + i))
+    loss = float(jax.device_get(metrics.get("train/loss", list(metrics.values())[0])))
+    dt = time.time() - t0
+    img_s = args.batch * args.steps / dt
+    print(f"# {args.steps} steps in {dt:.2f}s, loss {loss:.4f}")
+    print({"metric": "train_img_per_sec_per_chip",
+           "value": round(img_s, 1), "unit": "img/s/chip",
+           "ms_per_step": round(1000 * dt / args.steps, 1)})
+
+
+if __name__ == "__main__":
+    main()
