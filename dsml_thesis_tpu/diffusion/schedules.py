@@ -79,12 +79,18 @@ def make_strength_ddim_timesteps(
     strength: float,
 ) -> np.ndarray:
     """Strength-scaled uniform DDIM subsequence used by the DiffusionCLIP-style
-    editing stack (reference ddim2.py:9-29): only the first `strength` fraction
-    of the chain is traversed, discretized into num_ddim_timesteps steps."""
-    c = int(num_ddpm_timesteps * strength) // num_ddim_timesteps
-    ddim_timesteps = np.arange(0, int(num_ddpm_timesteps * strength), c)
-    ddim_timesteps = ddim_timesteps[:num_ddim_timesteps]
-    return ddim_timesteps + 1
+    editing stack: only the first `strength` fraction of the chain is
+    traversed, discretized into num_ddim_timesteps steps.
+
+    Every live reference copy (ddim2.py:9-29 and the private samplers in
+    compute_latents.py:54-75 / latent_manipulation(_tuned).py:52-72) uses the
+    LINSPACE discretization with the first step pinned to 1 — the arange+1
+    variant is commented-out dead code there. steps_out = [1] + linspace ends
+    the forward chain exactly at t = T*strength."""
+    ts = np.linspace(0, 1, num_ddim_timesteps) * int(num_ddpm_timesteps * strength)
+    ts = np.asarray([int(s) for s in ts], dtype=np.int64)
+    ts[0] = 1
+    return ts
 
 
 def make_ddim_sampling_parameters(
