@@ -91,6 +91,69 @@ def test_strength_timesteps_match_reference_linspace():
         np.testing.assert_array_equal(ours, np.asarray(ref))
 
 
+def test_latent_manipulation_matches_reference():
+    """Emotion-edit chain (latent_manipulation.py:421-489): forward inversion
+    under the SOURCE conditioning, reverse under the TARGET conditioning,
+    CFG on both passes."""
+    install_reference_path(root=REFERENCE_ROOT)
+    for name in ("albumentations", "librosa", "cv2"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            sys.modules[name] = m
+    spec = importlib.util.spec_from_file_location(
+        "latent_manipulation_ref",
+        os.path.join(REFERENCE_ROOT, "latent_manipulation.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sys.path.insert(0, REFERENCE_ROOT)
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel as TorchUNet
+
+    from dsml_thesis_tpu.diffusion import latent_manipulation
+
+    mod.DDIMSampler.register_buffer = (
+        lambda self, name, attr: setattr(self, name, attr)
+    )
+    torch.manual_seed(4)
+    tm = TorchUNet(image_size=16, **{**UNET_KW,
+                                     "attention_resolutions": [2],
+                                     "channel_mult": [1, 2]}).eval()
+    sched = make_schedule("linear", 100, 0.0015, 0.0205)
+    sampler = mod.DDIMSampler(_OracleModel(tm, sched))
+
+    rs = np.random.RandomState(5)
+    x0 = rs.randn(2, 3, 16, 16).astype(np.float32) * 0.3
+    c_src = rs.randn(2, 1, 24).astype(np.float32)
+    c_trg = rs.randn(2, 1, 24).astype(np.float32)
+    uc = rs.randn(2, 1, 24).astype(np.float32)
+    S, strength, scale = 4, 0.5, 2.0
+
+    with torch.no_grad():
+        edited, _, _ = sampler.latent_manipulation(
+            c_src=torch.from_numpy(c_src), c_trg=torch.from_numpy(c_trg),
+            S=S, batch_size=2, shape=(3, 16, 16),
+            x0=torch.from_numpy(x0), eta=0.0, strength=strength,
+            verbose=False, unconditional_guidance_scale=scale,
+            unconditional_conditioning=torch.from_numpy(uc),
+        )
+    ref = edited.numpy()
+
+    params = convert.convert_unet(
+        tm.state_dict(), num_res_blocks=1, channel_mult=(1, 2),
+        attention_resolutions=(2,),
+    )
+    jm = UNetModel(**UNET_KW)
+    apply_fn = lambda x, t, c: jm.apply({"params": params}, x, t, c)
+    eps_src = cfg_eps_fn(apply_fn, jnp.asarray(c_src), jnp.asarray(uc), scale)
+    eps_trg = cfg_eps_fn(apply_fn, jnp.asarray(c_trg), jnp.asarray(uc), scale)
+    ddim = make_ddim_schedule(sched, S, eta=0.0, strength=strength)
+    out, _ = latent_manipulation(ddim, eps_src, eps_trg,
+                                 jnp.asarray(x0.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref, atol=5e-3, rtol=1e-3)
+
+
 @pytest.mark.parametrize("scale", [1.0, 2.5])
 def test_inversion_chain_matches_reference(scale):
     mod = _load_reference_script()
