@@ -5,10 +5,11 @@ normal(0, 0.02) conv init, BatchNorm), taming/modules/losses/vqperceptual.py
 hinge_d_loss/vanilla_d_loss, and the warmup gate adopt_weight
 (ldm/modules/losses/vqperceptual.py:21-24).
 
-TPU note: BatchNorm is replaced by GroupNorm by default (batch statistics
-would otherwise need cross-replica sync over the data mesh; GroupNorm is the
-standard drop-in for patch discriminators and keeps the step fully SPMD).
-Set use_batch_stats=True only for converted-weight parity evaluation.
+TPU note (intentional divergence): BatchNorm is replaced by GroupNorm (batch
+statistics would otherwise need cross-replica sync over the data mesh;
+GroupNorm is the standard drop-in for patch discriminators and keeps the step
+fully SPMD). Reference discriminator weights therefore do not convert — the
+discriminator is a training-time auxiliary that is retrained from scratch.
 """
 from __future__ import annotations
 

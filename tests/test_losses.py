@@ -88,3 +88,51 @@ def test_vqgan_train_step():
         new_state.loss_params["discriminator"],
     )
     assert max(jax.tree.leaves(d_disc)) > 0
+
+
+def test_gan_loss_formulas_match_reference():
+    """hinge/vanilla d-loss and adopt_weight value parity vs the reference
+    functions (taming/modules/losses/vqperceptual.py:14-31) on shared
+    random logits."""
+    import os
+    import sys
+
+    torch = pytest.importorskip("torch")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_oracle import install_reference_path, reference_available
+
+    if not reference_available():
+        pytest.skip("reference tree not mounted")
+    install_reference_path()
+    if "torchvision" not in sys.modules:  # lpips.py header import, unused here
+        import types
+
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+    from taming.modules.losses.vqperceptual import (
+        adopt_weight as ref_adopt,
+        hinge_d_loss as ref_hinge,
+        vanilla_d_loss as ref_vanilla,
+    )
+
+    from dsml_thesis_tpu.losses.discriminator import (
+        adopt_weight,
+        hinge_d_loss,
+        vanilla_d_loss,
+    )
+
+    rs = np.random.RandomState(0)
+    lr = rs.randn(2, 6, 6, 1).astype(np.float32)
+    lf = rs.randn(2, 6, 6, 1).astype(np.float32)
+    tr, tf = torch.from_numpy(lr), torch.from_numpy(lf)
+    np.testing.assert_allclose(
+        float(hinge_d_loss(jnp.asarray(lr), jnp.asarray(lf))),
+        float(ref_hinge(tr, tf)), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(vanilla_d_loss(jnp.asarray(lr), jnp.asarray(lf))),
+        float(ref_vanilla(tr, tf)), rtol=1e-6)
+    for step, thr in ((0, 5), (5, 5), (9, 5)):
+        assert float(adopt_weight(2.0, step, thr)) == ref_adopt(2.0, step, thr)
