@@ -264,9 +264,11 @@ class AutoencoderKL(nn.Module):
     def decode(self, z, deterministic: bool = True):
         return self.decoder(self.post_quant_conv(z), deterministic)
 
-    def __call__(self, x, key=None, sample_posterior: bool = True,
+    def __call__(self, x, key=None, sample_posterior: Optional[bool] = None,
                  deterministic: bool = True):
         posterior = self.encode(x, deterministic)
+        if sample_posterior is None:  # sample iff a key was provided
+            sample_posterior = key is not None
         z = posterior.sample(key) if sample_posterior else posterior.mode()
         return self.decode(z, deterministic), posterior
 

@@ -84,16 +84,21 @@ class LatentDiffusion:
         params: Dict[str, Any] = {}
         x = batch[self.first_stage_key]
         if self.first_stage is not None:
-            params["first_stage"] = jax.jit(self.first_stage.init)(keys[0], x)["params"]
             if self.first_stage_key == "latent":
-                # batch already carries cached latents (LatentDiffusionCLIP,
-                # first_stage_key: latent in the clip-ldm yaml) — the first
-                # stage is only used for decoding
+                # batch carries cached latents (LatentDiffusionCLIP,
+                # first_stage_key: latent) — already scale-factored by
+                # compute_latents; the first stage only decodes. Initialize
+                # it on an IMAGE-shaped dummy so param shapes match real
+                # checkpoints even when embed_dim != image channels.
                 z = x
+                fs_in = self._dummy_image_for_latent(x)
             else:
-                z = self.first_stage.apply(
-                    {"params": params["first_stage"]}, x, method="encode"
-                ) * self.scale_factor
+                fs_in = x
+            params["first_stage"] = jax.jit(self.first_stage.init)(
+                keys[0], fs_in
+            )["params"]
+            if self.first_stage_key != "latent":
+                z = self.encode_first_stage(params, x)
         else:
             z = x * self.scale_factor
 
@@ -101,9 +106,11 @@ class LatentDiffusion:
         for i, spec in enumerate(self.cond_specs):
             if spec.module is not None:
                 rngs = {"params": keys[2 + i], "cfg": jax.random.fold_in(keys[2 + i], 1)}
-                cp = spec.module.init(rngs, batch[spec.key], training=False)
+                out, cp = spec.module.init_with_output(
+                    rngs, batch[spec.key], training=False
+                )
                 params[f"cond/{spec.key}"] = cp["params"]
-                cond[spec.key] = spec.module.apply(cp, batch[spec.key], training=False)
+                cond[spec.key] = out
             else:
                 cond[spec.key] = batch[spec.key]
         c = self._route_conditioning(params, cond)
@@ -113,16 +120,32 @@ class LatentDiffusion:
         params["unet"] = jax.jit(self.unet.init)(keys[1], x_in, t, c["crossattn"])["params"]
         return params
 
+    def _dummy_image_for_latent(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Image-shaped zeros matching latent z through the first stage's
+        downsampling factor (for shape-only init when the batch carries
+        cached latents)."""
+        dd = getattr(self.first_stage, "ddconfig", None)
+        if not dd:
+            return z
+        f = 2 ** (len(dd["ch_mult"]) - 1)
+        b, h, w = z.shape[0], z.shape[1], z.shape[2]
+        return jnp.zeros((b, h * f, w * f, dd.get("in_channels", 3)), z.dtype)
+
     # ---------- first stage (always frozen, like reference ddpm.py:501-508) ----------
 
-    def encode_first_stage(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    def encode_first_stage(self, params: Dict, x: jnp.ndarray,
+                           rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """rng samples the KL posterior (the reference's
+        get_first_stage_encoding draws posterior.sample() during training,
+        ddpm.py:533-541); without rng the deterministic mode is used. VQ
+        first stages return plain arrays and ignore it."""
         if self.first_stage is None:
-            return x
+            return x * self.scale_factor
         z = self.first_stage.apply(
             {"params": params["first_stage"]}, x, method="encode"
         )
         if isinstance(z, DiagonalGaussian):
-            z = z.mode()
+            z = z.sample(rng) if rng is not None else z.mode()
         return jax.lax.stop_gradient(z * self.scale_factor)
 
     def decode_first_stage(self, params: Dict, z: jnp.ndarray,
@@ -134,9 +157,15 @@ class LatentDiffusion:
             return z
         z = z / self.scale_factor
         frozen = jax.tree.map(jax.lax.stop_gradient, params["first_stage"])
+        kwargs = {}
+        import inspect
+
+        if "force_not_quantize" in inspect.signature(
+            self.first_stage.decode
+        ).parameters:  # VQ interface only; KL decode has no quantizer
+            kwargs["force_not_quantize"] = force_not_quantize
         return self.first_stage.apply(
-            {"params": frozen}, z,
-            force_not_quantize=force_not_quantize, method="decode",
+            {"params": frozen}, z, method="decode", **kwargs
         )
 
     # ---------- conditioning ----------
@@ -194,18 +223,24 @@ class LatentDiffusion:
                                 null: bool = False) -> jnp.ndarray:
         """Context tokens only (skip concat streams) — used by the progressive
         video sampler, which supplies the masked/identity latents inside its
-        own scan. null=True returns the CFG unconditional branch."""
-        parts = []
+        own scan. null=True returns the CFG unconditional branch. Streams join
+        exactly as in _route_conditioning: feature-concat then token-concat."""
+        feats, toks = [], []
         for spec in self.cond_specs:
             if not spec.route.startswith("crossattn") or spec.module is None:
                 continue
             p = {"params": params[f"cond/{spec.key}"]}
             if null and hasattr(spec.module, "null_token"):
                 bs = next(v.shape[0] for v in batch.values() if v is not None)
-                parts.append(spec.module.apply(p, method="null_token", batch_size=bs))
+                out = spec.module.apply(p, method="null_token", batch_size=bs)
             else:
-                parts.append(spec.module.apply(p, batch[spec.key], training=False))
-        return jnp.concatenate(parts, axis=-1)
+                out = spec.module.apply(p, batch[spec.key], training=False)
+            (feats if spec.route == "crossattn_feature" else toks).append(out)
+        ctx = jnp.concatenate(feats, axis=-1) if feats else None
+        if toks:
+            tok = jnp.concatenate(toks, axis=1)
+            ctx = tok if ctx is None else jnp.concatenate([ctx, tok], axis=1)
+        return ctx
 
     def null_conditioning(self, params: Dict, batch: Dict, batch_size: int):
         """CFG unconditional branch: crossattn streams from each encoder's
@@ -245,9 +280,14 @@ class LatentDiffusion:
 
     def training_loss(self, params: Dict, batch: Dict, rng: jax.Array):
         """shared_step → get_input → p_losses (reference ddpm.py:866-1045)."""
-        k_t, k_noise, k_cond = jax.random.split(rng, 3)
+        k_t, k_noise, k_cond, k_enc = jax.random.split(rng, 4)
         x = batch[self.first_stage_key]
-        z = self.encode_first_stage(params, x) if self.first_stage is not None else x
+        if self.first_stage_key == "latent":
+            # cached latents (compute_latents) are already scale-factored —
+            # do NOT push them through the encoder again
+            z = x
+        else:
+            z = self.encode_first_stage(params, x, rng=k_enc)
         cond = self.encode_conditioning(params, batch, training=True, rng=k_cond)
 
         b = z.shape[0]
@@ -269,6 +309,13 @@ class LatentDiffusion:
     def make_eps_fn(
         self, params: Dict, cond, uncond=None, scale: float = 1.0
     ) -> Callable:
+        if self.parameterization != "eps":
+            # p_sample_ddim's update algebra assumes the net predicts eps;
+            # fail loudly instead of sampling noise from an x0-model
+            raise NotImplementedError(
+                f"sampling implemented for parameterization='eps' only, "
+                f"got '{self.parameterization}'"
+            )
         apply = lambda x, t, c: self.apply_model(params, x, t, c)
         return cfg_eps_fn(apply, cond, uncond, scale)
 
@@ -304,7 +351,12 @@ class LatentDiffusion:
                 out[k] = False
             elif k.startswith("cond/"):
                 name = k.split("/", 1)[1]
-                spec = next(s for s in self.cond_specs if s.key == name)
+                spec = next((s for s in self.cond_specs if s.key == name), None)
+                if spec is None:
+                    raise KeyError(
+                        f"params group '{k}' has no matching CondSpec "
+                        f"(known: {[s.key for s in self.cond_specs]})"
+                    )
                 out[k] = spec.trainable
             else:
                 out[k] = True
