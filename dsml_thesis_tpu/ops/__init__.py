@@ -1,6 +1,7 @@
 from .attention import (
     attention_reference,
     flash_attention,
+    flash_attention_bwd,
     multi_head_attention,
 )
 from .groupnorm import (

@@ -141,13 +141,16 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
+    # dk/dv out buffers are fp32 regardless of model dtype: a bf16
+    # read-modify-write across the sequential q-block grid would re-round
+    # the running sum every step (cast to param dtype happens once, outside)
     dv_ref[0] += jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
-    dk_ref[0] += (scale * jax.lax.dot_general(
+    )
+    dk_ref[0] += scale * jax.lax.dot_general(
         ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )).astype(dk_ref.dtype)
+    )
     dq_ref[0] = (scale * jnp.dot(
         ds, k.astype(jnp.float32), preferred_element_type=jnp.float32
     )).astype(dq_ref.dtype)
@@ -180,8 +183,8 @@ def flash_attention_bwd(q, k, v, do, scale=None, block_q: int = 256,
         functools.partial(_flash_bwd_kernel, scale=scale),
         out_shape=(
             jax.ShapeDtypeStruct((bh, nq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, nk, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, nk, d), v.dtype),
+            jax.ShapeDtypeStruct((bh, nk, d), jnp.float32),  # fp32 accumulators
+            jax.ShapeDtypeStruct((bh, nk, d), jnp.float32),
         ),
         grid=(bh, nq_p // block_q),
         in_specs=[
@@ -201,21 +204,26 @@ def flash_attention_bwd(q, k, v, do, scale=None, block_q: int = 256,
     if pad_q:
         dq = dq[:, :nq]
     shape4 = lambda t, n: t.reshape(b, h, n, d)
-    return shape4(dq, nq), shape4(dk, nk), shape4(dv, nk)
+    return (shape4(dq, nq),
+            shape4(dk.astype(k.dtype), nk),
+            shape4(dv.astype(v.dtype), nk))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_attention_diff(q, k, v, scale, block_q=256):
-    return flash_attention(q, k, v, scale=scale, block_q=block_q)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_diff(q, k, v, scale, block_q=256, interpret=False):
+    return flash_attention(q, k, v, scale=scale, block_q=block_q,
+                           interpret=interpret)
 
 
-def _flash_fwd(q, k, v, scale, block_q):
-    return flash_attention(q, k, v, scale=scale, block_q=block_q), (q, k, v)
+def _flash_fwd(q, k, v, scale, block_q, interpret):
+    return (flash_attention(q, k, v, scale=scale, block_q=block_q,
+                            interpret=interpret), (q, k, v))
 
 
-def _flash_bwd(scale, block_q, res, g):
+def _flash_bwd(scale, block_q, interpret, res, g):
     q, k, v = res
-    return flash_attention_bwd(q, k, v, g, scale=scale, block_q=block_q)
+    return flash_attention_bwd(q, k, v, g, scale=scale, block_q=block_q,
+                               interpret=interpret)
 
 
 _flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
@@ -223,7 +231,9 @@ _flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
 
 def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
     """Dispatch: Pallas flash kernel for real self-attention workloads on TPU,
-    jnp path otherwise (tiny-KV cross-attention, CPU tests)."""
+    jnp path otherwise (tiny-KV cross-attention, CPU tests). interpret=True
+    runs the SAME differentiable wrapper (custom VJP, env block size) in
+    Pallas interpret mode, so CPU checks exercise the production path."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     import os
@@ -234,11 +244,9 @@ def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
             and _on_tpu() and q.shape[2] >= 256 and k.shape[2] >= 256
         )
     if use_pallas:
-        if interpret:
-            return flash_attention(q, k, v, scale=scale, interpret=True)
         # v5e A/B on the flagship bench (frames/s/chip): 128 -> 5.50,
         # 256 -> 5.99, 512 -> 6.08, 1024 -> 6.13 — bigger q-blocks win
         # monotonically (fewer grid steps; N=1024 runs as one program)
         block_q = int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024"))
-        return _flash_attention_diff(q, k, v, scale, block_q)
+        return _flash_attention_diff(q, k, v, scale, block_q, interpret)
     return attention_reference(q, k, v, scale=scale)

@@ -67,7 +67,9 @@ def group_norm_silu_reference(
         ch_sq = jnp.sum(xf * xf, axis=1)      # [B, C]
     g_mean = jnp.sum(ch_sum.reshape(b, num_groups, cg), axis=-1) * inv_count
     g_sq = jnp.sum(ch_sq.reshape(b, num_groups, cg), axis=-1) * inv_count
-    g_rstd = jax.lax.rsqrt(g_sq - g_mean**2 + eps)
+    # E[x^2]-E[x]^2 can go slightly negative from fp32 cancellation when
+    # |mean| >> std; clamp like flax GroupNorm or rsqrt returns NaN
+    g_rstd = jax.lax.rsqrt(jnp.maximum(g_sq - g_mean**2, 0.0) + eps)
 
     c_mean = jnp.repeat(g_mean, cg, axis=-1)[:, None, :]   # [B, 1, C]
     c_rstd = jnp.repeat(g_rstd, cg, axis=-1)[:, None, :]
@@ -88,7 +90,7 @@ def _gn_kernel(x_ref, gamma_ref, beta_ref, ind_ref, o_ref, *, eps, inv_count, si
     g_sum = jnp.dot(ch_sum, ind, preferred_element_type=jnp.float32)  # [1, G]
     g_sq = jnp.dot(ch_sq, ind, preferred_element_type=jnp.float32)    # [1, G]
     g_mean = g_sum * inv_count
-    g_var = g_sq * inv_count - g_mean * g_mean
+    g_var = jnp.maximum(g_sq * inv_count - g_mean * g_mean, 0.0)
     g_rstd = jax.lax.rsqrt(g_var + eps)
     # broadcast group stats back to channels: [1, G] @ [G, C]
     c_mean = jnp.dot(g_mean, ind.T, preferred_element_type=jnp.float32)
@@ -111,9 +113,9 @@ def group_norm_silu_pallas(
     assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
     n = int(np.prod(shape[1:-1]))
     x3 = x.reshape(b, n, c)
-    ind = jnp.zeros((c, num_groups), jnp.float32)
     group_ids = np.repeat(np.arange(num_groups), c // num_groups)
-    ind = ind.at[np.arange(c), group_ids].set(1.0)
+    # host-side constant (a traced scatter would re-fold per compile)
+    ind = jnp.asarray(np.eye(num_groups, dtype=np.float32)[group_ids])
     inv_count = 1.0 / (n * (c // num_groups))
 
     # one batch row resident in VMEM: input + fp32 working copy + result +
@@ -190,6 +192,7 @@ def group_norm_silu_stats_fused(
     normalize/affine/SiLU (so XLA fuses the apply into consumers)."""
     shape = x.shape
     b, c = shape[0], shape[-1]
+    assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
     cg = c // num_groups
     x3 = x.reshape(b, -1, c)
     n = x3.shape[1]
@@ -197,7 +200,7 @@ def group_norm_silu_stats_fused(
     inv_count = 1.0 / (n * cg)
     g_mean = jnp.sum(ch_sum.reshape(b, num_groups, cg), axis=-1) * inv_count
     g_sq = jnp.sum(ch_sq.reshape(b, num_groups, cg), axis=-1) * inv_count
-    g_rstd = jax.lax.rsqrt(g_sq - g_mean**2 + eps)
+    g_rstd = jax.lax.rsqrt(jnp.maximum(g_sq - g_mean**2, 0.0) + eps)
     c_mean = jnp.repeat(g_mean, cg, axis=-1)[:, None, :]
     c_rstd = jnp.repeat(g_rstd, cg, axis=-1)[:, None, :]
     y = (x3.astype(jnp.float32) - c_mean) * c_rstd * gamma.astype(jnp.float32) \
@@ -207,16 +210,9 @@ def group_norm_silu_stats_fused(
     return y.reshape(shape).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _gn_stats_fused_diff(x, gamma, beta, num_groups, eps, silu):
-    return group_norm_silu_stats_fused(x, gamma, beta, num_groups, eps, silu)
-
-
-def _gn_sf_fwd(x, gamma, beta, num_groups, eps, silu):
-    return _gn_stats_fused_diff(x, gamma, beta, num_groups, eps, silu), (x, gamma, beta)
-
-
-def _gn_sf_bwd(num_groups, eps, silu, res, g):
+def _gn_reference_bwd(num_groups, eps, silu, interpret, res, g):
+    """Shared backward for both Pallas-forward variants: differentiate the
+    jnp reference (numerically identical GN; XLA fuses the bwd well)."""
     x, gamma, beta = res
     _, vjp = jax.vjp(
         lambda x, gamma, beta: group_norm_silu_reference(
@@ -227,61 +223,70 @@ def _gn_sf_bwd(num_groups, eps, silu, res, g):
     return vjp(g)
 
 
-_gn_stats_fused_diff.defvjp(_gn_sf_fwd, _gn_sf_bwd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_stats_fused_diff(x, gamma, beta, num_groups, eps, silu, interpret):
+    return group_norm_silu_stats_fused(x, gamma, beta, num_groups, eps, silu,
+                                       interpret=interpret)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _gn_silu_diff(x, gamma, beta, num_groups, eps, silu):
-    return group_norm_silu_pallas(x, gamma, beta, num_groups=num_groups, eps=eps, silu=silu)
+def _gn_sf_fwd(x, gamma, beta, num_groups, eps, silu, interpret):
+    return (_gn_stats_fused_diff(x, gamma, beta, num_groups, eps, silu, interpret),
+            (x, gamma, beta))
 
 
-def _gn_fwd(x, gamma, beta, num_groups, eps, silu):
-    return _gn_silu_diff(x, gamma, beta, num_groups, eps, silu), (x, gamma, beta)
+_gn_stats_fused_diff.defvjp(_gn_sf_fwd, _gn_reference_bwd)
 
 
-def _gn_bwd(num_groups, eps, silu, res, g):
-    x, gamma, beta = res
-    _, vjp = jax.vjp(
-        lambda x, gamma, beta: group_norm_silu_reference(
-            x, gamma, beta, num_groups=num_groups, eps=eps, silu=silu
-        ),
-        x, gamma, beta,
-    )
-    return vjp(g)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_silu_diff(x, gamma, beta, num_groups, eps, silu, interpret):
+    return group_norm_silu_pallas(x, gamma, beta, num_groups=num_groups,
+                                  eps=eps, silu=silu, interpret=interpret)
 
 
-_gn_silu_diff.defvjp(_gn_fwd, _gn_bwd)
+def _gn_fwd(x, gamma, beta, num_groups, eps, silu, interpret):
+    return (_gn_silu_diff(x, gamma, beta, num_groups, eps, silu, interpret),
+            (x, gamma, beta))
+
+
+_gn_silu_diff.defvjp(_gn_fwd, _gn_reference_bwd)
 
 
 def group_norm_silu(
     x, gamma, beta, num_groups: int = 32, eps: float = 1e-5, silu: bool = True,
     use_pallas=None, interpret: bool = False,
 ):
+    """Dispatch:
+      DSML_PALLAS_GN=0 (default) -> jnp reference (XLA-fused)
+      DSML_PALLAS_GN=1           -> whole-row Pallas kernel (VMEM-guarded:
+                                    falls back on rows over 8MB)
+      DSML_PALLAS_GN=stats       -> Pallas stats kernel + jnp apply (tiles
+                                    spatially; no row-size limit)
+    use_pallas=True forces the whole-row kernel when no env mode is set;
+    interpret=True runs the SAME differentiable wrappers in interpret mode.
+
+    Default rationale (flagship-bench A/Bs on v5e): XLA 6.07 fps >
+    stats kernel 5.56 > whole-row kernel 5.52. XLA's stat reduces look slow
+    in per-op traces but overlap with neighboring work, while any pallas_call
+    boundary here breaks producer fusion. Both kernels kept for A/B."""
     import os
 
-    # Default: the XLA-fused reference path. Flagship-bench A/Bs on v5e:
-    # XLA 6.07 fps > whole-row Pallas kernel 5.52 > Pallas stats kernel 5.56.
-    # XLA's stat reduces look slow in per-op traces but overlap with
-    # neighboring work, while any pallas_call boundary here breaks producer
-    # fusion. Both kernels kept for A/B: DSML_PALLAS_GN=1 (whole-row) or
-    # =stats (stats-only kernel).
+    from .attention import _on_tpu
+
     mode = os.environ.get("DSML_PALLAS_GN", "0")
     if use_pallas is None:
-        n = int(np.prod(x.shape[1:-1])) * x.shape[-1]
-        use_pallas = (
-            mode != "0"
-            and jax.default_backend() == "tpu"
-            and 4 * n <= 8 * 1024 * 1024
-        )
-    if use_pallas:
-        if interpret:
-            return group_norm_silu_pallas(
-                x, gamma, beta, num_groups=num_groups, eps=eps, silu=silu,
-                interpret=True,
-            )
+        on_dev = _on_tpu() or interpret
         if mode == "1":
-            return _gn_silu_diff(x, gamma, beta, num_groups, eps, silu)
-        return _gn_stats_fused_diff(x, gamma, beta, num_groups, eps, silu)
-    return group_norm_silu_reference(
-        x, gamma, beta, num_groups=num_groups, eps=eps, silu=silu
-    )
+            n = int(np.prod(x.shape[1:-1])) * x.shape[-1]
+            use_pallas = on_dev and 4 * n <= 8 * 1024 * 1024
+        elif mode != "0":
+            use_pallas = on_dev  # stats kernel tiles: any size works
+        else:
+            use_pallas = False
+    if not use_pallas:
+        return group_norm_silu_reference(
+            x, gamma, beta, num_groups=num_groups, eps=eps, silu=silu
+        )
+    variant = mode if mode in ("1", "stats") else "1"
+    if variant == "1":
+        return _gn_silu_diff(x, gamma, beta, num_groups, eps, silu, interpret)
+    return _gn_stats_fused_diff(x, gamma, beta, num_groups, eps, silu, interpret)

@@ -111,3 +111,96 @@ def test_attention_matches_torch_sdpa():
         torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v)
     ).numpy()
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5, rtol=1e-4)
+
+
+def test_flash_bwd_bf16_accumulates_in_fp32():
+    """dk/dv accumulate across q-blocks in fp32 buffers; with bf16 inputs the
+    result must match the fp32 reference VJP to bf16-output tolerance (a
+    single final rounding, NOT one rounding per grid step)."""
+    from dsml_thesis_tpu.ops import flash_attention_bwd
+
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, h, n, d = 1, 2, 128, 32
+    q32 = jax.random.normal(kq, (b, h, n, d))
+    k32 = jax.random.normal(kk, (b, h, n, d))
+    v32 = jax.random.normal(kv, (b, h, n, d))
+    g32 = jax.random.normal(kg, (b, h, n, d))
+
+    _, vjp = jax.vjp(lambda q, k, v: attention_reference(q, k, v), q32, k32, v32)
+    dq_ref, dk_ref, dv_ref = vjp(g32)
+
+    bf = lambda t: t.astype(jnp.bfloat16)
+    # 8 sequential accumulation steps (block_q=16): per-step bf16 rounding
+    # would push the error far beyond one-final-cast tolerance
+    dq, dk, dv = flash_attention_bwd(bf(q32), bf(k32), bf(v32), bf(g32),
+                                     block_q=16, interpret=True)
+    assert dk.dtype == jnp.bfloat16 and dv.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(dk, np.float32), np.asarray(dk_ref),
+                               atol=0.15, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(dv, np.float32), np.asarray(dv_ref),
+                               atol=0.15, rtol=0.05)
+
+
+def test_multi_head_attention_interpret_grad_path():
+    """interpret=True routes through the SAME custom-VJP wrapper, so jax.grad
+    works and exercises the production backward kernel on CPU."""
+    from dsml_thesis_tpu.ops.attention import multi_head_attention
+
+    key = jax.random.PRNGKey(1)
+    q = jax.random.normal(key, (1, 2, 64, 32))
+
+    def loss(q):
+        return jnp.sum(multi_head_attention(q, q, q, use_pallas=True,
+                                            interpret=True) ** 2)
+
+    g = jax.grad(loss)(q)
+    assert np.isfinite(np.asarray(g)).all()
+
+    def loss_ref(q):
+        return jnp.sum(attention_reference(q, q, q) ** 2)
+
+    g_ref = jax.grad(loss_ref)(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_group_norm_large_mean_no_nan():
+    """E[x^2]-E[x]^2 cancellation: large-mean tiny-spread activations must not
+    produce NaN in any GN path (variance clamped like flax GroupNorm)."""
+    from dsml_thesis_tpu.ops.groupnorm import group_norm_silu_stats_fused
+
+    rs = np.random.RandomState(0)
+    x = (300.0 + 0.01 * rs.randn(2, 8, 8, 64)).astype(np.float32)
+    gamma = np.ones(64, np.float32)
+    beta = np.zeros(64, np.float32)
+    for fn in (
+        lambda: group_norm_silu_reference(jnp.asarray(x), gamma, beta, 32),
+        lambda: group_norm_silu_pallas(jnp.asarray(x), gamma, beta, 32,
+                                       interpret=True),
+        lambda: group_norm_silu_stats_fused(jnp.asarray(x), gamma, beta, 32,
+                                            interpret=True),
+    ):
+        out = np.asarray(fn())
+        assert np.isfinite(out).all()
+
+
+def test_group_norm_dispatch_interpret_differentiable(monkeypatch):
+    """use_pallas=True + interpret=True runs the whole-row kernel through the
+    custom-VJP wrapper (differentiable), not a bare pallas_call."""
+    from dsml_thesis_tpu.ops.groupnorm import group_norm_silu
+
+    monkeypatch.delenv("DSML_PALLAS_GN", raising=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 64))
+    gamma = jnp.ones(64)
+    beta = jnp.zeros(64)
+
+    def loss(x):
+        return jnp.sum(group_norm_silu(x, gamma, beta, 32, use_pallas=True,
+                                       interpret=True) ** 2)
+
+    g = jax.grad(loss)(x)
+    g_ref = jax.grad(lambda x: jnp.sum(
+        group_norm_silu_reference(x, gamma, beta, 32) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
