@@ -46,6 +46,10 @@ class FinetuneTrainer(Trainer):
         import jax.numpy as jnp
         import numpy as np
 
+        if jax.process_count() > 1:
+            # same multi-host gate as Trainer.log_images: host-local inputs
+            # would diverge the per-process device programs
+            return
         if not hasattr(self.finetune, "edit") or "latent" not in batch:
             return
         if self._log_images_fn is None:

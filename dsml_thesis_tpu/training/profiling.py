@@ -73,3 +73,11 @@ class StepProfiler:
         if self._active and step >= self.stop_step:
             jax.profiler.stop_trace()
             self._active = False
+
+    def ensure_stopped(self):
+        """Finalize the trace if the loop exited (break/exception) inside the
+        profiled window — otherwise the file is never written and a later
+        start_trace raises 'profiler already started'."""
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False

@@ -123,9 +123,18 @@ def make_train_step(
 
 
 def make_eval_step(loss_module) -> Callable:
+    import inspect
+
+    takes_step = "global_step" in inspect.signature(
+        loss_module.training_loss
+    ).parameters
+
     def eval_step(state: TrainState, batch: Dict, rng: jax.Array):
-        _, aux = loss_module.training_loss(state.params, batch, rng)
-        _, aux_ema = loss_module.training_loss(state.ema_full(), batch, rng)
+        # adopt_weight-gated terms (lipread start_lr_loss) must see the live
+        # step in validation too, or the monitor ranks on a partial loss
+        kw = {"global_step": state.step} if takes_step else {}
+        _, aux = loss_module.training_loss(state.params, batch, rng, **kw)
+        _, aux_ema = loss_module.training_loss(state.ema_full(), batch, rng, **kw)
         out = {f"val/{k}": v for k, v in aux.items()}
         # the reference's checkpoint monitors (ddpm.py:356-363)
         out["val_loss"] = aux.get("loss_simple", aux["loss"])

@@ -43,11 +43,16 @@ from .train_state import (
 
 
 def _to_jnp_batch(batch: Dict, keys=None):
-    """Keep array-valued fields (drop str metadata like file paths)."""
+    """Keep array-valued fields (drop str metadata like file paths).
+
+    Fields stay on the HOST (numpy): the single host->device transfer happens
+    in shard_batch with the right mesh sharding — jnp.asarray here would add
+    a default-device copy first (and a device->host round trip in the
+    multi-process path)."""
     out = {}
     for k, v in batch.items():
         if isinstance(v, (np.ndarray, jnp.ndarray)):
-            out[k] = jnp.asarray(v)
+            out[k] = np.asarray(v)
     return out
 
 
@@ -170,7 +175,14 @@ class Trainer:
         blocks (rescue saves, end of fit)."""
         path = os.path.abspath(os.path.join(self.logdir, "checkpoints", name))
         ckptr = self._checkpointer()
-        state = jax.device_get(self._state)
+        try:
+            state = jax.device_get(self._state)
+        except RuntimeError as e:
+            # rescue path: the step that failed had the state buffers donated
+            # to it (donate_argnums) — nothing recoverable on device; skip
+            # rather than masking the original exception
+            print(f"checkpoint '{name}' skipped: state unavailable ({e})")
+            return
         ckptr.save(path, state, force=True)
         if wait:
             ckptr.wait_until_finished()
@@ -179,8 +191,23 @@ class Trainer:
         if getattr(self, "_ckptr", None) is not None:
             self._ckptr.wait_until_finished()
 
+    def _rebuild_topk_from_disk(self):
+        """Resume support: re-derive the top-k bookkeeping from the
+        metric-embedded checkpoint names, so save_top_k keeps its semantics
+        across restarts (no unbounded accumulation of stale 'best' dirs)."""
+        ckdir = os.path.join(self.logdir, "checkpoints")
+        found = []
+        for name in os.listdir(ckdir) if os.path.isdir(ckdir) else []:
+            if name.startswith("step=") and "=" in name.rsplit("-", 1)[-1]:
+                try:
+                    found.append((float(name.rsplit("=", 1)[1]), name))
+                except ValueError:
+                    continue
+        self._topk = sorted(found)[: self.save_top_k]
+
     def restore_checkpoint(self, name: str):
         self.wait_for_checkpoints()
+        self._rebuild_topk_from_disk()
         path = os.path.abspath(os.path.join(self.logdir, "checkpoints", name))
         ckptr = self._checkpointer()
         try:
@@ -230,7 +257,13 @@ class Trainer:
 
         def fn(params, b, key):
             x = b[self.ldm.first_stage_key][:n]
-            z = self.ldm.encode_first_stage(params, x)
+            if self.ldm.first_stage_key == "latent":
+                # cached latents: diffuse as-is (models/ldm.py training_loss);
+                # the 'inputs' grid shows their decode
+                z = x
+                x = self.ldm.decode_first_stage(params, z)
+            else:
+                z = self.ldm.encode_first_stage(params, x)
             xrec = self.ldm.decode_first_stage(params, z)
             cond = self.ldm.encode_conditioning(
                 params, {k: v[:n] for k, v in b.items()}
@@ -325,6 +358,9 @@ class Trainer:
                 print("Summoning checkpoint (exception).")
                 self.save_checkpoint("last", wait=True)
             raise
+        finally:
+            if profiler is not None:
+                profiler.ensure_stopped()
         self.wait_for_checkpoints()
         return self._state
 

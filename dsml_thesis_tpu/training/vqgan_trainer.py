@@ -89,26 +89,57 @@ class VQGANTrainer:
             "modelcheckpoint", {}).get("params", {}).get("save_top_k", 5)
         self._topk: list = []
 
-    def init_state(self, image_shape):
+    def init_state(self, batch_or_shape):
+        """Accepts an example batch dict (the shared trainer interface
+        main.py's resume path uses) or a raw image shape tuple."""
+        if isinstance(batch_or_shape, dict):
+            image_shape = np.asarray(batch_or_shape["image"]).shape
+        else:
+            image_shape = batch_or_shape
         state, ae_tx, disc_tx = create_vqgan_state(
             self.model, self.loss, jax.random.PRNGKey(self.seed),
             image_shape, self.lr,
         )
         self._state = replicate(self.mesh, state)
+        # donate: both optimizer states + params are overwritten in place
         self._step = jax.jit(
-            make_vqgan_train_step(self.model, self.loss, ae_tx, disc_tx)
+            make_vqgan_train_step(self.model, self.loss, ae_tx, disc_tx),
+            donate_argnums=(0,),
         )
         self._eval_step = jax.jit(make_vqgan_eval_step(self.model, self.loss))
         self._recon_fn = jax.jit(self.model.apply)  # once: reused every log
         return self._state
 
-    def save_checkpoint(self, name: str):
-        import orbax.checkpoint as ocp
+    def _checkpointer(self):
+        if getattr(self, "_ckptr", None) is None:
+            import orbax.checkpoint as ocp
 
+            self._ckptr = ocp.StandardCheckpointer()
+        return self._ckptr
+
+    def save_checkpoint(self, name: str):
         path = os.path.abspath(os.path.join(self.logdir, "checkpoints", name))
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, jax.device_get(self._state), force=True)
+        ckptr = self._checkpointer()
+        try:
+            state = jax.device_get(self._state)
+        except RuntimeError as e:  # donated to a failed step
+            print(f"checkpoint '{name}' skipped: state unavailable ({e})")
+            return
+        ckptr.save(path, state, force=True)
         ckptr.wait_until_finished()
+
+    def restore_checkpoint(self, name: str):
+        path = os.path.abspath(os.path.join(self.logdir, "checkpoints", name))
+        self._state = self._checkpointer().restore(path, self._state)
+        return self._state
+
+    def log_metrics(self, metrics: Dict, step: int, split: str = "train"):
+        if not is_main_process():
+            return
+        rec = {"step": step, "split": split}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self._metrics_file.write(json.dumps(rec) + "\n")
+        self._metrics_file.flush()
 
     def validate(self, max_batches: Optional[int] = None) -> Optional[Dict]:
         if self.val_data is None:
@@ -117,7 +148,7 @@ class VQGANTrainer:
         for i, batch in enumerate(self.val_data):
             if max_batches is not None and i >= max_batches:
                 break
-            sb = shard_batch(self.mesh, {"image": jnp.asarray(batch["image"])})
+            sb = shard_batch(self.mesh, {"image": np.asarray(batch["image"])})
             m = self._eval_step(self._state, sb)
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
@@ -160,7 +191,8 @@ class VQGANTrainer:
         for epoch in range(epochs):
             t0 = time.time()
             for batch in self.train_data:
-                jb = {"image": jnp.asarray(batch["image"])}
+                jb = {"image": np.asarray(batch["image"])}  # host; one
+                # transfer happens in shard_batch with the mesh sharding
                 if self._state is None:
                     self.init_state(jb["image"].shape)
                 if first_batch is None:
@@ -168,11 +200,8 @@ class VQGANTrainer:
                 sb = shard_batch(self.mesh, jb)
                 self._state, metrics = self._step(self._state, sb)
                 step = int(self._state.step)
-                if step % log_every == 0 and is_main_process():
-                    rec = {"step": step, "split": "train"}
-                    rec.update({k: float(v) for k, v in metrics.items()})
-                    self._metrics_file.write(json.dumps(rec) + "\n")
-                    self._metrics_file.flush()
+                if step % log_every == 0:
+                    self.log_metrics(metrics, step)
                 if image_every and step % image_every == 0:
                     self.log_reconstructions(first_batch, step)
                 if self.max_steps is not None and step >= self.max_steps:
@@ -181,11 +210,7 @@ class VQGANTrainer:
             val = self.validate(max_batches=val_max_batches)
             if val:  # {} when the val split is smaller than one batch
                 step = int(self._state.step)
-                if is_main_process():
-                    self._metrics_file.write(json.dumps(
-                        {"step": step, "split": "val",
-                         **{k: float(v) for k, v in val.items()}}) + "\n")
-                    self._metrics_file.flush()
+                self.log_metrics(val, step, split="val")
                 self.save_topk_checkpoint(float(val["val/rec_loss"]), step)
             self.save_checkpoint("last")
             if self.max_steps is not None and int(self._state.step) >= self.max_steps:

@@ -57,3 +57,24 @@ def test_vqgan_trainer_fit_val_topk(tmp_path):
     # reconstruction grids written
     imgs = os.listdir(tmp_path / "run" / "images")
     assert any(f.startswith("recon_step") and f.endswith(".npy") for f in imgs)
+
+
+def test_vqgan_trainer_resume_roundtrip(tmp_path):
+    """The shared main.py resume interface works for VQGAN runs:
+    init_state(first_batch_dict) + restore_checkpoint('last')."""
+    import jax
+
+    from dsml_thesis_tpu.training.vqgan_trainer import VQGANTrainer
+
+    t1 = VQGANTrainer(_config(), str(tmp_path / "run"), seed=0, max_steps=2)
+    s2 = t1.fit(epochs=1, log_every=1, val_max_batches=1)
+
+    t2 = VQGANTrainer(_config(), str(tmp_path / "run"), seed=9, max_steps=4)
+    first = next(iter(t2.train_data))
+    t2.init_state(first)  # batch dict, like main.py's resume path
+    restored = t2.restore_checkpoint("last")
+    ref, got = jax.device_get(s2), jax.device_get(restored)
+    assert int(got.step) == int(ref.step) == 2
+    la, lb = jax.tree.leaves(ref.ae_params), jax.tree.leaves(got.ae_params)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
