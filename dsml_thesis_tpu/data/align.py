@@ -134,9 +134,16 @@ def mask_mouth_region(image_m11: np.ndarray, landmarks: np.ndarray,
 
 
 def crop_mouth_roi(image: np.ndarray, landmarks: np.ndarray,
-                   crop: int = 96) -> np.ndarray:
-    """Square crop centered on the mouth centroid, clamped to bounds."""
+                   crop: int = 72) -> np.ndarray:
+    """Square crop centered on the mouth centroid, clamped to bounds.
+
+    Default 72px matches the reference lipread-eval mouth crops
+    (talking_face/scripts/crop_mouth.py:38, _crop_height/_crop_width=72) —
+    AV-HuBERT WER numbers are only comparable at the reference framing."""
     h, w = image.shape[:2]
+    assert h >= crop and w >= crop, (
+        f"image {h}x{w} smaller than mouth crop {crop}"
+    )
     cx, cy = landmarks[MOUTH].mean(axis=0)
     cx = int(np.clip(round(cx), crop // 2, w - crop // 2))
     cy = int(np.clip(round(cy), crop // 2, h - crop // 2))

@@ -60,11 +60,14 @@ class CLIPTokenizer:
             else:
                 with open(merges, encoding="utf-8") as f:
                     lines = f.read().split("\n")
-            # OpenAI table: row 0 is a header, rows 1:49152-256-2+1 are merges
-            lines = [l for l in lines[1:] if l and not l.startswith("#")]
+            # OpenAI table: the exact slice merges[1 : 49152-256-2+1] — no
+            # comment filtering (a merge row may legitimately start with '#';
+            # dropping it would shift every later rank and token id)
             if n_merges is not None:
-                lines = lines[:n_merges]
-            merges = lines
+                lines = lines[1:n_merges + 1]
+            else:
+                lines = [l for l in lines[1:] if l]
+            merges = [l for l in lines if l]
         merge_pairs = [tuple(m.split()) for m in merges]
 
         self.byte_encoder = bytes_to_unicode()
@@ -139,8 +142,10 @@ class CLIPTokenizer:
         ).decode("utf-8", errors="replace").replace("</w>", " ").strip()
 
     def tokenize(self, texts, context_length: int = 77,
-                 truncate: bool = True) -> np.ndarray:
-        """clip.tokenize: <sot> tokens <eot>, zero-padded (B, context)."""
+                 truncate: bool = False) -> np.ndarray:
+        """clip.tokenize: <sot> tokens <eot>, zero-padded (B, context).
+        Like the reference, over-length prompts raise unless truncate=True
+        (silent truncation would drop prompt tails without any signal)."""
         if isinstance(texts, str):
             texts = [texts]
         sot, eot = self.encoder[self.SOT], self.encoder[self.EOT]
@@ -149,7 +154,10 @@ class CLIPTokenizer:
             ids = [sot] + self.encode(text) + [eot]
             if len(ids) > context_length:
                 if not truncate:
-                    raise ValueError(f"input too long for context: {text!r}")
+                    raise RuntimeError(
+                        f"Input {text!r} is too long for context length "
+                        f"{context_length}"
+                    )
                 ids = ids[:context_length]
                 ids[-1] = eot
             out[i, : len(ids)] = ids

@@ -75,18 +75,34 @@ class Dataset:
         raise NotImplementedError
 
 
+def _item_rng(seed: int, epoch: int, idx) -> np.random.RandomState:
+    """Per-item RandomState: reproducible under the DataLoader's threaded
+    __getitem__ (a shared RandomState would consume draws in scheduler
+    order), varying by epoch (the loader stamps dataset._epoch)."""
+    return np.random.RandomState(
+        (seed * 1000003 + epoch * 10007 + int(idx)) % (2**31 - 1)
+    )
+
+
 class AffectnetDataset(Dataset):
     """AffectNet aligned crops; class label = filename prefix `<label>_...jpg`."""
 
+    # reference AffectnetPaths shape-render filenames per model
+    # (taming/data/base.py:127-131)
+    SHAPE_FILES = {"emoca": "geometry_detail.png",
+                   "deca": "shape_detail_images.jpg"}
+
     def __init__(self, images_list_file: str, size: int = 128,
                  random_crop: bool = False, shape_root: Optional[str] = None,
-                 seed: int = 0):
+                 shape_model: str = "emoca", seed: int = 0):
         with open(images_list_file) as f:
             self.paths = [l for l in f.read().splitlines() if l]
         self.size = size
         self.random_crop = random_crop
         self.shape_root = shape_root  # DECA/EMOCA geometry renders (optional)
-        self.rng = np.random.RandomState(seed)
+        assert shape_model in self.SHAPE_FILES, shape_model
+        self.shape_model = shape_model
+        self.seed = seed
 
     def __len__(self):
         return len(self.paths)
@@ -94,8 +110,9 @@ class AffectnetDataset(Dataset):
     def __getitem__(self, i) -> Dict:
         path = self.paths[i]
         label = int(os.path.basename(path).split("_")[0])
+        rng = _item_rng(self.seed, getattr(self, "_epoch", 0), i)
         ex = {
-            "image": load_image(path, self.size, self.random_crop, self.rng),
+            "image": load_image(path, self.size, self.random_crop, rng),
             "class_label": np.int32(label),
             "human_label": HUMAN_LABELS[label],
             "file_path": path,
@@ -103,21 +120,28 @@ class AffectnetDataset(Dataset):
         if self.shape_root is not None:
             name = os.path.splitext(os.path.basename(path))[0]
             ex["shape_image"] = load_image(
-                os.path.join(self.shape_root, name, "geometry_detail.png"),
+                os.path.join(self.shape_root, name,
+                             self.SHAPE_FILES[self.shape_model]),
                 self.size,
             )
         return ex
 
 
-# Reference-config-name aliases
-def AffectnetTrain(size=128, training_images_list_file=None, **kw):
+# Reference-config-name aliases (reference ctor params forwarded, not dropped)
+def AffectnetTrain(size=128, training_images_list_file=None, model="emoca",
+                   random_crop=False, **kw):
     return AffectnetDataset(training_images_list_file, size=size,
-                            shape_root=kw.get("shape_root"))
+                            random_crop=random_crop,
+                            shape_root=kw.get("shape_root"),
+                            shape_model=model)
 
 
-def AffectnetTest(size=128, test_images_list_file=None, **kw):
+def AffectnetTest(size=128, test_images_list_file=None, model="emoca",
+                  random_crop=False, **kw):
     return AffectnetDataset(test_images_list_file, size=size,
-                            shape_root=kw.get("shape_root"))
+                            random_crop=random_crop,
+                            shape_root=kw.get("shape_root"),
+                            shape_model=model)
 
 
 class MEADTalkingFace(Dataset):
@@ -148,7 +172,7 @@ class MEADTalkingFace(Dataset):
         # sample mode: pin the identity frame to frame 0 (reference
         # force_align, custom.py:355-358)
         self.force_align = force_align
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
         self._mean_landmarks = None
 
     def _mean_lm(self):
@@ -181,7 +205,10 @@ class MEADTalkingFace(Dataset):
         else:
             landmarks = self._mean_lm()
             min_y = self.size // 2  # reference hardcodes 64 at size 128
-        masked[max(min_y, 0):, :, :] = -1.0
+        # negative min_y keeps Python slicing semantics (mask only the last
+        # |min_y| rows), exactly like the reference's unclamped index
+        # (custom.py:373) — clamping to 0 would blank the whole frame
+        masked[min_y:, :, :] = -1.0
         mlm = np.clip(np.asarray(landmarks[0:48], np.float32), 0, self.size)
         mlm = mlm / (self.size / 2) - 1.0
         return masked, mlm.ravel()
@@ -206,12 +233,13 @@ class MEADTalkingFace(Dataset):
             p = os.path.join(lm_dir, frames[k].replace("jpg", "pkl"))
             return _load_pickle(p) if os.path.exists(p) else None
 
-        anchor = self.rng.randint(n) if self.mode == "train" else 0
+        rng = _item_rng(self.seed, getattr(self, "_epoch", 0), idx)
+        anchor = rng.randint(n) if self.mode == "train" else 0
         image = load_image(os.path.join(clip_dir, frames[anchor]), self.size)
         if self.mode == "sample" and self.force_align:
             id_idx = 0
         else:
-            id_idx = self.rng.randint(min(n, anchor + self.max_shortcut))
+            id_idx = rng.randint(min(n, anchor + self.max_shortcut))
         identity = load_image(os.path.join(clip_dir, frames[id_idx]), self.size)
 
         ex: Dict = {
@@ -258,17 +286,18 @@ class MEADTalkingFace(Dataset):
 
 
 def MEADBase3(audio_window, size=128, tuples_path=None, mode="train",
-              data_root=None, audio_dir=None, **kw):
+              data_root=None, audio_dir=None, force_align=False, **kw):
     return MEADTalkingFace(tuples_path, data_root, audio_dir,
                            audio_window=audio_window, size=size, mode=mode,
+                           force_align=force_align,
                            max_shortcut=kw.get("max_shortcut", 60))
 
 
 def MEADBase5(audio_window, size=128, tuples_path=None, mode="train",
-              data_root=None, audio_dir=None, **kw):
+              data_root=None, audio_dir=None, force_align=False, **kw):
     return MEADTalkingFace(tuples_path, data_root, audio_dir,
                            audio_window=audio_window, size=size, mode=mode,
-                           include_landmarks=True,
+                           force_align=force_align, include_landmarks=True,
                            max_shortcut=kw.get("max_shortcut", 60))
 
 
@@ -298,7 +327,23 @@ class LatentDataset(Dataset):
     def __getitem__(self, i) -> Dict:
         j = int(self.idx[i])
         origin = np.asarray(self.origin[j], dtype=np.float32)
-        origin = (origin * 255.0 / 127.5 - 1.0).astype(np.float32)
+        # reference LatentBase.preprocess_image (ldm/data/latents.py:26-29):
+        # uint8 quantize -> smallest-side resize -> center crop -> [-1, 1]
+        u8 = (origin * 255.0).astype(np.uint8)
+        if self.size is not None and Image is not None:
+            h, w = u8.shape[:2]
+            if min(h, w) != self.size or h != w:
+                s = self.size / min(h, w)
+                img = Image.fromarray(u8).resize(
+                    (max(self.size, int(round(w * s))),
+                     max(self.size, int(round(h * s)))),
+                    Image.BILINEAR,
+                )
+                u8 = np.asarray(img)
+                h, w = u8.shape[:2]
+                top, left = (h - self.size) // 2, (w - self.size) // 2
+                u8 = u8[top:top + self.size, left:left + self.size]
+        origin = (u8.astype(np.float32) / 127.5 - 1.0)
         ex = {
             "latent": np.asarray(self.latents[j], dtype=np.float32),
             "original": origin,
@@ -418,6 +463,9 @@ class DataLoader:
     def __iter__(self):
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        # per-item randomness (augmentations, MEAD anchor draws) keys off
+        # (dataset.seed, epoch, index) — stamp the epoch before workers start
+        self.dataset._epoch = self.epoch
         batches = list(self._batches())
         self.epoch += 1
 
@@ -433,12 +481,18 @@ class DataLoader:
         def worker():
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    if not put(collate(list(pool.map(self.dataset.__getitem__, b)))):
-                        return
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        if not put(collate(list(
+                            pool.map(self.dataset.__getitem__, b)
+                        ))):
+                            return
+            except BaseException as e:  # surface to the consumer; a dead
+                put(e)                  # producer would hang q.get() forever
+                return
             put(None)
 
         t = threading.Thread(target=worker, daemon=True)
@@ -448,6 +502,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             # consumer stopped early (break / max_batches): release the

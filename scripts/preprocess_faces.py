@@ -223,7 +223,7 @@ def main():
                 os.path.join(args.outdir, f"{name}.jpg")
             )
         else:
-            out = crop_mouth_roi(img, lm, crop=min(args.size, 96))
+            out = crop_mouth_roi(img, lm, crop=min(args.size, 72))
             Image.fromarray(out).save(os.path.join(args.outdir, f"{name}.jpg"))
         done += 1
     print(f"{args.mode}: processed {done}/{len(paths)} images -> {args.outdir}")

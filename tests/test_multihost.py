@@ -118,3 +118,29 @@ def test_distributed_init_single_process_noop():
     with pytest.raises(RuntimeError):
         distributed_init()  # backend already initialized in this process
     assert is_main_process()
+
+
+def test_dataloader_surfaces_worker_exceptions():
+    """A dataset error must re-raise in the consumer, not hang q.get()."""
+    class Boom(SyntheticDataset):
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("corrupt example")
+            return super().__getitem__(i)
+
+    ds = Boom(spec={"x": ((2,), "float32")}, length=8, seed=0)
+    dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+    with pytest.raises(ValueError, match="corrupt example"):
+        for _ in dl:
+            pass
+
+
+def test_dataset_item_rng_reproducible_and_epoch_varying():
+    """Per-item draws are deterministic under threading and vary by epoch."""
+    from dsml_thesis_tpu.data.datasets import _item_rng
+
+    a = _item_rng(7, 0, 5).randint(1000)
+    b = _item_rng(7, 0, 5).randint(1000)
+    c = _item_rng(7, 1, 5).randint(1000)
+    assert a == b
+    assert a != c or _item_rng(7, 1, 6).randint(1000) != a
