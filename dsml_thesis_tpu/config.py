@@ -153,7 +153,9 @@ _BUILDERS = {
     "dsml_thesis_tpu.models.encoders.Conv1DTemporalAttention": (
         lambda p: Conv1DTemporalAttention(**p)
     ),
-    "ldm.modules.encoders.modules.LandmarkEncoder": lambda p: LandmarkEncoder(),
+    "ldm.modules.encoders.modules.LandmarkEncoder": lambda p: LandmarkEncoder(
+        output_dim=p.get("output_dim", 128)
+    ),
     "ldm.modules.encoders.modules.TransformerEmbedder": (
         lambda p: TransformerTextEmbedder(
             n_embed=p["n_embed"], n_layer=p["n_layer"],
@@ -326,7 +328,7 @@ def _resolve_edit_attr(name: str) -> int:
     return EMOTION2LABEL[aliases.get(name, name)]
 
 
-def build_guidance_encoders(p: Dict) -> Dict:
+def build_guidance_encoders(p: Dict, edit_attr: Optional[str] = None) -> Dict:
     """Construct the frozen guidance encoders from checkpoint paths in the
     model config (extension keys — the reference hardcodes the pip `clip`
     download and 'pretrained/model_ir_se50.pth', idloss.py:6-16):
@@ -348,20 +350,38 @@ def build_guidance_encoders(p: Dict) -> Dict:
             import numpy as np
 
             from .data.clip_tokenizer import CLIPTokenizer
-            from .losses.guidance import EMOTION_PROMPTS
+            from .losses.guidance import EMOTION_PROMPTS, LABEL2EMOTION
 
             tok = CLIPTokenizer(p["clip_bpe"])
-            dirs = []
-            for label in sorted(EMOTION_PROMPTS):
-                src_txt, trg_txt = EMOTION_PROMPTS[label]
+
+            def direction(src_txt, trg_txt):
+                # truncate=True: the fixed template set fits real CLIP's
+                # 77-token context; only tiny test contexts ever truncate
                 src = jnp.asarray(tok.tokenize(
                     [t.format(src_txt) for t in clip_mod.IMAGENET_TEMPLATES],
-                    context_length=cfg.context_length))
+                    context_length=cfg.context_length, truncate=True))
                 trg = jnp.asarray(tok.tokenize(
                     [t.format(trg_txt) for t in clip_mod.IMAGENET_TEMPLATES],
-                    context_length=cfg.context_length))
-                dirs.append(np.asarray(clip_mod.compute_text_direction(
-                    cfg, params["text"], src, trg)))
+                    context_length=cfg.context_length, truncate=True))
+                return np.asarray(clip_mod.compute_text_direction(
+                    cfg, params["text"], src, trg))
+
+            if edit_attr is not None:
+                # reference semantics (latent_diffclip.py:959,1022): the
+                # direction is per-example from the SOURCE class's emotion
+                # text to the fixed edit_attr target text
+                trg_label = _resolve_edit_attr(edit_attr)
+                trg_txt = f"{edit_attr} face"
+                dirs = []
+                for s in sorted(LABEL2EMOTION):
+                    src_txt = "face" if s == trg_label else LABEL2EMOTION[s]
+                    dirs.append(direction(src_txt, trg_txt))
+                out["direction_by_source"] = True
+            else:
+                # extension mode (no edit_attr): per-TARGET-class directions
+                dirs = [direction(*EMOTION_PROMPTS[l])
+                        for l in sorted(EMOTION_PROMPTS)]
+                out["direction_by_source"] = False
             out["text_direction"] = jnp.asarray(np.stack(dirs))
     if p.get("id_ckpt"):
         import torch
@@ -397,8 +417,9 @@ def build_finetune(model_cfg: Dict, ldm: Optional[LatentDiffusion] = None,
     if target.endswith("latent_diffclip.LatentDiffusionCLIP"):
         from .models.diffclip import DiffusionCLIPFinetune
 
-        enc = {**build_guidance_encoders(p), **encoder_fns}
         edit_attr = p.get("edit_attr")
+        enc = {**build_guidance_encoders(p, edit_attr=edit_attr),
+               **encoder_fns}
         ft = DiffusionCLIPFinetune(
             ldm,
             train_steps=p.get("num_train_steps", 6),
@@ -414,6 +435,7 @@ def build_finetune(model_cfg: Dict, ldm: Optional[LatentDiffusion] = None,
                 _resolve_edit_attr(edit_attr) if edit_attr else None
             ),
             text_direction=enc.get("text_direction"),
+            direction_by_source=enc.get("direction_by_source", False),
         )
         return ft
     if target.endswith("ddpm2condtune.LatentDiffusion"):

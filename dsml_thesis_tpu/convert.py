@@ -266,6 +266,15 @@ def convert_conv1d_temporal_attention(sd, prefix: str = "") -> Dict:
     return p.tree
 
 
+def convert_landmark_encoder(sd, prefix: str = "") -> Dict:
+    """Reference LandmarkEncoder (talking_face modules.py:331-348): five
+    Linear layers at net.0/2/4/6/8 -> fc0..fc4."""
+    p = _P()
+    for i, t in enumerate((0, 2, 4, 6, 8)):
+        _conv(p, sd, f"{prefix}net.{t}", f"fc{i}", "linear")
+    return p.tree
+
+
 def load_reference_ldm_checkpoint(ckpt_path: str, ldm, model_cfg: Dict) -> Dict:
     """Load a reference PyTorch-Lightning LDM checkpoint into our params tree.
 
@@ -335,6 +344,10 @@ def load_reference_ldm_checkpoint_from_sd(sd, ldm, model_cfg: Dict) -> Dict:
             )
         elif mod_cls == "Conv1DTemporalAttention":
             params[f"cond/{spec.key}"] = convert_conv1d_temporal_attention(
+                sd, prefix=prefix
+            )
+        elif mod_cls == "LandmarkEncoder":
+            params[f"cond/{spec.key}"] = convert_landmark_encoder(
                 sd, prefix=prefix
             )
         else:

@@ -185,8 +185,11 @@ def ddim_reverse_from(
     ddim: DDIMSchedule,
     eps_fn: EpsFn,
     x_lat: jnp.ndarray,
+    rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """Deterministic (eta=0) reverse chain from a given noised latent.
+    """Reverse chain from a given noised latent; deterministic (eta=0)
+    unless `rng` is given, which adds the per-step sigma-scaled noise (the
+    reference lipread tune decodes with ddim_eta=1.0, ddpm2condtune.py:533).
 
     Used by latent manipulation / DiffusionCLIP-tuned sampling
     (latent_manipulation_tuned.py:492-543). Differentiable: jax.grad flows
@@ -197,7 +200,10 @@ def ddim_reverse_from(
 
     def step(img, i):
         index = S - 1 - i
-        img, _ = p_sample_ddim(ddim, eps_fn, img, index, noise=None)
+        noise = (jax.random.normal(jax.random.fold_in(rng, i), img.shape,
+                                   dtype=img.dtype)
+                 if rng is not None else None)
+        img, _ = p_sample_ddim(ddim, eps_fn, img, index, noise=noise)
         return img, None
 
     img, _ = jax.lax.scan(step, x_lat, jnp.arange(S))

@@ -22,6 +22,14 @@ import jax.numpy as jnp
 
 # emotion index -> (source prompt, target prompt) pairs, mirroring the intent
 # of the reference's SRC_TRG_TXT_DIC (utils/text_dic.py:1-17)
+# reference label2emotion_dict (latent_diffclip.py:542): the SOURCE-side text
+# per AffectNet class; the class equal to the edit target maps to 'face'
+# (:545-547), as do neutral (0) and contempt (7)
+LABEL2EMOTION = {
+    0: "face", 1: "happy face", 2: "sad face", 3: "surprised face",
+    4: "scared face", 5: "disgusted face", 6: "angry face", 7: "face",
+}
+
 EMOTION_PROMPTS = {
     0: ("face", "neutral face"),
     1: ("face", "happy face"),

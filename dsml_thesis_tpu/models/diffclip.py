@@ -53,14 +53,20 @@ class DiffusionCLIPFinetune:
     # single target attribute (reference edit_attr, yaml :19): every example is
     # edited toward this class; None = per-example batch['class_label'] targets
     edit_attr_label: Optional[int] = None
-    # precomputed CLIP text direction(s): (D,) for edit_attr mode or
-    # (n_classes, D) indexed by target label; overridden by a per-batch
+    # precomputed CLIP text direction(s): (D,), or (n_classes, D) indexed by
+    # the SOURCE class (reference semantics, direction_by_source=True) or by
+    # the target label (extension mode); overridden by a per-batch
     # 'text_direction' entry
     text_direction: Optional[jnp.ndarray] = None
+    direction_by_source: bool = False
 
     def __post_init__(self):
         self.train_ddim = make_ddim_schedule(
-            self.ldm.schedule, self.train_steps, eta=0.0, strength=self.strength
+            self.ldm.schedule, self.train_steps, eta=0.0,
+            # strength >= 1.0 = the full chain: plain uniform schedule (the
+            # strength maker would index one past the alphas, the same guard
+            # the reference scripts apply, compute_latents.py main)
+            strength=self.strength if self.strength < 1.0 else None,
         )
 
     def edit(self, params: Dict, x_lat: jnp.ndarray, target_labels: jnp.ndarray,
@@ -83,8 +89,10 @@ class DiffusionCLIPFinetune:
             target = batch["class_label"]
 
         z_edit = self.edit(params, x_lat, target)
+        # NOT clamped: the reference feeds the raw decode to clip_losses
+        # (latent_diffclip.py:1003) — clipping would zero gradients on
+        # saturated pixels and change the optimization trajectory
         edit = self.ldm.decode_first_stage(params, z_edit)
-        edit = jnp.clip(edit, -1.0, 1.0)
 
         loss = 0.0
         aux: Dict[str, jnp.ndarray] = {}
@@ -106,7 +114,12 @@ class DiffusionCLIPFinetune:
                         "the config so build_guidance_encoders precomputes it"
                     )
                 if tdir.ndim == 2:  # per-class table -> per-example rows
-                    tdir = tdir[target]
+                    # reference: direction depends on the SOURCE emotion of
+                    # each example (latent_diffclip.py:959,1022); the
+                    # per-target table is the no-edit_attr extension mode
+                    key = (batch["class_label"] if self.direction_by_source
+                           else target)
+                    tdir = tdir[key]
             d = clip_directional_loss(self.clip_image_embed, src, edit, tdir)
             aux["loss_clip"] = jnp.mean(diffusionclip_direction_loss(d))
             loss = loss + self.clip_weight * aux["loss_clip"]

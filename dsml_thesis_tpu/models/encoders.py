@@ -136,15 +136,19 @@ class TransformerTextEmbedder(nn.Module):
 
 
 class LandmarkEncoder(nn.Module):
-    """Flattened 48-landmark (96-d) MLP encoder -> one token."""
+    """Flattened 48-landmark (96-d) 5-layer MLP encoder -> one token.
 
-    hidden_dim: int = 128
+    Exact reference architecture (talking_face modules.py:331-348):
+    in -> 128 -> 256 -> 512 -> 256 -> output_dim, ReLU between layers,
+    so reference weights convert layer-for-layer."""
+
+    output_dim: int = 128
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False):
         b = x.shape[0]
         h = x.reshape(b, -1)
-        h = nn.Dense(256, name="fc1")(h)
-        h = nn.relu(h)
-        h = nn.Dense(self.hidden_dim, name="fc2")(h)
+        for i, d in enumerate((128, 256, 512, 256)):
+            h = nn.relu(nn.Dense(d, name=f"fc{i}")(h))
+        h = nn.Dense(self.output_dim, name="fc4")(h)
         return h[:, None, :]

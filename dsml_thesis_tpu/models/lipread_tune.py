@@ -1,11 +1,14 @@
 """Lip-reading finetune for the talking-face LDM.
 
 Parity target: talking_face/ldm/models/diffusion/ddpm2condtune.py — replaces
-the eps-MSE with: differentiable stochastic encode of the target-frame latent
-→ k-step differentiable reverse DDIM under full conditioning → frozen VQGAN
-decode → mouth crop around the landmark centroid (cut_mouth :1412-1461,
-96x96 gray → 88px) → frozen lipreader ResNet features → cosine feature loss
-(+ L2 latent loss + adopt_weight warmup, p_losses :1026-1110).
+the eps-MSE with: original-schedule stochastic encode of the target-frame
+latent at t ~ U{0..T-1} (:947-948, :1028 use_original_steps=True) → the full
+8-step differentiable reverse DDIM at eta=1.0 under full conditioning
+(:533, :1029-1032) → frozen VQGAN decode, clamped → mouth crop around the
+landmark centroid (cut_mouth :1412-1461, 72x72 gray) → CenterCrop(64) →
+Normalize(0.421, 0.165) → resize 88 (:515-527, :1058-1063) → frozen
+lipreader ResNet features → cosine feature loss (+ L2 latent loss +
+adopt_weight warmup, p_losses :1026-1110).
 
 TPU-first: the mouth crop is a batched lax.dynamic_slice (static crop size,
 runtime center), grayscale + normalization fused in; the k-step decode is the
@@ -72,43 +75,61 @@ class LipreadFinetune:
     decode_steps: int = 8          # DDIM-8 sampler (ddpm2condtune.py:534-535)
     lr_loss_weight: float = 1.0    # lr_loss_w (mead-128-ldm-f4-tune.yaml:20)
     start_lr_loss: int = 0         # warmup threshold (yaml:19)
-    mouth_crop: int = 96
+    # reference mouth geometry (ddpm2condtune.py:515-521): 72px crop,
+    # 64px center crop, resized to 88 for the lipreader
+    mouth_crop: int = 72
+    mouth_center_crop: int = 64
     mouth_size: int = 88
-    # lipreader preprocessing (mouth_transform: gray mean/std normalization)
+    # lipreader normalization, applied DIRECTLY to the [-1,1] gray crop
+    # (the reference's Normalize(0,1) is a no-op; there is no [0,1] rescale)
     mouth_mean: float = 0.421
     mouth_std: float = 0.165
 
     def __post_init__(self):
-        self.ddim = make_ddim_schedule(self.ldm.schedule, self.decode_steps, eta=0.0)
+        # the tune sampler runs at eta=1.0 (ddpm2condtune.py:533): every
+        # reverse step adds sigma-scaled noise (rng passed in training_loss)
+        self.ddim = make_ddim_schedule(self.ldm.schedule, self.decode_steps,
+                                       eta=1.0)
 
     def _prep_mouths(self, images: jnp.ndarray, landmarks: jnp.ndarray):
         m = cut_mouth(images, landmarks, crop=self.mouth_crop)
-        m = resize_bilinear(m, self.mouth_size)
-        # [-1,1] -> [0,1] -> lipreader normalization
-        m = (m + 1.0) / 2.0
-        return (m - self.mouth_mean) / self.mouth_std
+        cc = self.mouth_center_crop
+        off = (self.mouth_crop - cc) // 2
+        m = m[:, off:off + cc, off:off + cc, :]
+        m = (m - self.mouth_mean) / self.mouth_std
+        return resize_bilinear(m, self.mouth_size)
 
     def training_loss(self, params: Dict, batch: Dict, rng: jax.Array,
                       global_step=0):
-        k_t, k_noise, k_cond = jax.random.split(rng, 3)
+        k_t, k_noise, k_cond, k_dec = jax.random.split(rng, 4)
         x = batch[self.ldm.first_stage_key]
         z0 = self.ldm.encode_first_stage(params, x)
         cond = self.ldm.encode_conditioning(params, batch, training=True, rng=k_cond)
 
         b = z0.shape[0]
-        # noise to a random position of the k-step sub-chain, then decode fully
-        t_idx = jax.random.randint(k_t, (b,), 0, self.ddim.num_steps)
+        # noise at t ~ U{0..T-1} on the ORIGINAL schedule (reference :947-948,
+        # differentiable_stochastic_encode use_original_steps=True :1028),
+        # then decode the full k-step chain (t_start=1000, :1029-1032)
+        from ..diffusion import q_sample
+
+        t = jax.random.randint(k_t, (b,), 0, self.ldm.schedule.num_timesteps)
         noise = jax.random.normal(k_noise, z0.shape, dtype=z0.dtype)
-        x_noisy = stochastic_encode(self.ddim, z0, t_idx, noise)
+        x_noisy = q_sample(self.ldm.schedule, z0, t, noise)
 
         eps_fn = self.ldm.make_eps_fn(params, cond)
-        z_rec = ddim_reverse_from(self.ddim, eps_fn, x_noisy)
+        z_rec = ddim_reverse_from(self.ddim, eps_fn, x_noisy, rng=k_dec)
 
         aux: Dict[str, jnp.ndarray] = {}
         loss = jnp.mean((z_rec - jax.lax.stop_gradient(z0)) ** 2)
         aux["l2_loss"] = loss
 
-        if self.lipreader_fn is not None and "landmarks" in batch:
+        if self.lipreader_fn is not None:
+            if "landmarks" not in batch:
+                raise KeyError(
+                    "lipread finetune needs batch['landmarks'] (MEADBase5 / "
+                    "include_landmarks=True); refusing to silently train "
+                    "with the L2 term only"
+                )
             x_pred = jnp.clip(self.ldm.decode_first_stage(params, z_rec), -1, 1)
             x_gt = jnp.clip(
                 self.ldm.decode_first_stage(params, jax.lax.stop_gradient(z0)),

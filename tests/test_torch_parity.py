@@ -140,3 +140,30 @@ def test_conv1d_temporal_attention_parity():
     params = convert.convert_conv1d_temporal_attention(sd)
     out = jm.apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
+
+
+def test_landmark_encoder_parity():
+    """5-layer MLP (96->128->256->512->256->out) vs the reference
+    LandmarkEncoder (talking_face modules.py:331-348), converted weights."""
+    install_reference_path(root="/root/reference/talking_face")
+    import importlib
+    import sys
+    for k in [k for k in sys.modules if k.startswith(("ldm", "taming"))]:
+        del sys.modules[k]
+    sys.path.insert(0, "/root/reference/talking_face")
+    mod = importlib.import_module("ldm.modules.encoders.modules")
+
+    from dsml_thesis_tpu.models.encoders import LandmarkEncoder
+
+    torch.manual_seed(5)
+    tm = mod.LandmarkEncoder(input_dim=96, output_dim=128).eval()
+    rs = np.random.RandomState(6)
+    x = rs.randn(3, 96).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    jm = LandmarkEncoder(output_dim=128)
+    params = convert.convert_landmark_encoder(tm.state_dict())
+    out = jm.apply({"params": params}, jnp.asarray(x))
+    assert out.shape == ref.shape == (3, 1, 128)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
