@@ -31,7 +31,6 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     """FID between two Gaussians (Heusel et al. 2017)."""
     diff = mu1 - mu2
     offset = np.eye(sigma1.shape[0]) * eps
-    covmean = _sqrtm_psd((sigma1 + offset) @ (sigma2 + offset))
     # trace of sqrtm(s1 s2): use sqrtm(s1^(1/2) s2 s1^(1/2)) for symmetry
     s1_half = _sqrtm_psd(sigma1 + offset)
     inner = _sqrtm_psd(s1_half @ (sigma2 + offset) @ s1_half)
@@ -44,8 +43,15 @@ def fid_from_features(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
     return frechet_distance(mu1, s1, mu2, s2)
 
 
-def inception_score(probs: np.ndarray, splits: int = 10) -> Tuple[float, float]:
-    """IS from class probabilities [N, C]."""
+def inception_score(probs: np.ndarray, splits: int = 10,
+                    shuffle_seed: Optional[int] = 2020) -> Tuple[float, float]:
+    """IS from class probabilities [N, C].
+
+    Features are shuffled before splitting (torch-fidelity does the same
+    with rng_seed=2020) — sample dirs usually sort by class/subject, which
+    would skew each split's marginal p(y)."""
+    if shuffle_seed is not None:
+        probs = probs[np.random.RandomState(shuffle_seed).permutation(len(probs))]
     scores = []
     n = len(probs)
     for k in range(splits):
@@ -92,23 +98,35 @@ def precision_recall(
     covered if it falls inside any k-NN-radius ball of the other set.
     precision = coverage of fake by real manifold; recall = of real by fake.
     """
+    real_feats = np.asarray(real_feats, np.float32)
+    fake_feats = np.asarray(fake_feats, np.float32)
+
     def pairwise(a, b):
         aa = (a * a).sum(1)[:, None]
         bb = (b * b).sum(1)[None, :]
         return np.sqrt(np.clip(aa + bb - 2 * (a @ b.T), 0, None))
 
-    def knn_radius(x):
-        d = pairwise(x, x)
-        # k-th nearest excluding self (self-distance 0 occupies column 0)
-        return np.sort(d, axis=1)[:, k]
+    # row-blocked: full NxN matrices OOM at FID-scale dirs (~25k images
+    # per side -> ~5GB; torch-fidelity batches the same way)
+    block = 4096
 
-    d_fake_real = pairwise(fake_feats, real_feats)
-    precision = float(
-        (d_fake_real <= knn_radius(real_feats)[None, :]).any(axis=1).mean()
-    )
-    recall = float(
-        (d_fake_real.T <= knn_radius(fake_feats)[None, :]).any(axis=1).mean()
-    )
+    def knn_radius(x):
+        out = np.empty(len(x), np.float32)
+        for s in range(0, len(x), block):
+            d = pairwise(x[s:s + block], x)
+            # k-th nearest excluding self (self-distance 0 is column 0)
+            out[s:s + block] = np.sort(d, axis=1)[:, k]
+        return out
+
+    def coverage(a, radius_b, b):
+        hit = np.empty(len(a), bool)
+        for s in range(0, len(a), block):
+            d = pairwise(a[s:s + block], b)
+            hit[s:s + block] = (d <= radius_b[None, :]).any(axis=1)
+        return float(hit.mean())
+
+    precision = coverage(fake_feats, knn_radius(real_feats), real_feats)
+    recall = coverage(real_feats, knn_radius(fake_feats), fake_feats)
     return precision, recall
 
 
@@ -123,13 +141,23 @@ def compute_features(
     if isinstance(image_dir_or_array, np.ndarray):
         arrs = image_dir_or_array
     else:
-        from ..data import load_image
+        from PIL import Image
 
         paths = sorted(
             glob.glob(os.path.join(image_dir_or_array, "*.jpg"))
             + glob.glob(os.path.join(image_dir_or_array, "*.png"))
         )
-        arrs = np.stack([load_image(p, size) for p in paths])
+
+        def load(p):
+            # torch-fidelity/pytorch-fid parity: BILINEAR squash to
+            # size x size (no bicubic shortest-side resize + center crop —
+            # interpolation/crop choices measurably shift FID)
+            img = Image.open(p).convert("RGB")
+            if size is not None and img.size != (size, size):
+                img = img.resize((size, size), Image.BILINEAR)
+            return np.asarray(img, np.float32) / 127.5 - 1.0
+
+        arrs = np.stack([load(p) for p in paths])
     out = []
     for s in range(0, len(arrs), batch):
         out.append(np.asarray(extractor(arrs[s:s + batch])))

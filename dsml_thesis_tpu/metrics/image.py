@@ -42,8 +42,20 @@ def _filter2d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 
 
 def ssim(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0,
-         k1: float = 0.01, k2: float = 0.03) -> jnp.ndarray:
-    """Per-image SSIM over NHWC batches (11x11 gaussian, sigma 1.5)."""
+         k1: float = 0.01, k2: float = 0.03,
+         downsample: bool = True) -> jnp.ndarray:
+    """Per-image SSIM over NHWC batches (11x11 gaussian, sigma 1.5).
+
+    downsample=True applies piq's default pre-pooling: average-pool by
+    f = max(1, round(min(H, W) / 256)) before filtering — a no-op at the
+    reference's 128/256px but required for piq parity on larger images."""
+    if downsample:
+        f = max(1, round(min(a.shape[1], a.shape[2]) / 256))
+        if f > 1:
+            pool = lambda x: jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, (1, f, f, 1), (1, f, f, 1), "VALID"
+            ) / (f * f)
+            a, b = pool(a), pool(b)
     kernel = _gaussian_kernel()
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2

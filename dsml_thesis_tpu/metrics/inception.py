@@ -236,11 +236,21 @@ def convert_fid_inception(sd: Dict):
 
 
 def make_feature_fn(params: Dict, stats: Dict, num_classes: int = 1008):
-    """images [-1,1] NHWC -> (pool 2048, logits)."""
+    """images [-1,1] NHWC -> (pool 2048, logits).
+
+    The returned fn is already jitted with the 24M-param variables passed as
+    ARGUMENTS — callers must not wrap it in jax.jit themselves (closing over
+    the weights embeds them as HLO constants, which the axon remote compiler
+    rejects; see CLAUDE.md)."""
+    import jax
+
     model = FIDInceptionV3(num_classes=num_classes)
+    apply_jit = jax.jit(
+        lambda v, images: model.apply(v, preprocess(images))
+    )
+    variables = {"params": params, "batch_stats": stats}
 
     def fn(images):
-        return model.apply({"params": params, "batch_stats": stats},
-                           preprocess(images))
+        return apply_jit(variables, images)
 
     return fn

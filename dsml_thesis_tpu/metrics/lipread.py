@@ -14,17 +14,38 @@ from __future__ import annotations
 
 from typing import Iterable, List, Sequence, Tuple
 
-# ARPABET-style phoneme -> Amazon Polly viseme classes
+# IPA phone -> Amazon Polly viseme class: the reference's
+# data/phonemes2visemes.csv (cols 0 -> 4), consumed by espeak IPA output with
+# Separator(phone='-') exactly like utils/lipread_utils.py:7-35.
+IPA2VISEME = {
+    "b": "p", "d": "t", "d͡ʒ": "S", "dʒ": "S", "ð": "T", "f": "f",
+    "ɡ": "k", "h": "k", "j": "i", "k": "k", "l": "t", "ɾ": "t",
+    "m": "p", "n": "t", "ŋ": "k", "p": "p", "ɹ": "r", "ɹ̩": "r",
+    "s": "s", "ʃ": "S", "t": "t", "t͡ʃ": "S", "tʃ": "S", "θ": "T",
+    "v": "f", "w": "u", "z": "s", "ʒ": "S",
+    "ə": "@", "ɚ": "@", "æ": "a", "aɪ": "a", "aʊ": "a", "ɑ": "a",
+    "ɑː": "a", "ɐ": "a", "eɪ": "e", "ɝ": "E", "ɜː": "E", "ɛ": "E",
+    "i": "i", "iː": "i", "ɪ": "i", "iə": "i", "ᵻ": "i",
+    "oʊ": "o", "ɔ": "O", "ɔː": "O", "ɔɪ": "O",
+    "u": "u", "uː": "u", "ʊ": "u", "ʌ": "E",
+    "ɛɹ": "er", "ʊɹ": "er", "ɔːɹ": "Or", "ɑːɹ": "ar", "əl": "@t",
+    "oːɹ": "Or", "ɪɹ": "ir", "oː": "O", "o": "O", "e": "E", "a": "a",
+    "n̩": "t", "ʔ": "", "aɪə": "a",
+}
+
+# ARPABET convenience table for pre-phonemized input (viseme classes match
+# the CSV: dental fricatives are their own 'T' class, schwa is '@')
 PHONEME2VISEME = {
     "b": "p", "m": "p", "p": "p",
-    "d": "t", "dh": "t", "n": "t", "t": "t", "th": "t",
+    "d": "t", "n": "t", "t": "t", "l": "t", "el": "t",
+    "dh": "T", "th": "T",
     "f": "f", "v": "f",
     "g": "k", "hh": "k", "k": "k", "ng": "k",
     "ch": "S", "jh": "S", "sh": "S", "zh": "S",
     "s": "s", "z": "s",
-    "l": "t", "el": "t",
-    "r": "r", "er": "E", "w": "u", "y": "i",
-    "aa": "a", "ae": "a", "ah": "E", "ao": "O", "aw": "a", "ay": "a",
+    "r": "r", "er": "@", "w": "u", "y": "i",
+    "aa": "a", "ae": "a", "ah": "E", "ax": "@", "ao": "O",
+    "aw": "a", "ay": "a",
     "eh": "E", "ey": "e", "ih": "i", "iy": "i",
     "ow": "o", "oy": "O", "uh": "u", "uw": "u",
     "sil": "sil", "sp": "sil",
@@ -88,17 +109,40 @@ def cer(ref_texts: Sequence[str], hyp_texts: Sequence[str]) -> float:
     )
 
 
-def text_to_visemes(text: str) -> List[str]:
-    """Phonemize (espeak backend via `phonemizer`) then map to visemes."""
+_BACKEND = None
+
+
+def text_to_visemes(text: str) -> str:
+    """Reference viseme text (utils/lipread_utils.py:37-55): espeak 'en-us'
+    IPA phones with Separator(phone='-', word=' '), each word's visemes
+    joined into one token, words space-separated — so word-level WER and
+    char-level CER both apply to the result."""
+    global _BACKEND
+    if _BACKEND is None:
+        try:
+            from phonemizer.backend import EspeakBackend
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "viseme metrics on raw text need the optional `phonemizer` "
+                "package; pass pre-phonemized ARPABET sequences to "
+                "viseme_error_rate instead"
+            ) from e
+        _BACKEND = EspeakBackend("en-us", words_mismatch="ignore",
+                                 with_stress=False)
     try:
-        from phonemizer import phonemize
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "viseme metrics on raw text need the optional `phonemizer` package; "
-            "pass pre-phonemized sequences to viseme_error_rate instead"
-        ) from e
-    ph = phonemize(text, backend="espeak", strip=True).split()
-    return phonemes_to_visemes(ph)
+        from phonemizer.separator import Separator
+
+        sep = Separator(phone="-", word=" ")
+    except ImportError:  # stubbed backend in tests
+        sep = None
+    phonemized = _BACKEND.phonemize([text], separator=sep)[0]
+    words = []
+    for word in phonemized.split(" "):
+        vis = [IPA2VISEME[p.strip()] for p in word.split("-")
+               if p and p.strip() in IPA2VISEME]
+        if vis:
+            words.append("".join(vis))
+    return " ".join(words)
 
 
 def viseme_error_rate(
@@ -108,3 +152,27 @@ def viseme_error_rate(
         [phonemes_to_visemes(p) for p in ref_phonemes],
         [phonemes_to_visemes(p) for p in hyp_phonemes],
     )
+
+
+def _utt_rate(ref: Sequence, hyp: Sequence) -> float:
+    return edit_distance(ref, hyp) / max(len(ref), 1)
+
+
+def macro_wer(ref_texts: Sequence[str], hyp_texts: Sequence[str]) -> float:
+    """Mean of per-utterance WERs — the reference protocol (run_av_hubert.py
+    :92-107 averages jiwer.wer per video via AverageMeter.avg), which differs
+    from the corpus-pooled wer() whenever sentence lengths vary."""
+    rates = [_utt_rate(r.lower().split(), h.lower().split())
+             for r, h in zip(ref_texts, hyp_texts)]
+    return sum(rates) / max(len(rates), 1)
+
+
+def macro_cer(ref_texts: Sequence[str], hyp_texts: Sequence[str]) -> float:
+    """Mean of per-utterance CERs (jiwer.cer semantics: characters of the
+    whitespace-normalized string, single spaces kept)."""
+    def chars(t):
+        return list(" ".join(t.lower().split()))
+
+    rates = [_utt_rate(chars(r), chars(h))
+             for r, h in zip(ref_texts, hyp_texts)]
+    return sum(rates) / max(len(rates), 1)

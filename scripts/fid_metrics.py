@@ -66,7 +66,10 @@ def main():
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
         params, stats = convert_fid_inception(sd)
-        feature_fn = jax.jit(make_feature_fn(params, stats))
+        # make_feature_fn jits internally with params as call arguments —
+        # wrapping it in jax.jit again would close over the 24M weights
+        # (HTTP 413 on the axon remote compiler, CLAUDE.md)
+        feature_fn = make_feature_fn(params, stats)
 
         pools, logits = {}, {}
 

@@ -201,7 +201,12 @@ def main():
 
     if not args.transcripts:
         return
-    from dsml_thesis_tpu.metrics.lipread import cer, wer
+    from dsml_thesis_tpu.metrics.lipread import (
+        cer,
+        macro_cer,
+        macro_wer,
+        wer,
+    )
 
     with open(args.hyp_json) as f:
         hyps = json.load(f)
@@ -213,15 +218,22 @@ def main():
     ref_texts = [refs[n] for n in names]
     hyp_texts = [hyps[n] for n in names]
     print(f"videos scored: {len(names)}")
-    print(f"WER: {wer(ref_texts, hyp_texts):.4f}")
-    print(f"CER: {cer(ref_texts, hyp_texts):.4f}")
+    # per-video averages = the reference protocol (run_av_hubert.py:104-115);
+    # corpus-pooled rates printed alongside for reference-free comparisons
+    print(f"WER: {macro_wer(ref_texts, hyp_texts):.4f} "
+          f"(corpus {wer(ref_texts, hyp_texts):.4f})")
+    print(f"CER: {macro_cer(ref_texts, hyp_texts):.4f} "
+          f"(corpus {cer(ref_texts, hyp_texts):.4f})")
     if args.visemes:
-        from dsml_thesis_tpu.metrics.lipread import error_rate, text_to_visemes
+        from dsml_thesis_tpu.metrics.lipread import text_to_visemes
 
         try:
             rv = [text_to_visemes(t) for t in ref_texts]
             hv = [text_to_visemes(t) for t in hyp_texts]
-            print(f"viseme-WER: {error_rate(rv, hv):.4f}")
+            # viseme text keeps word structure: WERV over viseme-words,
+            # CERV over viseme characters (reference :96-103)
+            print(f"viseme-WER: {macro_wer(rv, hv):.4f}")
+            print(f"viseme-CER: {macro_cer(rv, hv):.4f}")
         except RuntimeError as e:
             print(f"viseme rates skipped: {e}")
 

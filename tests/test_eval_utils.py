@@ -53,13 +53,21 @@ def test_fid_zero_for_identical_distributions():
 
 def test_inception_score_bounds():
     # perfectly confident, uniform over classes -> IS = n_classes
+    # (shuffle disabled: the exact bound needs balanced splits)
     probs = np.eye(10)[np.arange(100) % 10]
-    is_mean, _ = inception_score(probs, splits=2)
+    is_mean, _ = inception_score(probs, splits=2, shuffle_seed=None)
     assert is_mean == pytest.approx(10.0, rel=0.01)
     # uniform probabilities -> IS = 1
     probs = np.full((100, 10), 0.1)
     is_mean, _ = inception_score(probs, splits=2)
     assert is_mean == pytest.approx(1.0, rel=1e-3)
+    # the default seeded shuffle (torch-fidelity rng_seed=2020) de-skews
+    # class-sorted inputs: each unshuffled split sees only half the classes
+    sorted_probs = np.eye(10)[np.sort(np.arange(100) % 10)]
+    skewed, _ = inception_score(sorted_probs, splits=2, shuffle_seed=None)
+    fixed, _ = inception_score(sorted_probs, splits=2)
+    assert skewed == pytest.approx(5.0, rel=0.01)
+    assert fixed > 8.0
 
 
 def test_kid_zero_same_distribution():
@@ -103,3 +111,41 @@ def test_mask_and_mouth_crop():
     assert (masked[90:] == -1).all() and (masked[:80] == 1).all()
     roi = crop_mouth_roi((img * 127.5 + 127.5).astype(np.uint8), lm, crop=48)
     assert roi.shape == (48, 48, 3)
+
+
+def test_text_to_visemes_reference_protocol(monkeypatch):
+    """IPA phones with Separator(phone='-') map through the reference CSV
+    table, visemes joined per word (lipread_utils.py:37-55). The espeak
+    backend is stubbed with canned IPA output."""
+    from dsml_thesis_tpu.metrics import lipread
+
+    class FakeBackend:
+        def phonemize(self, texts, separator=None):
+            # 'think tall' -> dental fricative + distinct '@' classes
+            return ["θ-ɪ-ŋ-k- t-ɔː-l-"]
+
+    monkeypatch.setattr(lipread, "_BACKEND", FakeBackend())
+    out = lipread.text_to_visemes("think tall")
+    assert out == "Tikk tOt"  # th->T (own class), not merged into 't'
+
+
+def test_macro_vs_corpus_rates():
+    """Reference protocol averages per-video rates (run_av_hubert.py:104-115)
+    — distinct from corpus pooling when lengths vary."""
+    from dsml_thesis_tpu.metrics.lipread import macro_cer, macro_wer, wer
+
+    refs = ["a b c d e f g h i j", "x"]
+    hyps = ["a b c d e f g h i j", "y"]
+    assert abs(wer(refs, hyps) - 1 / 11) < 1e-9       # corpus: 1 err / 11
+    assert abs(macro_wer(refs, hyps) - 0.5) < 1e-9    # (0 + 1) / 2
+    assert macro_cer(refs, refs) == 0.0
+
+
+def test_arpabet_viseme_classes_match_reference_csv():
+    from dsml_thesis_tpu.metrics.lipread import phonemes_to_visemes
+
+    # dental fricatives are their own class 'T' (CSV rows for ð/θ)
+    assert phonemes_to_visemes(["th", "ih", "ng", "k"]) == ["T", "i", "k", "k"]
+    assert phonemes_to_visemes(["dh"]) == ["T"]
+    # schwa class '@' exists (CSV ə -> @)
+    assert phonemes_to_visemes(["ax"]) == ["@"]
