@@ -68,8 +68,10 @@ def main():
         strength=None if args.strength >= 1.0 else args.strength,
     )
 
+    # params as a jit ARGUMENT (closing over them embeds the weights as HLO
+    # constants — HTTP 413 on the axon remote compiler, CLAUDE.md)
     @jax.jit
-    def invert(x, labels):
+    def invert(params, x, labels):
         z0 = ldm.encode_first_stage(params, x)
         cond = ldm.encode_conditioning(params, {"class_label": labels})
         eps = ldm.make_eps_fn(params, cond, None, 1.0)
@@ -92,7 +94,7 @@ def main():
         if pad:
             imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
             labels = np.concatenate([labels, np.zeros((pad,), np.int32)])
-        x_lat, xrec = invert(jnp.asarray(imgs), jnp.asarray(labels))
+        x_lat, xrec = invert(params, jnp.asarray(imgs), jnp.asarray(labels))
         all_x0.append(((imgs[: len(chunk)] + 1) / 2))  # [0,1] like reference origin
         all_lat.append(np.asarray(x_lat)[: len(chunk)])
         if args.reconstruct:

@@ -43,7 +43,7 @@ def main():
     from dsml_thesis_tpu.models import insight_face as inf
     from dsml_thesis_tpu.models.arcface import _BLOCKS, convert_iresnet, iresnet
 
-    sd = torch.load(args.weights, map_location="cpu")
+    sd = torch.load(args.weights, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     if args.network in _BLOCKS:
@@ -66,9 +66,13 @@ def main():
     else:
         raise SystemExit(f"unknown network {args.network!r}")
 
-    @jax.jit
+    # variables as jit ARGUMENTS (a closure embeds them as HLO constants —
+    # HTTP 413 on the axon remote compiler, CLAUDE.md)
+    embed_jit = jax.jit(lambda v, x: model.apply(v, x))
+    variables = {"params": params, "batch_stats": stats}
+
     def embed(x):
-        return model.apply({"params": params, "batch_stats": stats}, x)
+        return embed_jit(variables, x)
 
     def list_imgs(d):
         return sorted(
@@ -89,6 +93,9 @@ def main():
 
     paths_a, paths_b = list_imgs(args.dir_a), list_imgs(args.dir_b)
     n = min(len(paths_a), len(paths_b))
+    if len(paths_a) != len(paths_b):
+        print(f"note: pairing first {n} of {len(paths_a)}/{len(paths_b)} images")
+    paths_a, paths_b = paths_a[:n], paths_b[:n]
     sims = []
     for s in range(0, n, args.batch):
         a = np.stack([load112(p) for p in paths_a[s:s + args.batch]])

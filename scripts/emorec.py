@@ -34,7 +34,7 @@ def main():
     import torch
 
     model = torch.jit.load(args.torch_model) if args.torch_model.endswith(".pt") \
-        else torch.load(args.torch_model, map_location="cpu")
+        else torch.load(args.torch_model, map_location="cpu", weights_only=False)
     model.eval()
 
     def classify(imgs_m11: np.ndarray) -> np.ndarray:

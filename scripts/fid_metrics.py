@@ -90,7 +90,7 @@ def main():
 
         model = torch.jit.load(args.torch_extractor) \
             if args.torch_extractor.endswith(".pt") \
-            else torch.load(args.torch_extractor, map_location="cpu")
+            else torch.load(args.torch_extractor, map_location="cpu", weights_only=False)
         model.eval()
 
         def extract(imgs_m11: np.ndarray) -> np.ndarray:

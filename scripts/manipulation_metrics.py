@@ -83,9 +83,10 @@ def main():
             lin_sd if isinstance(lin_sd, dict) else lin_sd.state_dict(),
         )
         model = LPIPS()
-        lpips_fn = jax.jit(
-            lambda a, b: model.apply({"params": lp_params}, a, b)
-        )
+        # weights as jit arguments (a closure embeds the VGG as HLO
+        # constants — HTTP 413 on the axon remote compiler, CLAUDE.md)
+        _lpips_jit = jax.jit(lambda p, a, b: model.apply({"params": p}, a, b))
+        lpips_fn = lambda a, b: _lpips_jit(lp_params, a, b)
 
     emorec_fn = None
     if args.emorec_model:
@@ -93,7 +94,7 @@ def main():
 
         tm = torch.jit.load(args.emorec_model) \
             if args.emorec_model.endswith(".pt") \
-            else torch.load(args.emorec_model, map_location="cpu")
+            else torch.load(args.emorec_model, map_location="cpu", weights_only=False)
         tm.eval()
         mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
         std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)

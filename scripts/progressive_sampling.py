@@ -7,7 +7,10 @@ progressive DDIM generation where each generated latent conditions the next
 frame, CFG over the class⊕audio context, pickle dump for save_videos.py.
 
 TPU-first: all VQ encodes + audio-window encodings hoisted before one nested
-lax.scan (frames ⊃ ddim steps); clips can be batched with --batch.
+lax.scan (frames ⊃ ddim steps). Clips run one at a time here; for
+speaker-batched throughput use scripts/streaming_pipeline.py. Pass --frames
+to pin the compiled shape — without it every distinct clip length is a fresh
+compile (10-25 min each through the axon tunnel, CLAUDE.md).
 
 Usage:
   python scripts/progressive_sampling.py --config <mead cfg> --ckpt <ckpt> \

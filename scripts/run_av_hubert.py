@@ -186,14 +186,21 @@ def main():
     if args.videos:
         videos = sorted(glob.glob(args.videos))
         assert videos, f"no videos match {args.videos}"
+        # only the fairseq availability probe sits in try — an ImportError
+        # from inside inference (cv2, user-dir modules) must surface, not be
+        # misdiagnosed as "fairseq not installed"
         try:
             import fairseq  # noqa: F401
 
+            have_fairseq = True
+        except ImportError:
+            have_fairseq = False
+        if have_fairseq:
             hyps = avhubert_infer(videos, args.av_hubert_ckpt, args.user_dir)
             with open(args.hyp_json, "w") as f:
                 json.dump(hyps, f, indent=2)
             print(f"wrote {args.hyp_json}")
-        except ImportError:
+        else:
             emit_handoff(videos, args.handoff_dir, args.av_hubert_ckpt,
                          args.user_dir, args.hyp_json)
             if not os.path.exists(args.hyp_json):

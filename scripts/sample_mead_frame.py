@@ -32,7 +32,9 @@ def main():
     ap.add_argument("--audio-pkl", required=True)
     ap.add_argument("--frame-idx", type=int, default=0)
     ap.add_argument("--class-label", type=int, default=0)
-    ap.add_argument("--audio-window", type=int, default=8)
+    ap.add_argument("--audio-window", type=int, default=None,
+                    help="defaults to (config seq_len - 1) // 2; other values"
+                         " would mismatch the audio encoder's seq_len reshape")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--scale", type=float, default=2.0)
     ap.add_argument("--size", type=int, default=128)
@@ -65,7 +67,15 @@ def main():
 
     with open(args.audio_pkl, "rb") as f:
         audio = np.asarray(pickle.load(f), np.float32)
-    w = args.audio_window
+    # the encoder hard-reshapes its input to seq_len rows (encoders.py):
+    # the window must be (seq_len - 1) / 2 for the model's config
+    w = ((seq_len - 1) // 2 if args.audio_window is None
+         else args.audio_window)
+    if 2 * w + 1 != seq_len:
+        raise SystemExit(
+            f"--audio-window {w} gives {2 * w + 1} rows but the config's "
+            f"audio encoder expects seq_len={seq_len}"
+        )
     t = args.frame_idx
     window = audio[[min(max(t + i, 0), len(audio) - 1) for i in range(-w, w + 1)]]
 

@@ -116,12 +116,25 @@ def main():
     # pipeline: host prep thread feeds a queue; device consumes
     batches = [list(range(s, min(s + B, len(ds))))
                for s in range(0, len(ds), B)]
-    batches = [b for b in batches if len(b) == B]  # static shapes
+    if batches and len(batches[-1]) < B:
+        # pad the ragged tail by repeating the last clip (static shapes);
+        # padded slots are dropped at write time via the names list
+        tail = batches[-1]
+        pad = B - len(tail)
+        print(f"note: final batch padded with {pad} repeated clip(s)")
+        batches[-1] = tail + [tail[-1]] * pad
+        n_real_last = len(tail)
+    else:
+        n_real_last = B
     q: queue.Queue = queue.Queue(maxsize=2)
 
     def producer():
-        for bi, idxs in enumerate(batches):
-            q.put((bi, prepare(idxs)))
+        try:
+            for bi, idxs in enumerate(batches):
+                q.put((bi, prepare(idxs)))
+        except BaseException as e:  # surface to the consumer — a dead
+            q.put(e)                # producer would hang q.get() forever
+            return
         q.put(None)
 
     threading.Thread(target=producer, daemon=True).start()
@@ -132,7 +145,11 @@ def main():
         item = q.get()
         if item is None:
             break
+        if isinstance(item, BaseException):
+            raise item
         bi, (masked, feats, ids, labels, names, gts) = item
+        if bi == len(batches) - 1 and n_real_last < B:
+            names = names[:n_real_last]  # drop padded duplicates at write
         vids = np.asarray(synth(params, masked, feats, ids, labels,
                                 jax.random.PRNGKey(bi)))
         done_frames += vids.shape[0] * vids.shape[1]
