@@ -96,6 +96,8 @@ def ddim_sample(
     eta_noise: bool = True,
 ) -> jnp.ndarray:
     """Full DDIM reverse chain as one lax.scan (replaces ddim.py:112-162 loop)."""
+    if mask is not None and x0 is None:
+        raise ValueError("inpainting mask requires x0 (reference ddim.py:145)")
     if x_T is None:
         key, sub = jax.random.split(key)
         img = jax.random.normal(sub, shape, dtype=jnp.float32)
@@ -150,7 +152,13 @@ def ddim_sample_with_intermediates(
         return img, pred_x0
 
     img, traj = jax.lax.scan(step, img, jnp.arange(S))
-    return img, traj[::log_every]
+    # reference ImageLogger keeps index % log_every_t == 0 plus the first
+    # step (ddim.py:159) — traj is stacked by loop step i, where
+    # index = S-1-i, so select those positions (always including the final,
+    # cleanest pred_x0 at i = S-1)
+    keep = sorted({i for i in range(S) if (S - 1 - i) % log_every == 0}
+                  | {0, S - 1})
+    return img, traj[jnp.asarray(keep)]
 
 
 def ddim_invert(

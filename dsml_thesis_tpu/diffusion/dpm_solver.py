@@ -87,7 +87,7 @@ def dpm_solver_sample(
         lam_prev = jnp.take(dpm.lambdas, jnp.maximum(i - 1, 0))
         h = lam_next - lam_cur
         h_last = lam_cur - lam_prev
-        r = h_last / jnp.maximum(h, 1e-8) * 0 + jnp.where(h == 0, 1.0, h_last / h)
+        r = jnp.where(h == 0, 1.0, h_last / h)
         # 2M update: D = (1 + 1/(2r)) x0_cur - 1/(2r) x0_prev (when history valid)
         D = jnp.where(
             valid_prev,
@@ -496,10 +496,13 @@ def dpm_solver_sample_adaptive(
     solver_type: str = "dpm_solver",
     x_T: Optional[jnp.ndarray] = None,
     max_iters: int = 200,
+    return_info: bool = False,
 ) -> jnp.ndarray:
     """Adaptive step-size solver (dpm_solver_adaptive, dpm_solver.py:909-963):
     embedded lower/higher-order pair, accept when the scaled error E <= 1,
-    step h <- min(theta h E^{-1/order}, remaining)."""
+    step h <- min(theta h E^{-1/order}, remaining). return_info=True also
+    returns {'converged', 'iterations'} — the max_iters backstop can exit
+    with a partially-integrated sample (the reference loops unboundedly)."""
     vp = make_vp_continuous(sched)
     b = shape[0]
     model_fn = _make_model_fn(vp, eps_fn, b, predict_x0)
@@ -548,5 +551,10 @@ def dpm_solver_sample_adaptive(
         return (x_new, s_new, h_new, x_prev_new, it + 1)
 
     init = (x, jnp.float32(t_T), jnp.float32(h_init), x, jnp.int32(0))
-    x, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    x, s_final, _, _, it_final = jax.lax.while_loop(cond, body, init)
+    if return_info:
+        # converged iff the loop exited on the |s - t_0| condition, not the
+        # max_iters backstop — an unconverged x is a partial integration
+        return x, {"converged": jnp.abs(s_final - t_0) <= t_err,
+                   "iterations": it_final}
     return x

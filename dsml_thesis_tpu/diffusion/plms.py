@@ -38,6 +38,10 @@ def plms_sample(
     key: jax.Array,
     x_T: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
+    # the reference PLMSSampler asserts ddim_eta == 0 (plms.py:34): the
+    # multistep update has no noise term, so an eta>0 schedule would produce
+    # variance-deficient samples silently
+    assert float(jnp.max(ddim.sigmas)) == 0.0, "PLMS requires an eta=0 schedule"
     if x_T is None:
         key, sub = jax.random.split(key)
         img = jax.random.normal(sub, shape, dtype=jnp.float32)
@@ -45,7 +49,8 @@ def plms_sample(
         img = x_T
     S = ddim.num_steps
     b = shape[0]
-    hist = jnp.zeros((4,) + tuple(shape), dtype=jnp.float32)
+    # 3 past eps suffice (the reference keeps old_eps at length <= 3)
+    hist = jnp.zeros((3,) + tuple(shape), dtype=jnp.float32)
 
     def multistep(e_t, hist, count):
         e1, e2, e3 = hist[0], hist[1], hist[2]
@@ -78,7 +83,7 @@ def plms_sample(
             count == 0, first_order, lambda: multistep(e_t, hist, count)
         )
         x_prev, _ = _x_prev_from_eps(ddim, img, e_prime, index)
-        hist = jnp.concatenate([e_t[None], hist[:3]], axis=0)
+        hist = jnp.concatenate([e_t[None], hist[:2]], axis=0)
         return (x_prev, hist, count + 1), None
 
     (img, _, _), _ = jax.lax.scan(step, (img, hist, jnp.int32(0)), jnp.arange(S))

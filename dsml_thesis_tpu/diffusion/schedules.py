@@ -232,6 +232,11 @@ def make_ddim_schedule(
 ) -> DDIMSchedule:
     alphacums = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
     n = schedule.num_timesteps
+    if strength is not None and strength >= 1.0:
+        # full chain: the strength maker's final step would index alphas[T];
+        # centralizes the guard the reference scripts apply at call sites
+        # (compute_latents.py main)
+        strength = None
     if strength is None:
         tsteps = make_ddim_timesteps(method, num_steps, n)
     else:

@@ -54,8 +54,7 @@ def progressive_video_sample(
 
     use_cfg = uncond_contexts is not None and guidance_scale != 1.0
 
-    def frame_step(carry, per_frame):
-        z_id, key = carry
+    def frame_step(z_id, per_frame):
         m_lat, ctx, uctx, kf, xT_f = per_frame
         concat = jnp.concatenate([m_lat, z_id], axis=-1)  # [B, h, w, 2c]
 
@@ -83,7 +82,7 @@ def progressive_video_sample(
 
         img, _ = jax.lax.scan(ddim_step, img, jnp.arange(S))
         # autoregressive identity update (reference :316-317)
-        return (img, key), img
+        return img, img
 
     frame_keys = jax.random.split(key, F)
     uc = (
@@ -101,9 +100,7 @@ def progressive_video_sample(
     )
     # carry dtype is fp32 (generated latents come out of the fp32 eps math);
     # z_id0 may arrive bf16 from a cast first stage
-    (_, _), frames = jax.lax.scan(
-        frame_step, (z_id0.astype(jnp.float32), key), xs
-    )
+    _, frames = jax.lax.scan(frame_step, z_id0.astype(jnp.float32), xs)
     return jnp.moveaxis(frames, 0, 1)  # [B, F, h, w, c]
 
 

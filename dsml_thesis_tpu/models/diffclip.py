@@ -61,12 +61,11 @@ class DiffusionCLIPFinetune:
     direction_by_source: bool = False
 
     def __post_init__(self):
+        # strength >= 1.0 maps to the full uniform chain inside
+        # make_ddim_schedule
         self.train_ddim = make_ddim_schedule(
             self.ldm.schedule, self.train_steps, eta=0.0,
-            # strength >= 1.0 = the full chain: plain uniform schedule (the
-            # strength maker would index one past the alphas, the same guard
-            # the reference scripts apply, compute_latents.py main)
-            strength=self.strength if self.strength < 1.0 else None,
+            strength=self.strength,
         )
 
     def edit(self, params: Dict, x_lat: jnp.ndarray, target_labels: jnp.ndarray,

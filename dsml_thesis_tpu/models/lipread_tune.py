@@ -23,7 +23,7 @@ from typing import Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..diffusion import ddim_reverse_from, make_ddim_schedule, stochastic_encode
+from ..diffusion import ddim_reverse_from, make_ddim_schedule
 from ..losses.discriminator import adopt_weight
 from .ldm import LatentDiffusion
 
