@@ -269,7 +269,11 @@ class AutoencoderKL(nn.Module):
         posterior = self.encode(x, deterministic)
         if sample_posterior is None:  # sample iff a key was provided
             sample_posterior = key is not None
-        z = posterior.sample(key) if sample_posterior else posterior.mode()
+        if sample_posterior:
+            assert key is not None, "sample_posterior=True needs a PRNG key"
+            z = posterior.sample(key)
+        else:
+            z = posterior.mode()
         return self.decode(z, deterministic), posterior
 
 

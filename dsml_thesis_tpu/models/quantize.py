@@ -27,8 +27,7 @@ class VectorQuantizer(nn.Module):
     legacy: bool = True
 
     def setup(self):
-        init = nn.initializers.uniform(scale=2.0 / self.n_e)
-        # reference init: U(-1/n_e, 1/n_e); flax uniform is [0, scale) → shift
+        # reference init: U(-1/n_e, 1/n_e)
         self.embedding = self.param(
             "embedding",
             lambda k, s: jax.random.uniform(
@@ -127,10 +126,17 @@ class EMAVectorQuantizer(nn.Module):
 
     @nn.compact
     def __call__(self, z, update: bool = False):
-        init = lambda k, s: jax.random.normal(k, s) * 0.5
-        embedding = self.variable("vq_stats", "embedding",
-                                  lambda: init(jax.random.PRNGKey(0),
-                                               (self.n_e, self.e_dim)))
+        # codebook init from the module's init RNG (a hard-coded key would
+        # make every instance/seed share one codebook), plain randn like the
+        # reference EmbeddingEMA (quantize.py:290)
+        embedding = self.variable(
+            "vq_stats", "embedding",
+            lambda: jax.random.normal(
+                self.make_rng("params") if self.is_initializing()
+                else jax.random.PRNGKey(0),
+                (self.n_e, self.e_dim),
+            ),
+        )
         cluster_size = self.variable("vq_stats", "cluster_size",
                                      lambda: jnp.zeros((self.n_e,)))
         embed_avg = self.variable("vq_stats", "embed_avg",

@@ -336,11 +336,29 @@ class UNetModel(nn.Module):
         emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
 
         if self.num_classes is not None:
-            assert y is not None
+            assert y is not None, "class-conditional UNet needs labels y"
+        elif y is not None:
+            raise ValueError(
+                "labels y passed to an unconditional UNet (num_classes unset) "
+                "— they would be silently ignored"
+            )
+        if self.num_classes is not None:
             emb = emb + nn.Embed(self.num_classes, time_embed_dim, name="label_emb")(y)
+        assert self.num_heads != -1 or self.num_head_channels != -1, (
+            "set one of num_heads / num_head_channels (openaimodel.py:456)"
+        )
 
+        # flax counts `self` as argument 0 in static_argnums, so index 3 is
+        # `deterministic` (index 2 would wrongly pin the traced emb array)
         res_cls = (
-            nn.remat(ResBlock, static_argnums=(2,)) if self.use_checkpoint else ResBlock
+            nn.remat(ResBlock, static_argnums=(3,)) if self.use_checkpoint else ResBlock
+        )
+        # the reference checkpoints every BasicTransformerBlock too
+        # (attention.py:206); remat at the SpatialTransformer boundary —
+        # at 4096 tokens its activations dominate backward memory
+        st_cls = (
+            nn.remat(SpatialTransformer, static_argnums=(3,))
+            if self.use_checkpoint else SpatialTransformer
         )
 
         def res(h, e, out_ch, name, **kw):
@@ -353,7 +371,7 @@ class UNetModel(nn.Module):
             heads, dim_head = self._heads(ch)
             if not self.use_spatial_transformer:
                 return AttentionBlock(heads, self.dtype, name=name)(h)
-            return SpatialTransformer(
+            return st_cls(
                 heads, dim_head, self.transformer_depth, self.dropout,
                 self.dtype, name=name,
             )(h, ctx, deterministic)

@@ -133,3 +133,45 @@ def test_conv1d_attention_pool_is_convex():
     assert out.shape == (2, 1, 16)
     # attention weights are a softmax → output within [min, max] of inputs
     assert float(out.min()) >= 1.0 - 1e-5 and float(out.max()) <= 5.0 + 1e-5
+
+
+def test_unet_checkpoint_remat_trains():
+    """use_checkpoint=True with dropout>0 must init and differentiate: flax
+    static_argnums counts `self` as arg 0, so `deterministic` is index 3
+    (index 2 pinned the traced emb and crashed on Dropout's bool branch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsml_thesis_tpu.models import UNetModel
+
+    m = UNetModel(in_channels=3, out_channels=3, model_channels=32,
+                  num_res_blocks=1, attention_resolutions=(2,),
+                  channel_mult=(1, 2), num_head_channels=16,
+                  use_spatial_transformer=True, transformer_depth=1,
+                  context_dim=16, use_checkpoint=True, dropout=0.1)
+    x = jnp.zeros((1, 8, 8, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 1, 16))
+    params = m.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+
+    def loss(p):
+        return jnp.sum(m.apply({"params": p}, x, t, ctx) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert jax.tree.leaves(g)
+
+
+def test_unet_head_config_validation():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from dsml_thesis_tpu.models import UNetModel
+
+    m = UNetModel(in_channels=3, out_channels=3, model_channels=32,
+                  num_res_blocks=1, attention_resolutions=(2,),
+                  channel_mult=(1, 2), use_spatial_transformer=True,
+                  transformer_depth=1, context_dim=16)  # no heads set
+    with pytest.raises(AssertionError, match="num_heads"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+               jnp.zeros((1,), jnp.int32), jnp.zeros((1, 1, 16)))
