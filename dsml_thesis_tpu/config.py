@@ -338,13 +338,16 @@ def build_guidance_encoders(p: Dict, edit_attr: Optional[str] = None) -> Dict:
     Returns kwargs for DiffusionCLIPFinetune.
     """
     out: Dict = {}
+    frozen: Dict = {}
     if p.get("clip_ckpt"):
         from .models import clip as clip_mod
 
         cfg, params = clip_mod.load_clip_checkpoint(p["clip_ckpt"])
-        out["clip_image_embed"] = clip_mod.make_clip_image_embed(
-            cfg, params["visual"]
-        )
+        # param-taking fn + weights routed through the params tree
+        # ('frozen/guidance'), so jitted losses receive them as ARGUMENTS
+        # instead of closure constants (axon rejects those, CLAUDE.md)
+        out["clip_image_embed"] = clip_mod.make_clip_image_embed_apply(cfg)
+        frozen["clip"] = params["visual"]
         if p.get("clip_bpe"):
             import jax.numpy as jnp
             import numpy as np
@@ -386,16 +389,17 @@ def build_guidance_encoders(p: Dict, edit_attr: Optional[str] = None) -> Dict:
     if p.get("id_ckpt"):
         import torch
 
-        from .models.insight_face import IRSE, convert_irse, make_id_embed_fn
+        from .models.insight_face import IRSE, convert_irse, make_id_embed_apply
 
         sd = torch.load(p["id_ckpt"], map_location="cpu", weights_only=False)
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
         ip, istats = convert_irse(sd)
         affine = "output_layer.4.weight" in sd
-        out["arcface_embed"] = make_id_embed_fn(
-            ip, istats, model=IRSE(affine=affine)
-        )
+        out["arcface_embed"] = make_id_embed_apply(model=IRSE(affine=affine))
+        frozen["irse"] = {"params": ip, "batch_stats": istats}
+    if frozen:
+        out["frozen_params"] = frozen
     return out
 
 
@@ -436,6 +440,7 @@ def build_finetune(model_cfg: Dict, ldm: Optional[LatentDiffusion] = None,
             ),
             text_direction=enc.get("text_direction"),
             direction_by_source=enc.get("direction_by_source", False),
+            frozen_params=enc.get("frozen_params"),
         )
         return ft
     if target.endswith("ddpm2condtune.LatentDiffusion"):

@@ -30,15 +30,18 @@ LABEL2EMOTION = {
     4: "scared face", 5: "disgusted face", 6: "angry face", 7: "face",
 }
 
+# per-TARGET-class prompts (extension mode, no edit_attr): target texts use
+# the reference's SRC_TRG_TXT_DIC vocabulary ('scared face' for fear;
+# contempt has no reference edit — plain 'face' like LABEL2EMOTION)
 EMOTION_PROMPTS = {
     0: ("face", "neutral face"),
     1: ("face", "happy face"),
     2: ("face", "sad face"),
     3: ("face", "surprised face"),
-    4: ("face", "fearful face"),
+    4: ("face", "scared face"),
     5: ("face", "disgusted face"),
     6: ("face", "angry face"),
-    7: ("face", "contemptuous face"),
+    7: ("face", "face"),
 }
 
 

@@ -81,8 +81,12 @@ class VQGANLoss:
         global_step,
         decode_from_last: Optional[Callable] = None,
         last_kernel: Optional[jnp.ndarray] = None,
+        val: bool = False,
     ):
-        """optimizer_idx == 0. Returns (loss, log)."""
+        """optimizer_idx == 0. Returns (loss, log). val=True matches the
+        reference's validation behavior: without a last-layer grad path the
+        adaptive weight is 0 there (calculate_adaptive_weight's RuntimeError
+        branch), so val aeloss excludes the GAN term."""
         nll = self.nll_loss(loss_params, inputs, reconstructions)
         logits_fake = self.discriminator.apply(
             {"params": loss_params["discriminator"]}, reconstructions
@@ -108,7 +112,7 @@ class VQGANLoss:
                 jnp.clip(d_weight, 0.0, 1e4) * self.disc_weight
             )
         else:
-            d_weight = jnp.asarray(self.disc_weight)
+            d_weight = jnp.asarray(0.0 if val else self.disc_weight)
 
         disc_factor = adopt_weight(self.disc_factor, global_step, self.disc_start)
         loss = nll + d_weight * disc_factor * g_loss + self.codebook_weight * jnp.mean(

@@ -170,10 +170,21 @@ def preprocess_gan_output(images: jnp.ndarray, image_size: int = 224) -> jnp.nda
 
 
 def make_clip_image_embed(cfg: CLIPConfig, params: Dict):
-    """Bind an `images([-1,1] NHWC) -> normalized embeddings` callable."""
+    """Bind an `images([-1,1] NHWC) -> normalized embeddings` callable.
+
+    NOTE: closes over the weights — fine for host-side metric scripts, but
+    jitted training losses must use make_clip_image_embed_apply so the
+    weights travel as jit arguments (CLAUDE.md)."""
+    apply_fn = make_clip_image_embed_apply(cfg)
+    return lambda images: apply_fn(params, images)
+
+
+def make_clip_image_embed_apply(cfg: CLIPConfig):
+    """Param-taking variant: fn(visual_params, images) -> normalized
+    embeddings, safe inside jitted losses."""
     tower = CLIPVisionTower(cfg)
 
-    def fn(images):
+    def fn(params, images):
         feats = tower.apply({"params": params},
                             preprocess_gan_output(images, cfg.image_size))
         return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)

@@ -59,6 +59,24 @@ class DiffusionCLIPFinetune:
     # 'text_direction' entry
     text_direction: Optional[jnp.ndarray] = None
     direction_by_source: bool = False
+    # frozen tower weights keyed 'clip'/'irse'/...: merged into the params
+    # tree as 'frozen/guidance' by FinetuneTrainer so jitted losses receive
+    # them as arguments; the matching encoder fns then take (weights, images).
+    # Plain single-arg callables (tests, external torch encoders on CPU)
+    # remain supported.
+    frozen_params: Optional[Dict] = None
+
+    _GUIDANCE_KEYS = {"clip_image_embed": "clip", "arcface_embed": "irse",
+                      "classifier_logits": "classifier"}
+
+    def _enc(self, params: Dict, attr: str):
+        """Bind an encoder callable to its frozen weights from `params`."""
+        fn = getattr(self, attr)
+        gp = params.get("frozen/guidance", self.frozen_params or {})
+        key = self._GUIDANCE_KEYS[attr]
+        if key in gp:
+            return lambda x: fn(gp[key], x)
+        return fn
 
     def __post_init__(self):
         # strength >= 1.0 maps to the full uniform chain inside
@@ -99,7 +117,8 @@ class DiffusionCLIPFinetune:
             aux["loss_l2"] = l2_loss(edit, src)
             loss = loss + self.l2_weight * aux["loss_l2"]
         if self.id_weight > 0 and self.arcface_embed is not None:
-            aux["loss_id"] = id_loss(self.arcface_embed, src, edit)
+            aux["loss_id"] = id_loss(self._enc(params, "arcface_embed"),
+                                     src, edit)
             loss = loss + self.id_weight * aux["loss_id"]
         if self.clip_weight > 0 and self.clip_image_embed is not None:
             tdir = batch.get("text_direction")
@@ -119,13 +138,15 @@ class DiffusionCLIPFinetune:
                     key = (batch["class_label"] if self.direction_by_source
                            else target)
                     tdir = tdir[key]
-            d = clip_directional_loss(self.clip_image_embed, src, edit, tdir)
+            d = clip_directional_loss(self._enc(params, "clip_image_embed"),
+                                      src, edit, tdir)
             aux["loss_clip"] = jnp.mean(diffusionclip_direction_loss(d))
             loss = loss + self.clip_weight * aux["loss_clip"]
         if self.cls_weight > 0 and self.classifier_logits is not None:
             from ..losses.guidance import cls_loss
 
-            aux["loss_cls"] = cls_loss(self.classifier_logits, edit, target)
+            aux["loss_cls"] = cls_loss(self._enc(params, "classifier_logits"),
+                                       edit, target)
             loss = loss + self.cls_weight * aux["loss_cls"]
         aux["loss"] = loss
         return loss, aux

@@ -482,15 +482,25 @@ def adaptive_avg_pool2d(x: jnp.ndarray, out_hw) -> jnp.ndarray:
 
 
 def make_id_embed_fn(params: Dict, stats: Dict, model: Optional[nn.Module] = None):
-    """IDLoss.extract_feats equivalent (idloss.py:28-45): [-1,1] images at any
-    size -> clamp -> adaptive pool to 112 -> IR-SE50 embedding. The reference's
-    clamp((y+1)/2, 0, 1) then Normalize(0.5, 0.5) round-trip is exactly
-    clip(y, -1, 1)."""
+    """IDLoss.extract_feats equivalent (idloss.py:28-45). Closes over the
+    weights — for host-side metric use; jitted losses use
+    make_id_embed_apply (weights as jit arguments, CLAUDE.md)."""
+    apply_fn = make_id_embed_apply(model)
+    variables = {"params": params, "batch_stats": stats}
+    return lambda images: apply_fn(variables, images)
+
+
+def make_id_embed_apply(model: Optional[nn.Module] = None):
+    """Param-taking variant: fn(variables, images) with
+    variables = {'params': ..., 'batch_stats': ...}. [-1,1] images at any
+    size -> clamp -> adaptive pool to 112 -> IR-SE50 embedding. The
+    reference's clamp((y+1)/2, 0, 1) then Normalize(0.5, 0.5) round-trip is
+    exactly clip(y, -1, 1)."""
     tower = model if model is not None else IRSE()
 
-    def fn(images):
+    def fn(variables, images):
         x = jnp.clip(images, -1.0, 1.0)
         x = adaptive_avg_pool2d(x, (112, 112))
-        return tower.apply({"params": params, "batch_stats": stats}, x)
+        return tower.apply(variables, x)
 
     return fn

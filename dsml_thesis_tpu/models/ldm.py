@@ -349,6 +349,12 @@ class LatentDiffusion:
                 out[k] = True
             elif k == "first_stage":
                 out[k] = False
+            elif k.startswith("frozen/"):
+                # frozen guidance towers (CLIP/IR-SE50) ride in the params
+                # tree so jitted losses receive them as ARGUMENTS (closure
+                # constants blow up the axon remote compile, CLAUDE.md) but
+                # never receive gradients or EMA shadows
+                out[k] = False
             elif k.startswith("cond/"):
                 name = k.split("/", 1)[1]
                 spec = next((s for s in self.cond_specs if s.key == name), None)

@@ -35,6 +35,15 @@ class FinetuneTrainer(Trainer):
         )
         self.loss_module = self.finetune
 
+    def _augment_params(self, params):
+        """Route the frozen guidance towers through the params tree so the
+        jitted loss receives them as arguments (trainable_filter marks
+        'frozen/*' untrained, EMA skips them)."""
+        fp = getattr(self.finetune, "frozen_params", None)
+        if fp:
+            params = {**params, "frozen/guidance": fp}
+        return params
+
     def log_images(self, batch: Dict, step: int, n: int = 4, **kw):
         """Edited-image grids for the DiffusionCLIP path; the base grids
         assume an image-keyed batch and do not apply here. One jitted program

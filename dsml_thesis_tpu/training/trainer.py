@@ -128,10 +128,15 @@ class Trainer:
 
     # ---------- setup ----------
 
+    def _augment_params(self, params: Dict) -> Dict:
+        """Hook for subclasses to add frozen param groups (e.g. guidance
+        towers) before the optimizer/EMA partition is built."""
+        return params
+
     def init_state(self, example_batch: Dict):
-        params = self.ldm.init_params(
+        params = self._augment_params(self.ldm.init_params(
             jax.random.PRNGKey(self.seed), _to_jnp_batch(example_batch)
-        )
+        ))
         scheduler_cfg = self.model_cfg.get("params", {}).get("scheduler_config")
         self._tx = make_optimizer(
             self.ldm, params, base_lr=self.lr,

@@ -65,12 +65,20 @@ def make_vqgan_train_step(
 
         def gen_loss_fn(ae_params):
             rec, qloss, _ = model.apply({"params": ae_params}, x)
+            # the adaptive weight only needs d nll/d last_kernel and
+            # d g_loss/d last_kernel, and the last conv lives in the DECODER:
+            # decode a stop-gradient quant once instead of re-running the
+            # encoder+quantizer inside each jax.grad (the reference reuses
+            # its autograd graph the same way, autoencoder.py:208-209)
+            quant_sg = jax.lax.stop_gradient(
+                model.apply({"params": ae_params}, x,
+                            method="encode_quantized")[0]
+            )
 
             def decode_from_last(kernel):
                 p = jax.tree_util.tree_map(lambda v: v, ae_params)  # shallow copy
                 p["decoder"]["conv_out"]["kernel"] = kernel
-                quant, _, _ = model.apply({"params": p}, x, method="encode_quantized")
-                return model.apply({"params": p}, quant,
+                return model.apply({"params": p}, quant_sg,
                                    force_not_quantize=True, method="decode")
 
             last_kernel = ae_params["decoder"]["conv_out"]["kernel"]
@@ -124,7 +132,7 @@ def make_vqgan_eval_step(model: VQModel, loss: VQGANLoss) -> Callable:
         x = batch["image"]
         rec, qloss, _ = model.apply({"params": state.ae_params}, x)
         g_total, g_log = loss.generator_loss(
-            state.loss_params, qloss, x, rec, state.step
+            state.loss_params, qloss, x, rec, state.step, val=True
         )
         d_total, d_log = loss.discriminator_loss(
             state.loss_params, x, rec, state.step

@@ -22,18 +22,28 @@ from ..parallel import is_main_process, make_mesh, replicate, shard_batch
 from .vqgan import create_vqgan_state, make_vqgan_eval_step, make_vqgan_train_step
 
 
-def build_vqgan(model_cfg: Dict):
+def build_vqgan(model_cfg: Dict, require_perceptual_weights: bool = False):
     p = model_cfg["params"]
     dd = dict(p["ddconfig"])
     for k in ("ch_mult", "attn_resolutions"):
         dd[k] = tuple(dd[k])
     model = VQModel(ddconfig=dd, n_embed=p["n_embed"], embed_dim=p["embed_dim"])
     lp = dict(p.get("lossconfig", {}).get("params", {}))
-    # LPIPS weights are not downloadable here; default the perceptual term off
-    # unless explicitly requested AND weights provided via converted params.
     lp.setdefault("disc_start", 10000)
     if "perceptual_weight" not in lp:
+        # LPIPS weights are not downloadable here; default the perceptual
+        # term off unless explicitly requested
         lp["perceptual_weight"] = 0.0
+    if (require_perceptual_weights and lp.get("perceptual_weight", 0) > 0
+            and not (lp.get("vgg_ckpt") and lp.get("lpips_lin_ckpt"))):
+        # only enforced when actually TRAINING (VQGANTrainer): building the
+        # architecture for inspection/conversion needs no weights
+        raise ValueError(
+            "perceptual_weight > 0 needs pretrained LPIPS weights: set "
+            "lossconfig.params.vgg_ckpt (torchvision vgg16 features "
+            "state_dict) and lpips_lin_ckpt (taming lin heads) — otherwise "
+            "the loss would silently optimize a random-init VGG"
+        )
     loss = VQGANLoss(
         disc_start=lp["disc_start"],
         codebook_weight=lp.get("codebook_weight", 1.0),
@@ -57,7 +67,8 @@ class VQGANTrainer:
         self.max_steps = max_steps
         os.makedirs(os.path.join(logdir, "checkpoints"), exist_ok=True)
 
-        self.model, self.loss = build_vqgan(config["model"])
+        self.model, self.loss = build_vqgan(config["model"],
+                                            require_perceptual_weights=True)
         self.mesh = make_mesh()
         data_cfg = config.get("data", {}).get("params", {})
         self.batch_size = data_cfg.get("batch_size", 8)
@@ -77,9 +88,15 @@ class VQGANTrainer:
                 num_workers=data_cfg.get("num_workers", 4), seed=seed,
             )
         # effective-batch LR rule (see Trainer docstring): batch_size is the
-        # GLOBAL batch, so the scale is chip/host-count invariant
+        # GLOBAL batch, so the scale is chip/host-count invariant; honors
+        # the --scale_lr flag like the LDM Trainer
         base_lr = config["model"].get("base_learning_rate", 4.5e-6)
-        self.lr = base_lr * self.batch_size
+        accumulate = config.get("lightning", {}).get("trainer", {}).get(
+            "accumulate_grad_batches", 1)
+        if config.get("scale_lr", True):
+            self.lr = accumulate * self.batch_size * base_lr
+        else:
+            self.lr = base_lr
         self._metrics_file = open(os.path.join(logdir, "metrics.jsonl"), "a")
         self._state = None
         # top-k checkpoints on val/rec_loss with metric-embedded names, the
@@ -100,6 +117,25 @@ class VQGANTrainer:
             self.model, self.loss, jax.random.PRNGKey(self.seed),
             image_shape, self.lr,
         )
+        lp = self.config["model"].get("params", {}).get(
+            "lossconfig", {}).get("params", {})
+        if lp.get("vgg_ckpt") and lp.get("lpips_lin_ckpt"):
+            # load the frozen pretrained LPIPS towers into the loss params
+            import torch
+
+            from ..losses.lpips import convert_lpips_weights
+
+            vgg_sd = torch.load(lp["vgg_ckpt"], map_location="cpu",
+                                weights_only=False)
+            lin_sd = torch.load(lp["lpips_lin_ckpt"], map_location="cpu",
+                                weights_only=False)
+            state = state.replace(loss_params={
+                **state.loss_params,
+                "lpips": convert_lpips_weights(
+                    vgg_sd if isinstance(vgg_sd, dict) else vgg_sd.state_dict(),
+                    lin_sd if isinstance(lin_sd, dict) else lin_sd.state_dict(),
+                ),
+            })
         self._state = replicate(self.mesh, state)
         # donate: both optimizer states + params are overwritten in place
         self._step = jax.jit(

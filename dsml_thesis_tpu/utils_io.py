@@ -88,8 +88,6 @@ def load_params(
     if os.path.isdir(ckpt):
         import orbax.checkpoint as ocp
 
-        assert example_batch is not None
-        template = ldm.init_params(jax.random.PRNGKey(seed), example_batch)
         ckptr = ocp.StandardCheckpointer()
         # trainer checkpoints store a full TrainState; accept either layout
         try:
@@ -101,8 +99,22 @@ def load_params(
                     return {**state["params"], **state["ema_params"]}
                 return state["params"]
             return state
-        except Exception:
-            return ckptr.restore(os.path.abspath(ckpt), template)
+        except Exception as e:
+            # fallback: some layouts need a structure template — built only
+            # here (a full random init is a multi-minute remote compile on
+            # axon, wasted in the common templateless-success case)
+            assert example_batch is not None, (
+                f"templateless restore failed ({e}) and no example_batch "
+                "was given to build a template"
+            )
+            template = ldm.init_params(jax.random.PRNGKey(seed), example_batch)
+            try:
+                return ckptr.restore(os.path.abspath(ckpt), template)
+            except Exception as e2:
+                raise RuntimeError(
+                    f"checkpoint restore failed with and without template: "
+                    f"{e!r} / {e2!r}"
+                ) from e2
     from .convert import load_ema_or_raw
 
     return load_ema_or_raw(ckpt, ldm, model_cfg, use_ema=use_ema)

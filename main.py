@@ -49,19 +49,44 @@ def main():
     from dsml_thesis_tpu.training.trainer import Trainer
 
     if opt.resume:
-        if os.path.isdir(opt.resume):
-            logdir = opt.resume.rstrip("/")
-            base_configs = sorted(glob.glob(os.path.join(logdir, "configs/*.yaml")))
-            opt.base = base_configs + opt.base
+        if not os.path.isdir(opt.resume):
+            raise ValueError(
+                "--resume expects a run logdir or a checkpoint DIRECTORY "
+                "inside it (checkpoints are Orbax directories, not files)"
+            )
+        path = opt.resume.rstrip("/")
+        if os.path.basename(os.path.dirname(path)) == "checkpoints":
+            # a specific checkpoint dir: logs/<run>/checkpoints/<name>
+            resume_ckpt = os.path.basename(path)
+            logdir = os.path.dirname(os.path.dirname(path))
         else:
-            raise ValueError("--resume expects a run logdir")
-        resume_ckpt = "last"
+            logdir = path
+            resume_ckpt = "last"
+        base_configs = sorted(glob.glob(os.path.join(logdir, "configs/*.yaml")))
+        if not base_configs and not opt.base:
+            raise ValueError(f"no saved configs under {logdir}/configs")
+        opt.base = base_configs + opt.base
     else:
         now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
-        cfg_name = (
-            opt.name or os.path.splitext(os.path.basename(opt.base[0]))[0]
-            if opt.base else "run"
-        )
+        if jax.process_count() > 1:
+            # every process must agree on the logdir (Orbax saves commit
+            # across processes); broadcast process 0's timestamp
+            from jax.experimental import multihost_utils
+            import numpy as _np
+            import time as _time
+
+            t0 = multihost_utils.broadcast_one_to_all(
+                _np.asarray(_time.time(), _np.float64)
+            )
+            now = datetime.datetime.fromtimestamp(float(t0)).strftime(
+                "%Y-%m-%dT%H-%M-%S"
+            )
+        if opt.name:
+            cfg_name = opt.name
+        elif opt.base:
+            cfg_name = os.path.splitext(os.path.basename(opt.base[0]))[0]
+        else:
+            cfg_name = "run"
         logdir = os.path.join(opt.logdir, f"{now}_{cfg_name}")
         resume_ckpt = None
 
