@@ -63,8 +63,13 @@ def load_config(paths: Sequence[str], overrides: Sequence[str] = ()) -> Dict:
         key, _, val = ov.partition("=")
         node = cfg
         parts = key.strip().split(".")
-        for part in parts[:-1]:
+        for i, part in enumerate(parts[:-1]):
             node = node.setdefault(part, {})
+            if not isinstance(node, dict):
+                raise ValueError(
+                    f"override {key!r}: '{'.'.join(parts[:i + 1])}' is "
+                    f"{type(node).__name__} ({node!r}), cannot descend into it"
+                )
         node[parts[-1]] = _parse_value(val)
     return cfg
 
@@ -112,6 +117,14 @@ def _build_kl(params: Dict) -> AutoencoderKL:
     return AutoencoderKL(ddconfig=dd, embed_dim=params["embed_dim"])
 
 
+def _build_text_embedder(p: Dict) -> TransformerTextEmbedder:
+    return TransformerTextEmbedder(
+        n_embed=p["n_embed"], n_layer=p["n_layer"],
+        vocab_size=p.get("vocab_size", 30522),
+        max_seq_len=p.get("max_seq_len", 77),
+    )
+
+
 def _build_class_embedder(params: Dict, null_mode: str) -> ClassEmbedder:
     return ClassEmbedder(
         embed_dim=params["embed_dim"],
@@ -141,10 +154,15 @@ _BUILDERS = {
     "ldm.modules.encoders.modules.ClassEmbedder2": lambda p: _build_class_embedder(
         p, "separate"
     ),
-    # talking_face ClassEmbedder has p_uncond (extra-row null); the original
-    # face_reenactment one doesn't.
+    # 'ClassEmbedder' is ambiguous across the two reference forks:
+    # talking_face's has an (n_classes+1)-row table + p_uncond CFG dropout
+    # (modules.py:44-73), face_reenactment's is a plain embedder (no null
+    # row, no dropout, modules.py:20). Shipped talking_face configs always
+    # spell p_uncond explicitly, so its presence selects the extra-row
+    # variant; absent -> the plain embedder (NOT 'separate', whose
+    # uncond_embedding buffer the plain reference checkpoint lacks).
     "ldm.modules.encoders.modules.ClassEmbedder": lambda p: _build_class_embedder(
-        p, "extra_row" if "p_uncond" in p else "separate"
+        p, "extra_row" if "p_uncond" in p else "none"
     ),
     "dsml_thesis_tpu.models.encoders.ClassEmbedder": lambda p: ClassEmbedder(**p),
     "ldm.modules.encoders.modules.Conv1DTemporalAttention": (
@@ -156,20 +174,8 @@ _BUILDERS = {
     "ldm.modules.encoders.modules.LandmarkEncoder": lambda p: LandmarkEncoder(
         output_dim=p.get("output_dim", 128)
     ),
-    "ldm.modules.encoders.modules.TransformerEmbedder": (
-        lambda p: TransformerTextEmbedder(
-            n_embed=p["n_embed"], n_layer=p["n_layer"],
-            vocab_size=p.get("vocab_size", 30522),
-            max_seq_len=p.get("max_seq_len", 77),
-        )
-    ),
-    "ldm.modules.encoders.modules.BERTEmbedder": (
-        lambda p: TransformerTextEmbedder(
-            n_embed=p["n_embed"], n_layer=p["n_layer"],
-            vocab_size=p.get("vocab_size", 30522),
-            max_seq_len=p.get("max_seq_len", 77),
-        )
-    ),
+    "ldm.modules.encoders.modules.TransformerEmbedder": _build_text_embedder,
+    "ldm.modules.encoders.modules.BERTEmbedder": _build_text_embedder,
     "dsml_thesis_tpu.models.encoders.TransformerTextEmbedder": (
         lambda p: TransformerTextEmbedder(**p)
     ),
@@ -264,7 +270,9 @@ def build_model(model_cfg: Dict) -> LatentDiffusion:
     if target in _LDM_TARGETS_1COND or target.startswith("dsml_thesis_tpu"):
         cs_cfg = p.get("cond_stage_config")
         if cs_cfg and cs_cfg != "__is_unconditional__":
-            key = p.get("cond_stage_key", "class_label")
+            # `or`: the reference clip-ldm yaml sets `cond_stage_key: null`
+            # explicitly — a None key must still fall back
+            key = p.get("cond_stage_key") or "class_label"
             route = (
                 "crossattn_feature"
                 if p.get("conditioning_key", "crossattn") == "crossattn"
@@ -328,7 +336,8 @@ def _resolve_edit_attr(name: str) -> int:
     return EMOTION2LABEL[aliases.get(name, name)]
 
 
-def build_guidance_encoders(p: Dict, edit_attr: Optional[str] = None) -> Dict:
+def build_guidance_encoders(p: Dict, edit_attr: Optional[str] = None,
+                            skip: Optional[set] = None) -> Dict:
     """Construct the frozen guidance encoders from checkpoint paths in the
     model config (extension keys — the reference hardcodes the pip `clip`
     download and 'pretrained/model_ir_se50.pth', idloss.py:6-16):
@@ -339,7 +348,11 @@ def build_guidance_encoders(p: Dict, edit_attr: Optional[str] = None) -> Dict:
     """
     out: Dict = {}
     frozen: Dict = {}
-    if p.get("clip_ckpt"):
+    skip = skip or set()
+    if p.get("clip_ckpt") and not (
+        "clip_image_embed" in skip and
+        ("text_direction" in skip or not p.get("clip_bpe"))
+    ):
         from .models import clip as clip_mod
 
         cfg, params = clip_mod.load_clip_checkpoint(p["clip_ckpt"])
@@ -372,9 +385,12 @@ def build_guidance_encoders(p: Dict, edit_attr: Optional[str] = None) -> Dict:
             if edit_attr is not None:
                 # reference semantics (latent_diffclip.py:959,1022): the
                 # direction is per-example from the SOURCE class's emotion
-                # text to the fixed edit_attr target text
+                # text to the fixed edit_attr target text. Canonicalize the
+                # target text through the reference vocabulary so alias
+                # spellings ('fear') still embed 'scared face'
                 trg_label = _resolve_edit_attr(edit_attr)
-                trg_txt = f"{edit_attr} face"
+                canon = {0: "neutral face", 7: "face"}
+                trg_txt = canon.get(trg_label, LABEL2EMOTION[trg_label])
                 dirs = []
                 for s in sorted(LABEL2EMOTION):
                     src_txt = "face" if s == trg_label else LABEL2EMOTION[s]
@@ -386,7 +402,7 @@ def build_guidance_encoders(p: Dict, edit_attr: Optional[str] = None) -> Dict:
                         for l in sorted(EMOTION_PROMPTS)]
                 out["direction_by_source"] = False
             out["text_direction"] = jnp.asarray(np.stack(dirs))
-    if p.get("id_ckpt"):
+    if p.get("id_ckpt") and "arcface_embed" not in skip:
         import torch
 
         from .models.insight_face import IRSE, convert_irse, make_id_embed_apply
@@ -422,7 +438,9 @@ def build_finetune(model_cfg: Dict, ldm: Optional[LatentDiffusion] = None,
         from .models.diffclip import DiffusionCLIPFinetune
 
         edit_attr = p.get("edit_attr")
-        enc = {**build_guidance_encoders(p, edit_attr=edit_attr),
+        # caller-injected encoders skip the (expensive) config-keyed builds
+        enc = {**build_guidance_encoders(p, edit_attr=edit_attr,
+                                         skip=set(encoder_fns)),
                **encoder_fns}
         ft = DiffusionCLIPFinetune(
             ldm,

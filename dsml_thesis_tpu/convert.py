@@ -159,7 +159,13 @@ def _ae_resblock(p: _P, sd, t: str, f: str):
     if f"{t}.nin_shortcut.weight" in sd:
         _conv(p, sd, f"{t}.nin_shortcut", f"{f}/nin_shortcut")
     if f"{t}.conv_shortcut.weight" in sd:
-        _conv(p, sd, f"{t}.conv_shortcut", f"{f}/nin_shortcut")
+        # reference use_conv_shortcut=True stores a 3x3 conv (model.py:108);
+        # the flax ResnetBlock declares a 1x1 nin_shortcut — mapping it there
+        # would corrupt shapes (no shipped checkpoint uses this variant)
+        raise NotImplementedError(
+            f"{t}.conv_shortcut: 3x3 conv shortcuts (use_conv_shortcut=True) "
+            "are not supported by the flax ResnetBlock"
+        )
 
 
 def _ae_attn(p: _P, sd, t: str, f: str):
@@ -249,6 +255,20 @@ def convert_vqmodel(sd, ddconfig: dict, prefix: str = "") -> Dict:
     return tree
 
 
+def load_first_stage_checkpoint(ckpt_path: str, ddconfig: dict) -> Dict:
+    """Standalone pretrained VQGAN checkpoint (the reference's
+    first_stage_config.params.ckpt_path, loaded by init_from_ckpt at model
+    build) -> flax first-stage params. Accepts both a bare taming VQModel
+    layout and an LDM checkpoint carrying first_stage_model.* keys."""
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = dict(ckpt.get("state_dict", ckpt))
+    prefix = ("first_stage_model."
+              if any(k.startswith("first_stage_model.") for k in sd) else "")
+    return convert_vqmodel(sd, ddconfig, prefix=prefix)
+
+
 def convert_class_embedder(sd, prefix: str = "", null_mode: str = "extra_row") -> Dict:
     tree: Dict = {"embedding": {"embedding": _to_np(sd, prefix + "embedding.weight")}}
     if null_mode == "separate":
@@ -295,9 +315,11 @@ def load_ema_or_raw(ckpt_path: str, ldm, model_cfg: Dict, use_ema: bool = True) 
     """Load reference checkpoint, preferring EMA weights for the UNet.
 
     The reference's LitEma stores flattened shadow buffers under
-    `model_ema.<name-without-dots>`; mapping those back is name-lossy, so when
-    EMA shadows are present we remap them by position against the live
-    `model.*` keys (order is preserved by construction).
+    `model_ema.<name-without-dots>`; we remap by re-flattening each live
+    `model.*` key the same way and looking it up. NOTE: the flattening is
+    name-lossy in principle (two dotted names can flatten identically), but
+    torch's register_buffer raises on duplicate flattened names at training
+    time, so any checkpoint that trained successfully is collision-free.
     """
     import torch
 

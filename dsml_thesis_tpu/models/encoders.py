@@ -24,10 +24,12 @@ from flax import linen as nn
 class ClassEmbedder(nn.Module):
     """Class-label -> single crossattn token, with a trainable null embedding.
 
-    Unifies the reference's ClassEmbedder / ClassEmbedder3 variants:
+    Unifies the reference's ClassEmbedder variants:
       - null_mode="separate": distinct 1-row null table (ClassEmbedder3)
       - null_mode="extra_row": row n_classes of an (n_classes+1)-row table
         (talking_face ClassEmbedder)
+      - null_mode="none": plain embedder, no null table / CFG dropout
+        (face_reenactment's original ClassEmbedder, modules.py:20)
     """
 
     embed_dim: int
@@ -39,25 +41,39 @@ class ClassEmbedder(nn.Module):
     def setup(self):
         if self.null_mode == "extra_row":
             self.embedding = nn.Embed(self.n_classes + 1, self.embed_dim)
-        else:
+        elif self.null_mode == "separate":
             self.embedding = nn.Embed(self.n_classes, self.embed_dim)
             self.uncond_embedding = nn.Embed(1, self.embed_dim)
+        else:
+            assert self.null_mode == "none", self.null_mode
+            assert self.p_uncond == 0.0, "null_mode='none' cannot drop labels"
+            self.embedding = nn.Embed(self.n_classes, self.embed_dim)
 
     def _null(self, batch_size: int) -> jnp.ndarray:
         if self.null_mode == "extra_row":
             ids = jnp.full((batch_size,), self.n_classes, dtype=jnp.int32)
             return self.embedding(ids)
-        return self.uncond_embedding(jnp.zeros((batch_size,), dtype=jnp.int32))
+        if self.null_mode == "separate":
+            return self.uncond_embedding(
+                jnp.zeros((batch_size,), dtype=jnp.int32)
+            )
+        raise ValueError(
+            "this ClassEmbedder has no null embedding (null_mode='none', the "
+            "plain reference variant) — CFG sampling needs ClassEmbedder3 / "
+            "the talking_face variant"
+        )
 
     def __call__(self, labels: jnp.ndarray, training: bool = False):
         """labels: int [B] -> tokens [B, 1, embed_dim]."""
         c = self.embedding(labels)
-        # always touch the null table so its params materialize at init
-        # (null_token is used by CFG sampling even when training never drops)
-        null = self._null(labels.shape[0])
-        if training and self.p_uncond > 0:
-            drop = jax.random.uniform(self.make_rng("cfg"), ()) < self.p_uncond
-            c = jnp.where(drop, null, c)
+        if self.null_mode != "none":
+            # always touch the null table so its params materialize at init
+            # (null_token is used by CFG sampling even when training never
+            # drops)
+            null = self._null(labels.shape[0])
+            if training and self.p_uncond > 0:
+                drop = jax.random.uniform(self.make_rng("cfg"), ()) < self.p_uncond
+                c = jnp.where(drop, null, c)
         return c[:, None, :]
 
     def null_token(self, batch_size: int):

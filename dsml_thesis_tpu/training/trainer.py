@@ -137,6 +137,21 @@ class Trainer:
         params = self._augment_params(self.ldm.init_params(
             jax.random.PRNGKey(self.seed), _to_jnp_batch(example_batch)
         ))
+        # reference first_stage_config.params.ckpt_path (e.g.
+        # affectnet-128-ldm-vq-f4.yaml:47): load the pretrained frozen VQGAN
+        # at build time — ignoring it would silently diffuse over a
+        # random-init first stage
+        fs_cfg = self.model_cfg.get("params", {}).get("first_stage_config")
+        fs_p = fs_cfg.get("params", {}) if isinstance(fs_cfg, dict) else {}
+        if fs_p.get("ckpt_path"):
+            from ..convert import load_first_stage_checkpoint
+
+            params["first_stage"] = jax.tree.map(
+                jnp.asarray,
+                load_first_stage_checkpoint(fs_p["ckpt_path"],
+                                            dict(fs_p["ddconfig"])),
+            )
+            print(f"loaded first-stage weights from {fs_p['ckpt_path']}")
         scheduler_cfg = self.model_cfg.get("params", {}).get("scheduler_config")
         self._tx = make_optimizer(
             self.ldm, params, base_lr=self.lr,

@@ -134,3 +134,60 @@ def test_ema_preference_via_load_params(tmp_path):
     img = ldm.decode_first_stage(p_ema, z)
     assert img.shape == (2, 16, 16, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_first_stage_ckpt_path_loads_pretrained_vqgan(tmp_path):
+    """first_stage_config.params.ckpt_path (reference
+    affectnet-128-ldm-vq-f4.yaml:47) loads the pretrained frozen VQGAN at
+    trainer init instead of being silently ignored."""
+    import numpy as np
+    import yaml
+
+    from dsml_thesis_tpu.convert import load_first_stage_checkpoint
+
+    sd, _ = _fabricate_lightning_sd()
+    # bare taming layout (no first_stage_model. prefix)
+    bare = {k[len("first_stage_model."):]: v for k, v in sd.items()
+            if k.startswith("first_stage_model.")}
+    ckpt = tmp_path / "vq.ckpt"
+    torch.save({"state_dict": bare}, str(ckpt))
+
+    dd = dict(double_z=False, z_channels=3, resolution=16, in_channels=3,
+              out_ch=3, ch=32, ch_mult=[1, 2], num_res_blocks=1,
+              attn_resolutions=[8], dropout=0.0)
+    params = load_first_stage_checkpoint(str(ckpt), dd)
+    ref = np.asarray(bare["encoder.conv_in.weight"]).transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(params["encoder"]["conv_in"]["kernel"]), ref, atol=1e-6)
+
+    # end to end through the Trainer
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = yaml.safe_load(TINY_CFG)
+    cfg["model"]["params"]["first_stage_config"]["params"]["ckpt_path"] = str(ckpt)
+    cfg["data"] = {"params": {
+        "batch_size": 8, "num_workers": 1,
+        "train": {"target": "dsml_thesis_tpu.data.SyntheticDataset",
+                  "params": {"spec": {"image": [[16, 16, 3], "float32"],
+                                      "class_label": [[], "int32"]},
+                             "length": 8}},
+    }}
+    t = Trainer(cfg, str(tmp_path / "run"), seed=0, max_steps=1)
+    first = next(iter(t.train_data))
+    state = t.init_state(first)
+    np.testing.assert_allclose(
+        np.asarray(state.params["first_stage"]["encoder"]["conv_in"]["kernel"]),
+        ref, atol=1e-6)
+
+
+def test_cond_stage_key_null_falls_back():
+    """The verbatim reference clip-ldm yaml sets `cond_stage_key: null`;
+    building it must fall back to class_label, not CondSpec(key=None)."""
+    import yaml
+
+    from dsml_thesis_tpu.config import build_model
+
+    cfg = yaml.safe_load(TINY_CFG)
+    cfg["model"]["params"]["cond_stage_key"] = None
+    ldm = build_model(cfg["model"])
+    assert [s.key for s in ldm.cond_specs] == ["class_label"]
