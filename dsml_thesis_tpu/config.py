@@ -125,12 +125,18 @@ def _build_text_embedder(p: Dict) -> TransformerTextEmbedder:
     )
 
 
-def _build_class_embedder(params: Dict, null_mode: str) -> ClassEmbedder:
+def _build_class_embedder(params: Dict, null_mode: str,
+                          freeze_null: bool = False) -> ClassEmbedder:
+    # reference default p_uncond=0.2 for every null-capable variant
+    # (ClassEmbedder2/3 and talking_face ClassEmbedder); the plain variant
+    # ('none') has no dropout at all
+    default_p = 0.0 if null_mode == "none" else 0.2
     return ClassEmbedder(
         embed_dim=params["embed_dim"],
         n_classes=params.get("n_classes", 1000),
-        p_uncond=params.get("p_uncond", 0.0),
+        p_uncond=params.get("p_uncond", default_p),
         null_mode=null_mode,
+        freeze_null=freeze_null,
         key=params.get("key", "class_label"),
     )
 
@@ -151,8 +157,10 @@ _BUILDERS = {
     "ldm.modules.encoders.modules.ClassEmbedder3": lambda p: _build_class_embedder(
         p, "separate"
     ),
+    # ClassEmbedder2's null embedding is FROZEN at its random init
+    # (modules.py:41-43 requires_grad=False)
     "ldm.modules.encoders.modules.ClassEmbedder2": lambda p: _build_class_embedder(
-        p, "separate"
+        p, "separate", freeze_null=True
     ),
     # 'ClassEmbedder' is ambiguous across the two reference forks:
     # talking_face's has an (n_classes+1)-row table + p_uncond CFG dropout

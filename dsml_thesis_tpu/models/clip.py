@@ -43,6 +43,10 @@ class CLIPConfig:
     text_heads: int = 8
     text_layers: int = 12
     embed_dim: int = 512
+    # OpenAI CLIP uses QuickGELU; some HF CLIP checkpoints (LAION ViT-H/bigG)
+    # use plain GELU — converting those with the wrong activation silently
+    # corrupts every embedding
+    use_quick_gelu: bool = True
 
 
 def quick_gelu(x):
@@ -54,6 +58,7 @@ class CLIPBlock(nn.Module):
 
     heads: int
     causal: bool = False
+    use_quick_gelu: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -71,7 +76,7 @@ class CLIPBlock(nn.Module):
         x = x + nn.Dense(d, name="out_proj")(h)
         h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         h = nn.Dense(4 * d, name="c_fc")(h)
-        h = quick_gelu(h)
+        h = quick_gelu(h) if self.use_quick_gelu else jax.nn.gelu(h, approximate=False)
         return x + nn.Dense(d, name="c_proj")(h)
 
 
@@ -95,7 +100,8 @@ class CLIPVisionTower(nn.Module):
         h = h + pos
         h = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(h)
         for i in range(c.vision_layers):
-            h = CLIPBlock(c.vision_heads, name=f"block_{i}")(h)
+            h = CLIPBlock(c.vision_heads, use_quick_gelu=c.use_quick_gelu,
+                          name=f"block_{i}")(h)
         h = nn.LayerNorm(epsilon=1e-5, name="ln_post")(h[:, 0])
         proj = self.param("proj", nn.initializers.normal(0.02),
                           (c.vision_width, c.embed_dim))
@@ -121,7 +127,9 @@ class CLIPTextTower(nn.Module):
                          (c.context_length, c.text_width))
         h = h + pos[: h.shape[1]]
         for i in range(c.text_layers):
-            h = CLIPBlock(c.text_heads, causal=True, name=f"block_{i}")(h)
+            h = CLIPBlock(c.text_heads, causal=True,
+                          use_quick_gelu=c.use_quick_gelu,
+                          name=f"block_{i}")(h)
         h = nn.LayerNorm(epsilon=1e-5, name="ln_final")(h)
         eot = jnp.argmax(tokens, axis=-1)
         h = h[jnp.arange(h.shape[0]), eot]
@@ -161,8 +169,12 @@ def preprocess_gan_output(images: jnp.ndarray, image_size: int = 224) -> jnp.nda
     """
     x = (images + 1.0) * 0.5
     if x.shape[1] != image_size or x.shape[2] != image_size:
+        # antialias=False: the reference's torchvision 0.12 tensor-path
+        # Resize runs plain (aliased) bicubic; antialiased downscale would
+        # feed measurably different pixels into the CLIP loss
         x = jax.image.resize(
-            x, (x.shape[0], image_size, image_size, x.shape[3]), method="cubic"
+            x, (x.shape[0], image_size, image_size, x.shape[3]),
+            method="cubic", antialias=False,
         )
     mean = jnp.asarray(CLIP_MEAN, x.dtype)
     std = jnp.asarray(CLIP_STD, x.dtype)
@@ -330,8 +342,13 @@ def convert_clip_hf(
     sd: Dict,
     vision_heads: Optional[int] = None,
     text_heads: Optional[int] = None,
+    use_quick_gelu: bool = True,
 ) -> Tuple[CLIPConfig, Dict]:
-    """HuggingFace transformers CLIPModel state_dict -> (config, params)."""
+    """HuggingFace transformers CLIPModel state_dict -> (config, params).
+
+    use_quick_gelu=True matches OpenAI-lineage checkpoints
+    (hidden_act='quick_gelu'); pass False for checkpoints trained with plain
+    GELU (LAION ViT-H/bigG) — the state_dict alone cannot tell them apart."""
     vw = sd["vision_model.embeddings.patch_embedding.weight"].shape[0]
     patch = sd["vision_model.embeddings.patch_embedding.weight"].shape[-1]
     grid = int(round(
@@ -352,6 +369,7 @@ def convert_clip_hf(
         text_width=tw, text_heads=text_heads or max(1, tw // 64),
         text_layers=n_t,
         embed_dim=sd["visual_projection.weight"].shape[0],
+        use_quick_gelu=use_quick_gelu,
     )
 
     def ln(t):

@@ -36,6 +36,9 @@ class ClassEmbedder(nn.Module):
     n_classes: int
     p_uncond: float = 0.0
     null_mode: str = "extra_row"
+    # ClassEmbedder2 pins its null row at random init (modules.py:41-43
+    # requires_grad=False); stop_gradient keeps that semantic here
+    freeze_null: bool = False
     key: str = "class_label"  # config parity (batch key)
 
     def setup(self):
@@ -54,9 +57,8 @@ class ClassEmbedder(nn.Module):
             ids = jnp.full((batch_size,), self.n_classes, dtype=jnp.int32)
             return self.embedding(ids)
         if self.null_mode == "separate":
-            return self.uncond_embedding(
-                jnp.zeros((batch_size,), dtype=jnp.int32)
-            )
+            e = self.uncond_embedding(jnp.zeros((batch_size,), dtype=jnp.int32))
+            return jax.lax.stop_gradient(e) if self.freeze_null else e
         raise ValueError(
             "this ClassEmbedder has no null embedding (null_mode='none', the "
             "plain reference variant) — CFG sampling needs ClassEmbedder3 / "
@@ -106,8 +108,10 @@ class Conv1DTemporalAttention(nn.Module):
         attn = jax.nn.softmax(scores, axis=1)[:, :, None]  # [B, L, 1]
         pooled = jnp.sum(x * attn, axis=1)  # [B, subspace_dim]
         if self.subspace2hidden:
+            # reference returns the projected hidden WITHOUT the token axis
+            # (modules.py:110-111 `return hidden`, no unsqueeze)
             assert self.hidden_dim is not None
-            pooled = nn.Dense(self.hidden_dim, name="to_hidden")(pooled)
+            return nn.Dense(self.hidden_dim, name="to_hidden")(pooled)
         return pooled[:, None, :]
 
 

@@ -18,7 +18,9 @@ def warmup_cosine(warm_up_steps: int, lr_min: float, lr_max: float,
                   lr_start: float, max_decay_steps: int):
     def schedule(n):
         n = jnp.asarray(n, jnp.float32)
-        warm = (lr_max - lr_start) / warm_up_steps * n + lr_start
+        # max(wu, 1): both jnp.where branches evaluate, so wu=0 (warmup
+        # disabled) must not divide by zero — the warm branch is never taken
+        warm = (lr_max - lr_start) / max(warm_up_steps, 1) * n + lr_start
         t = jnp.minimum((n - warm_up_steps) / (max_decay_steps - warm_up_steps), 1.0)
         cos = lr_min + 0.5 * (lr_max - lr_min) * (1 + jnp.cos(t * jnp.pi))
         return jnp.where(n < warm_up_steps, warm, cos)
@@ -70,7 +72,10 @@ def lambda_linear(warm_up_steps: Sequence[int], f_min: Sequence[float],
     def schedule(n):
         n = jnp.asarray(n, jnp.float32)
         c = _cycle_index(cum, n)
-        nn = n - jnp.asarray(cum[:-1], jnp.float32)[c]
+        # clamp within the (clipped-to-last) cycle: past sum(cycle_lengths)
+        # the multiplier holds at f_min instead of running linearly negative
+        # (the reference crashes there; holding is the sane continuation)
+        nn = jnp.minimum(n - jnp.asarray(cum[:-1], jnp.float32)[c], cl[c])
         warm = (fmx[c] - fst[c]) / wu[c] * nn + fst[c]
         lin = fmn[c] + (fmx[c] - fmn[c]) * (cl[c] - nn) / cl[c]
         return jnp.where(nn < wu[c], warm, lin)
