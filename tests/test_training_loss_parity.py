@@ -1,0 +1,153 @@
+"""Training-loss parity: our training_loss math vs the reference
+LatentDiffusion.p_losses on converted weights.
+
+Instantiates the reference 1-cond LatentDiffusion (ddpm.py:423) from a tiny
+config via its own instantiate_from_config, converts its state_dict with our
+checkpoint loader, and compares the full loss chain — VQ first-stage encode,
+q_sample at fixed t/noise, UNet eval, l_simple + logvar weighting + VLB term
+(ddpm.py:1014-1045) — to fp32 tolerance.
+"""
+import importlib.machinery
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from reference_oracle import install_reference_path, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference tree not mounted"
+)
+
+TINY_MODEL_CFG = {
+    "target": "ldm.models.diffusion.ddpm.LatentDiffusion",
+    "params": {
+        "linear_start": 0.0015,
+        "linear_end": 0.0205,
+        "timesteps": 100,
+        "image_size": 8,
+        "channels": 3,
+        "first_stage_key": "image",
+        "cond_stage_key": "class_label",
+        "cond_stage_trainable": True,
+        "conditioning_key": "crossattn",
+        "scale_factor": 1.0,
+        "unet_config": {
+            "target": "ldm.modules.diffusionmodules.openaimodel.UNetModel",
+            "params": {
+                "image_size": 8, "in_channels": 3, "out_channels": 3,
+                "model_channels": 32, "attention_resolutions": [2],
+                "num_res_blocks": 1, "channel_mult": [1, 2],
+                "num_head_channels": 16, "use_spatial_transformer": True,
+                "transformer_depth": 1, "context_dim": 16,
+            },
+        },
+        "first_stage_config": {
+            "target": "ldm.models.autoencoder.VQModelInterface",
+            "params": {
+                "embed_dim": 3, "n_embed": 64,
+                "ddconfig": {
+                    "double_z": False, "z_channels": 3, "resolution": 16,
+                    "in_channels": 3, "out_ch": 3, "ch": 32,
+                    "ch_mult": [1, 2], "num_res_blocks": 1,
+                    "attn_resolutions": [8], "dropout": 0.0,
+                },
+                "lossconfig": {"target": "torch.nn.Identity"},
+            },
+        },
+        "cond_stage_config": {
+            "target": "ldm.modules.encoders.modules.ClassEmbedder3",
+            "params": {"embed_dim": 16, "n_classes": 8, "key": "class_label",
+                       "p_uncond": 0.2},
+        },
+    },
+}
+
+
+def _stub_modules():
+    install_reference_path()
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", loader=None)
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.make_grid = lambda *a, **k: None
+        tv.utils = tvu
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tvu
+    pl = sys.modules["pytorch_lightning"]
+    if "pytorch_lightning.utilities.distributed" not in sys.modules:
+        u = types.ModuleType("pytorch_lightning.utilities")
+        d = types.ModuleType("pytorch_lightning.utilities.distributed")
+        d.rank_zero_only = lambda fn: fn
+        u.distributed = d
+        pl.utilities = u
+        sys.modules["pytorch_lightning.utilities"] = u
+        sys.modules["pytorch_lightning.utilities.distributed"] = d
+
+
+def test_training_loss_matches_reference_p_losses():
+    _stub_modules()
+    from ldm.util import instantiate_from_config
+
+    torch.manual_seed(0)
+    ref = instantiate_from_config(TINY_MODEL_CFG).eval()
+    ref.device = torch.device("cpu")
+
+    rs = np.random.RandomState(1)
+    x = rs.randn(2, 16, 16, 3).astype(np.float32) * 0.3
+    labels = np.array([1, 4])
+    t_np = np.array([7, 63], np.int64)
+    noise = rs.randn(2, 3, 8, 8).astype(np.float32)
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        z = ref.get_first_stage_encoding(ref.encode_first_stage(xt))
+        c = ref.cond_stage_model({"class_label": torch.from_numpy(labels)},
+                                 training=False)
+        loss_ref, ld = ref.p_losses(z, c, torch.from_numpy(t_np),
+                                    noise=torch.from_numpy(noise))
+    loss_ref = float(loss_ref)
+    loss_simple_ref = float(ld["val_loss_simple"])
+
+    # ours: converted weights, identical (z-space) chain
+    from dsml_thesis_tpu.config import build_model
+    from dsml_thesis_tpu.convert import load_reference_ldm_checkpoint_from_sd
+    from dsml_thesis_tpu.diffusion import p_losses, q_sample
+
+    sd = ref.state_dict()
+    cfg = {"target": TINY_MODEL_CFG["target"],
+           "params": TINY_MODEL_CFG["params"]}
+    ldm = build_model(cfg)
+    params = load_reference_ldm_checkpoint_from_sd(sd, ldm, cfg)
+
+    z_j = ldm.encode_first_stage(params, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(z_j).transpose(0, 3, 1, 2), z.numpy(), atol=2e-4, rtol=1e-3
+    )
+    cond = ldm.encode_conditioning(
+        params, {"class_label": jnp.asarray(labels)}, training=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(cond["crossattn"]), c.numpy(), atol=1e-5
+    )
+
+    t_j = jnp.asarray(t_np, jnp.int32)
+    noise_j = jnp.asarray(noise.transpose(0, 2, 3, 1))
+    x_t = q_sample(ldm.schedule, z_j, t_j, noise_j)
+    eps = ldm.apply_model(params, x_t, t_j, cond)
+    loss, aux = p_losses(
+        ldm.schedule, eps, z_j, noise_j, t_j,
+        parameterization=ldm.parameterization,
+        loss_type=ldm.loss_type,
+        l_simple_weight=ldm.l_simple_weight,
+        original_elbo_weight=ldm.original_elbo_weight,
+    )
+    assert float(aux["loss_simple"]) == pytest.approx(loss_simple_ref,
+                                                      rel=2e-3)
+    assert float(loss) == pytest.approx(loss_ref, rel=2e-3)
