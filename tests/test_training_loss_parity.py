@@ -151,3 +151,131 @@ def test_training_loss_matches_reference_p_losses():
     assert float(aux["loss_simple"]) == pytest.approx(loss_simple_ref,
                                                       rel=2e-3)
     assert float(loss) == pytest.approx(loss_ref, rel=2e-3)
+
+
+MEAD_MODEL_CFG = {
+    "target": "ldm.models.diffusion.ddpm2cond.LatentDiffusion",
+    "params": {
+        "linear_start": 0.0015,
+        "linear_end": 0.0205,
+        "timesteps": 100,
+        "image_size": 8,
+        "channels": 3,
+        "first_stage_key": "image",
+        "cond_stage_key_1": "class_label",
+        "cond_stage_key_2": "audio",
+        "cond_stage_trainable": True,
+        "conditioning_key": "crossattn",
+        "scale_factor": 1.0,
+        "unet_config": {
+            "target": "ldm.modules.diffusionmodules.openaimodel.UNetModel",
+            "params": {
+                "image_size": 8, "in_channels": 9, "out_channels": 3,
+                "model_channels": 32, "attention_resolutions": [2],
+                "num_res_blocks": 1, "channel_mult": [1, 2],
+                "num_head_channels": 16, "use_spatial_transformer": True,
+                "transformer_depth": 1, "context_dim": 48,
+            },
+        },
+        "first_stage_config": {
+            "target": "ldm.models.autoencoder.VQModelInterface",
+            "params": {
+                "embed_dim": 3, "n_embed": 64,
+                "ddconfig": {
+                    "double_z": False, "z_channels": 3, "resolution": 16,
+                    "in_channels": 3, "out_ch": 3, "ch": 32,
+                    "ch_mult": [1, 2], "num_res_blocks": 1,
+                    "attn_resolutions": [8], "dropout": 0.0,
+                },
+                "lossconfig": {"target": "torch.nn.Identity"},
+            },
+        },
+        "cond_stage_config_1": {
+            "target": "ldm.modules.encoders.modules.ClassEmbedder",
+            "params": {"embed_dim": 16, "n_classes": 8, "key": "class_label",
+                       "p_uncond": 0.2},
+        },
+        "cond_stage_config_2": {
+            "target": "ldm.modules.encoders.modules.Conv1DTemporalAttention",
+            "params": {"seq_len": 5, "subspace_dim": 32,
+                       "subspace2hidden": False},
+        },
+    },
+}
+
+
+def test_mead_4cond_training_loss_matches_reference():
+    """4-cond (talking_face) train loss: class+audio crossattn feature-concat
+    and masked+identity latent channel-concat routing (ddpm2cond.py:886-899)
+    through the full p_losses chain, on converted weights."""
+    _stub_modules()
+    import importlib
+
+    for k in [k for k in sys.modules if k.startswith(("ldm", "taming"))]:
+        del sys.modules[k]
+    sys.path.insert(0, "/root/reference/talking_face")
+    util = importlib.import_module("ldm.util")
+
+    torch.manual_seed(2)
+    ref = util.instantiate_from_config(MEAD_MODEL_CFG).eval()
+    ref.device = torch.device("cpu")
+
+    rs = np.random.RandomState(3)
+    x = rs.randn(2, 16, 16, 3).astype(np.float32) * 0.3
+    masked = rs.randn(2, 16, 16, 3).astype(np.float32) * 0.3
+    ident = rs.randn(2, 16, 16, 3).astype(np.float32) * 0.3
+    audio = rs.randn(2, 5, 32).astype(np.float32)
+    labels = np.array([2, 6])
+    t_np = np.array([11, 80], np.int64)
+    noise = rs.randn(2, 3, 8, 8).astype(np.float32)
+
+    nchw = lambda a: torch.from_numpy(a.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        z = ref.get_first_stage_encoding(ref.encode_first_stage(nchw(x)))
+        c1 = ref.cond_stage_model_1(
+            {"class_label": torch.from_numpy(labels)}, training=False)
+        c2 = ref.cond_stage_model_2(torch.from_numpy(audio))
+        c12 = torch.cat([c1, c2], dim=2)
+        c3 = ref.encode_first_stage(nchw(masked))
+        c4 = ref.encode_first_stage(nchw(ident))
+        c34 = torch.cat([c3, c4], dim=1)
+        loss_ref, ld = ref.p_losses(z, c12, c34, torch.from_numpy(t_np),
+                                    noise=torch.from_numpy(noise))
+    loss_ref = float(loss_ref)
+
+    from dsml_thesis_tpu.config import build_model
+    from dsml_thesis_tpu.convert import load_reference_ldm_checkpoint_from_sd
+    from dsml_thesis_tpu.diffusion import p_losses, q_sample
+
+    cfg = {"target": MEAD_MODEL_CFG["target"],
+           "params": MEAD_MODEL_CFG["params"]}
+    ldm = build_model(cfg)
+    params = load_reference_ldm_checkpoint_from_sd(ref.state_dict(), ldm, cfg)
+
+    batch = {
+        "image": jnp.asarray(x),
+        "masked_image": jnp.asarray(masked),
+        "identity": jnp.asarray(ident),
+        "class_label": jnp.asarray(labels),
+        "audio": jnp.asarray(audio),
+    }
+    z_j = ldm.encode_first_stage(params, batch["image"])
+    cond = ldm.encode_conditioning(params, batch, training=False)
+    np.testing.assert_allclose(np.asarray(cond["crossattn"]), c12.numpy(),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(cond["concat"]).transpose(0, 3, 1, 2), c34.numpy(),
+        atol=2e-4, rtol=1e-3)
+
+    t_j = jnp.asarray(t_np, jnp.int32)
+    noise_j = jnp.asarray(noise.transpose(0, 2, 3, 1))
+    x_t = q_sample(ldm.schedule, z_j, t_j, noise_j)
+    eps = ldm.apply_model(params, x_t, t_j, cond)
+    loss, _ = p_losses(
+        ldm.schedule, eps, z_j, noise_j, t_j,
+        parameterization=ldm.parameterization,
+        loss_type=ldm.loss_type,
+        l_simple_weight=ldm.l_simple_weight,
+        original_elbo_weight=ldm.original_elbo_weight,
+    )
+    assert float(loss) == pytest.approx(loss_ref, rel=2e-3)
