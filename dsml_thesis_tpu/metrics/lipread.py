@@ -154,17 +154,26 @@ def viseme_error_rate(
     )
 
 
-def _utt_rate(ref: Sequence, hyp: Sequence) -> float:
-    return edit_distance(ref, hyp) / max(len(ref), 1)
+def _macro_rate(refs_tok: Sequence[Sequence],
+                hyps_tok: Sequence[Sequence]) -> float:
+    """Mean per-utterance rate; distances through the native batch kernel
+    when available (one C call for the whole corpus)."""
+    from .native import edit_distance_batch
+
+    dists = edit_distance_batch([list(r) for r in refs_tok],
+                                [list(h) for h in hyps_tok])
+    if dists is None:
+        dists = [edit_distance(r, h) for r, h in zip(refs_tok, hyps_tok)]
+    rates = [d / max(len(r), 1) for d, r in zip(dists, refs_tok)]
+    return float(sum(rates) / max(len(rates), 1))
 
 
 def macro_wer(ref_texts: Sequence[str], hyp_texts: Sequence[str]) -> float:
     """Mean of per-utterance WERs — the reference protocol (run_av_hubert.py
     :92-107 averages jiwer.wer per video via AverageMeter.avg), which differs
     from the corpus-pooled wer() whenever sentence lengths vary."""
-    rates = [_utt_rate(r.lower().split(), h.lower().split())
-             for r, h in zip(ref_texts, hyp_texts)]
-    return sum(rates) / max(len(rates), 1)
+    return _macro_rate([t.lower().split() for t in ref_texts],
+                       [t.lower().split() for t in hyp_texts])
 
 
 def macro_cer(ref_texts: Sequence[str], hyp_texts: Sequence[str]) -> float:
@@ -173,6 +182,5 @@ def macro_cer(ref_texts: Sequence[str], hyp_texts: Sequence[str]) -> float:
     def chars(t):
         return list(" ".join(t.lower().split()))
 
-    rates = [_utt_rate(chars(r), chars(h))
-             for r, h in zip(ref_texts, hyp_texts)]
-    return sum(rates) / max(len(rates), 1)
+    return _macro_rate([chars(t) for t in ref_texts],
+                       [chars(t) for t in hyp_texts])

@@ -24,11 +24,13 @@ def _load() -> Optional[ctypes.CDLL]:
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    try:
+        # always invoke make: a no-op when the .so is fresh, a rebuild when
+        # editdist.cc changed (the gitignored .so otherwise goes stale)
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -44,7 +46,9 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # unloadable .so, or a stale one missing the expected symbols —
+        # fall back to the pure-Python DP either way
         _lib = None
     return _lib
 
@@ -55,7 +59,10 @@ def edit_distance_batch(refs: Sequence[Sequence],
     lib = _load()
     if lib is None:
         return None
-    assert len(refs) == len(hyps)
+    if len(refs) != len(hyps):  # explicit: python -O strips asserts and the
+        raise ValueError(       # C kernel would read offsets out of bounds
+            f"refs/hyps length mismatch: {len(refs)} vs {len(hyps)}"
+        )
     # shared vocab so equal tokens get equal ids across both sides
     vocab: dict = {}
 

@@ -3,10 +3,10 @@
 // Native host-side runtime component: the lip-reading evaluation
 // (metrics/lipread.py, reference talking_face/run_av_hubert.py scoring) runs
 // O(N*M) dynamic programs per transcript pair; for corpus-scale WER/CER
-// sweeps the pure-Python DP dominates evaluation wall-time. This C++ kernel
-// scores a whole batch with OpenMP-free portable threads kept simple: the
-// Python side parallelizes with its thread pool since this releases no GIL
-// state (ctypes calls release the GIL automatically).
+// sweeps the pure-Python DP dominates evaluation wall-time. This kernel
+// scores the whole batch in one serial C loop (one ctypes call per corpus;
+// the per-pair DP in optimized C is the entire win — no threading needed at
+// transcript scale).
 //
 // ABI (see dsml_thesis_tpu/metrics/native.py):
 //   int64 edit_distance_i32(const int32* a, int64 la, const int32* b, int64 lb)
