@@ -57,5 +57,41 @@ def install_reference_path(root=REFERENCE_ROOT):
     for name in ("clip", "kornia"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
+    stub_optional_deps()
     if root not in sys.path:
         sys.path.insert(0, root)
+
+
+def stub_optional_deps():
+    """Register complete stubs for heavyweight optional deps the reference's
+    module headers import. Idempotent and ADDITIVE: a partial stub installed
+    earlier by another test (e.g. torchvision without .utils) is completed
+    rather than trusted, so test order cannot break imports."""
+    import importlib.machinery
+
+    def module(name):
+        m = sys.modules.get(name)
+        if m is None:
+            m = types.ModuleType(name)
+            # a real __spec__ keeps importlib.util.find_spec(name) working
+            m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            sys.modules[name] = m
+        return m
+
+    tv = module("torchvision")
+    tv.models = module("torchvision.models")
+    tvu = module("torchvision.utils")
+    if not hasattr(tvu, "make_grid"):
+        tvu.make_grid = lambda *a, **k: None
+    tv.utils = tvu
+    for name in ("albumentations", "librosa", "cv2"):
+        module(name)
+    pl = sys.modules.get("pytorch_lightning")
+    if pl is not None and "pytorch_lightning.utilities.distributed" not in sys.modules:
+        u = types.ModuleType("pytorch_lightning.utilities")
+        d = types.ModuleType("pytorch_lightning.utilities.distributed")
+        d.rank_zero_only = lambda fn: fn
+        u.distributed = d
+        pl.utilities = u
+        sys.modules["pytorch_lightning.utilities"] = u
+        sys.modules["pytorch_lightning.utilities.distributed"] = d

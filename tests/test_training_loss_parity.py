@@ -71,24 +71,7 @@ TINY_MODEL_CFG = {
 
 
 def _stub_modules():
-    install_reference_path()
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", loader=None)
-        tvu = types.ModuleType("torchvision.utils")
-        tvu.make_grid = lambda *a, **k: None
-        tv.utils = tvu
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.utils"] = tvu
-    pl = sys.modules["pytorch_lightning"]
-    if "pytorch_lightning.utilities.distributed" not in sys.modules:
-        u = types.ModuleType("pytorch_lightning.utilities")
-        d = types.ModuleType("pytorch_lightning.utilities.distributed")
-        d.rank_zero_only = lambda fn: fn
-        u.distributed = d
-        pl.utilities = u
-        sys.modules["pytorch_lightning.utilities"] = u
-        sys.modules["pytorch_lightning.utilities.distributed"] = d
+    install_reference_path()  # installs/completes all optional-dep stubs
 
 
 def test_training_loss_matches_reference_p_losses():
