@@ -76,7 +76,6 @@ class IResNet(nn.Module):
 
     layers: Sequence[int]
     embed_dim: int = 512
-    fp16: bool = False
 
     @nn.compact
     def __call__(self, x):

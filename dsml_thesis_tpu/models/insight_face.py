@@ -377,6 +377,8 @@ class FaceViT(nn.Module):
     num_heads: int = 8
     num_classes: int = 512
     mlp_ratio: float = 4.0
+    qkv_bias: bool = False  # must match the checkpoint (converter emits
+    # qkv biases when present; without this plumb they could not load)
 
     @nn.compact
     def __call__(self, x):
@@ -390,7 +392,7 @@ class FaceViT(nn.Module):
         h = h + pos
         for i in range(self.depth):
             h = FaceViTBlock(self.num_heads, self.mlp_ratio,
-                             name=f"block_{i}")(h)
+                             qkv_bias=self.qkv_bias, name=f"block_{i}")(h)
         h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
         h = h.reshape(b, -1)  # (B, L*D), token-major == torch reshape
         h = nn.Dense(self.embed_dim, use_bias=False, name="feature_fc1")(h)

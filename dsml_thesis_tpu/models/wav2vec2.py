@@ -47,7 +47,12 @@ class Wav2Vec2Config:
 
 
 # torchaudio WAV2VEC2_ASR_LARGE_960H ≡ HF facebook/wav2vec2-large-960h:
-# same post-norm layout as base, scaled up, plus a CTC lm_head.
+# same post-norm layout as base, scaled up, plus a CTC lm_head. NOTE on
+# emission width: the HF ForCTC head emits 32 logits (4 specials + letters);
+# torchaudio's bundle emitted 29 (specials dropped). Features regenerated
+# with an HF snapshot are self-consistent, but 29-wide pkls from the
+# reference-era torchaudio run are not byte-compatible — regenerate both
+# sides with one tool.
 LARGE_960H = Wav2Vec2Config(hidden_size=1024, num_layers=24, num_heads=16,
                             intermediate_size=4096, ctc_vocab=32)
 
@@ -128,11 +133,17 @@ class Wav2Vec2(nn.Module):
     """
 
     cfg: Wav2Vec2Config = Wav2Vec2Config()
+    # stop gradients at the conv extractor boundary (the reference's
+    # _freeze_parameters, modules.py:294); its params then receive zero
+    # gradient (only optimizer weight decay could still touch them)
+    freeze_extractor: bool = False
 
     @nn.compact
     def __call__(self, audio, num_frames: Optional[int] = None):
         c = self.cfg
         h = FeatureExtractor(c, name="feature_extractor")(audio)
+        if self.freeze_extractor:
+            h = jax.lax.stop_gradient(h)
         if num_frames is not None:
             h = interp_align_corners(h, num_frames)
         # feature projection: LN + Linear
@@ -167,9 +178,11 @@ class AudioEmbedder(nn.Module):
     win_len: int = 4
     subspace_dim: int = 768
     cfg: Wav2Vec2Config = Wav2Vec2Config()
+    freeze_extractor: bool = True  # reference modules.py:294
 
     def setup(self):
-        self.audio_encoder = Wav2Vec2(self.cfg)
+        self.audio_encoder = Wav2Vec2(self.cfg,
+                                      freeze_extractor=self.freeze_extractor)
         ch = (192, 64, 16, 4, 1)
         self.att_convs = [
             nn.Conv(c, (3,), padding=1, name=f"att_conv_{i}")
@@ -186,8 +199,22 @@ class AudioEmbedder(nn.Module):
         att = jax.nn.softmax(self.att_fc(h[:, :, 0]), axis=1)  # [B, 2w+1]
         return jnp.einsum("bwd,bw->bd", feats, att)[:, None]
 
-    def __call__(self, audio, num_frames: int, frame_idx):
-        """audio: raw [B, S]; frame_idx: int or [B] traced frame positions."""
+    def __call__(self, audio, num_frames: Optional[int] = None,
+                 frame_idx=None, training: bool = False):
+        """audio: raw [B, S]; frame_idx: int or [B] traced frame positions.
+
+        CondSpec convention (models/ldm.py encode_conditioning calls every
+        cond stage as module(value, training=...)): with num_frames/frame_idx
+        omitted, `audio` is the raw window covering the (2*win_len+1)-frame
+        neighborhood of the target frame and the pooled token is centered —
+        the MEADBase4 per-target-frame conditioning. `training` is accepted
+        for the convention; the forward is deterministic (the reference's
+        dropout/layerdrop/spec-augment training noise is not implemented —
+        eval-mode numerics are parity-tested)."""
+        if num_frames is None:
+            num_frames = 2 * self.win_len + 1
+        if frame_idx is None:
+            frame_idx = self.win_len
         feats = self.audio_encoder(audio, num_frames=num_frames)
         w = self.win_len
         idx = jnp.clip(
