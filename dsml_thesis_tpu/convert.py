@@ -93,6 +93,28 @@ def _spatial_transformer(p: _P, sd, t: str, f: str, depth: int = 1):
     _conv(p, sd, f"{t}.proj_out", f"{f}/proj_out")
 
 
+def _attention_block(p: _P, sd, t: str, f: str, num_heads: int):
+    """Plain QKV AttentionBlock (openaimodel.py:278-341, QKVAttentionLegacy):
+    torch's qkv conv1d channels interleave per HEAD ([q_h k_h v_h] blocks);
+    our Dense splits q/k/v as thirds then splits heads — permute rows."""
+    _norm(p, sd, f"{t}.norm", f"{f}/norm")
+    w = _to_np(sd, f"{t}.qkv.weight")[:, :, 0]   # [3c, c]
+    b = _to_np(sd, f"{t}.qkv.bias")
+    c3 = w.shape[0]
+    c = c3 // 3
+    hd = c // num_heads
+    perm = np.empty(c3, np.int64)
+    for i in range(c3):
+        head, within = divmod(i, 3 * hd)
+        kind, off = divmod(within, hd)
+        perm[kind * c + head * hd + off] = i
+    p.put(f"{f}/qkv/kernel", w[perm].T)
+    p.put(f"{f}/qkv/bias", b[perm])
+    po = _to_np(sd, f"{t}.proj_out.weight")[:, :, 0]
+    p.put(f"{f}/proj_out/kernel", po.T)
+    p.put(f"{f}/proj_out/bias", _to_np(sd, f"{t}.proj_out.bias"))
+
+
 def convert_unet(
     sd: Mapping,
     num_res_blocks: int,
@@ -100,10 +122,27 @@ def convert_unet(
     attention_resolutions: Sequence[int],
     transformer_depth: int = 1,
     prefix: str = "",
+    use_spatial_transformer: bool = True,
+    num_heads: int = 1,
+    num_head_channels: int = -1,
+    model_channels: int = 0,
 ) -> Dict:
-    """torch UNetModel state_dict -> flax params dict (wrap as {'params': ...})."""
+    """torch UNetModel state_dict -> flax params dict (wrap as {'params': ...}).
+
+    use_spatial_transformer=False converts the plain QKV AttentionBlock
+    layout (the base-DDPM configs): heads per site follow the model's rule
+    (num_head_channels=-1 -> fixed num_heads, else ch // num_head_channels,
+    which needs model_channels to derive ch per level)."""
     p = _P()
     g = lambda k: prefix + k
+
+    def attn(t, f, ch):
+        if use_spatial_transformer:
+            _spatial_transformer(p, sd, t, f, transformer_depth)
+        else:
+            heads = (num_heads if num_head_channels == -1
+                     else ch // num_head_channels)
+            _attention_block(p, sd, t, f, heads)
     _conv(p, sd, g("time_embed.0"), "time_embed_0", "linear")
     _conv(p, sd, g("time_embed.2"), "time_embed_2", "linear")
     if g("label_emb.weight") in sd:
@@ -116,10 +155,8 @@ def convert_unet(
         for i in range(num_res_blocks):
             _resblock(p, sd, g(f"input_blocks.{idx}.0"), f"down_{level}_{i}_res")
             if ds in attention_resolutions:
-                _spatial_transformer(
-                    p, sd, g(f"input_blocks.{idx}.1"), f"down_{level}_{i}_attn",
-                    transformer_depth,
-                )
+                attn(g(f"input_blocks.{idx}.1"), f"down_{level}_{i}_attn",
+                     model_channels * channel_mult[level])
             idx += 1
         if level != len(channel_mult) - 1:
             _conv(p, sd, g(f"input_blocks.{idx}.0.op"), f"down_{level}_ds/conv")
@@ -127,7 +164,8 @@ def convert_unet(
             ds *= 2
 
     _resblock(p, sd, g("middle_block.0"), "mid_res1")
-    _spatial_transformer(p, sd, g("middle_block.1"), "mid_attn", transformer_depth)
+    attn(g("middle_block.1"), "mid_attn",
+         model_channels * channel_mult[-1])
     _resblock(p, sd, g("middle_block.2"), "mid_res2")
 
     idx = 0
@@ -136,10 +174,8 @@ def convert_unet(
             _resblock(p, sd, g(f"output_blocks.{idx}.0"), f"up_{level}_{i}_res")
             j = 1
             if ds in attention_resolutions:
-                _spatial_transformer(
-                    p, sd, g(f"output_blocks.{idx}.{j}"), f"up_{level}_{i}_attn",
-                    transformer_depth,
-                )
+                attn(g(f"output_blocks.{idx}.{j}"), f"up_{level}_{i}_attn",
+                     model_channels * channel_mult[level])
                 j += 1
             if level and i == num_res_blocks:
                 _conv(p, sd, g(f"output_blocks.{idx}.{j}.conv"), f"up_{level}_us/conv")

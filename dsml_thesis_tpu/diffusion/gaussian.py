@@ -113,17 +113,25 @@ def ddpm_p_sample_loop(
     shape,
     key: jax.Array,
     clip_denoised: bool = True,
+    x_T: Optional[jnp.ndarray] = None,
+    noise_seq: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full ancestral DDPM sampling as one lax.scan (reference ddpm.py:202-250).
 
-    denoise_fn(x_t, t[batch]) -> eps prediction.
+    denoise_fn(x_t, t[batch]) -> eps prediction. x_T / noise_seq ([T, *shape],
+    row i used at the i-th reverse step, t = T-1-i) inject the initial and
+    per-step noise for parity tests / reproducibility.
     """
-    key, sub = jax.random.split(key)
-    img = jax.random.normal(sub, shape, dtype=jnp.float32)
+    if x_T is None:
+        key, sub = jax.random.split(key)
+        img = jax.random.normal(sub, shape, dtype=jnp.float32)
+    else:
+        img = x_T
     b = shape[0]
 
-    def step(carry, t_scalar):
+    def step(carry, inp):
         img, key = carry
+        t_scalar, inj = inp
         key, knoise = jax.random.split(key)
         t = jnp.full((b,), t_scalar, dtype=jnp.int32)
         eps = denoise_fn(img, t)
@@ -131,12 +139,15 @@ def ddpm_p_sample_loop(
         if clip_denoised:
             x_recon = jnp.clip(x_recon, -1.0, 1.0)
         mean, _, log_var = q_posterior(sched, x_recon, img, t)
-        noise = jax.random.normal(knoise, shape, dtype=jnp.float32)
+        noise = (inj if noise_seq is not None
+                 else jax.random.normal(knoise, shape, dtype=jnp.float32))
         # no noise at t == 0
         nonzero = (t_scalar > 0).astype(jnp.float32)
         img = mean + nonzero * jnp.exp(0.5 * log_var) * noise
         return (img, key), None
 
     ts = jnp.arange(sched.num_timesteps - 1, -1, -1, dtype=jnp.int32)
-    (img, _), _ = jax.lax.scan(step, (img, key), ts)
+    inj = (noise_seq if noise_seq is not None
+           else jnp.zeros((sched.num_timesteps,) + (1,) * len(shape)))
+    (img, _), _ = jax.lax.scan(step, (img, key), (ts, inj))
     return img

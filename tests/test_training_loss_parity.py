@@ -262,3 +262,74 @@ def test_mead_4cond_training_loss_matches_reference():
         original_elbo_weight=ldm.original_elbo_weight,
     )
     assert float(loss) == pytest.approx(loss_ref, rel=2e-3)
+
+
+def test_ddpm_ancestral_loop_matches_reference():
+    """Pixel-space DDPM ancestral sampling (reference DDPM.p_sample_loop,
+    ddpm.py:243-262) vs our ddpm_p_sample_loop on converted weights with
+    injected per-step noise."""
+    _stub_modules()
+    from ldm.util import instantiate_from_config
+
+    ddpm_cfg = {
+        "target": "ldm.models.diffusion.ddpm.DDPM",
+        "params": {
+            "linear_start": 0.0015, "linear_end": 0.0205, "timesteps": 10,
+            "image_size": 8, "channels": 3, "clip_denoised": True,
+            "unet_config": {
+                "target": "ldm.modules.diffusionmodules.openaimodel.UNetModel",
+                "params": {
+                    "image_size": 8, "in_channels": 3, "out_channels": 3,
+                    "model_channels": 32, "attention_resolutions": [],
+                    "num_res_blocks": 1, "channel_mult": [1, 2],
+                    "num_head_channels": 16,
+                },
+            },
+        },
+    }
+    torch.manual_seed(4)
+    ref = instantiate_from_config(ddpm_cfg).eval()
+    ref.device = torch.device("cpu")
+
+    T = 10
+    rs = np.random.RandomState(5)
+    x_T = rs.randn(2, 3, 8, 8).astype(np.float32)
+    step_noise = rs.randn(T, 2, 3, 8, 8).astype(np.float32)
+
+    # inject: draw order is [initial img, then one noise_like per step]
+    seq = [torch.from_numpy(x_T)] + [torch.from_numpy(n) for n in step_noise]
+    orig_randn = torch.randn
+    torch.randn = lambda *a, **k: seq.pop(0)
+    try:
+        with torch.no_grad():
+            out_ref = ref.p_sample_loop((2, 3, 8, 8))
+    finally:
+        torch.randn = orig_randn
+    assert not seq
+
+    from dsml_thesis_tpu.convert import convert_unet
+    from dsml_thesis_tpu.diffusion import make_schedule
+    from dsml_thesis_tpu.diffusion.gaussian import ddpm_p_sample_loop
+    from dsml_thesis_tpu.models import UNetModel
+
+    sched = make_schedule("linear", T, 0.0015, 0.0205)
+    params = convert_unet(
+        ref.model.diffusion_model.state_dict(), num_res_blocks=1,
+        channel_mult=(1, 2), attention_resolutions=(),
+        use_spatial_transformer=False, num_head_channels=16,
+        model_channels=32,
+    )
+    jm = UNetModel(in_channels=3, out_channels=3, model_channels=32,
+                   num_res_blocks=1, attention_resolutions=(),
+                   channel_mult=(1, 2), num_head_channels=16,
+                   use_spatial_transformer=False)
+    out = ddpm_p_sample_loop(
+        sched, lambda x, t: jm.apply({"params": params}, x, t, None),
+        (2, 8, 8, 3), jax.random.PRNGKey(0),
+        x_T=jnp.asarray(x_T.transpose(0, 2, 3, 1)),
+        noise_seq=jnp.asarray(step_noise.transpose(0, 1, 3, 4, 2)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), out_ref.numpy(),
+        atol=5e-3, rtol=1e-3,
+    )
