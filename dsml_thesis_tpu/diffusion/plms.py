@@ -40,8 +40,14 @@ def plms_sample(
 ) -> jnp.ndarray:
     # the reference PLMSSampler asserts ddim_eta == 0 (plms.py:34): the
     # multistep update has no noise term, so an eta>0 schedule would produce
-    # variance-deficient samples silently
-    assert float(jnp.max(ddim.sigmas)) == 0.0, "PLMS requires an eta=0 schedule"
+    # variance-deficient samples silently. Host-side check only — when the
+    # schedule rides a jit boundary its fields are tracers and concretizing
+    # them would raise TracerConversionError (and force a device sync).
+    import numpy as np
+
+    if not isinstance(ddim.sigmas, jax.core.Tracer):
+        assert float(np.max(np.asarray(ddim.sigmas))) == 0.0, \
+            "PLMS requires an eta=0 schedule"
     if x_T is None:
         key, sub = jax.random.split(key)
         img = jax.random.normal(sub, shape, dtype=jnp.float32)

@@ -222,7 +222,11 @@ def compute_text_direction(
         return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
 
     d = (embed(trg_tokens) - embed(src_tokens)).mean(axis=0)
-    return d / jnp.linalg.norm(d)
+    # eps guards identical src/trg prompts (e.g. contempt, which has no
+    # reference edit text): the direction degrades to an exact zero row
+    # instead of 0/0 = NaN, so its directional loss is a constant with zero
+    # gradient rather than poisoning the whole batch
+    return d / (jnp.linalg.norm(d) + 1e-8)
 
 
 # Prompt templates for text-direction averaging (StyleGAN-NADA's ImageNet

@@ -154,7 +154,7 @@ class LatentDiffusion:
         decoder to z (needed by the CLIP/lipread finetunes, which backprop
         through pixel-space losses) but not into decoder params."""
         if self.first_stage is None:
-            return z
+            return z / self.scale_factor  # undo encode_first_stage's scaling
         z = z / self.scale_factor
         frozen = jax.tree.map(jax.lax.stop_gradient, params["first_stage"])
         kwargs = {}

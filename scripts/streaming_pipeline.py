@@ -152,7 +152,8 @@ def main():
             names = names[:n_real_last]  # drop padded duplicates at write
         vids = np.asarray(synth(params, masked, feats, ids, labels,
                                 jax.random.PRNGKey(bi)))
-        done_frames += vids.shape[0] * vids.shape[1]
+        # padded duplicate clips in the final batch do not count as output
+        done_frames += len(names) * vids.shape[1]
         line = f"batch {bi}: {vids.shape}"
         if args.metrics and gts[0] is not None:
             a = to_unit_range(jnp.asarray(vids[0][: len(gts[0])]))

@@ -229,3 +229,25 @@ def test_tokenize_shapes_and_special_tokens():
     ]
     # roundtrip
     assert tok.decode(tok.encode("a happy face")) == "a happy face"
+
+
+def test_text_direction_identical_prompts_is_finite_zero():
+    # contempt (label 7) has no reference edit text, so src == trg prompts;
+    # the direction must degrade to an exact zero row, not 0/0 = NaN
+    tm = _tiny_hf_clip(5)
+    cfg, params = jclip.convert_clip_hf(tm.state_dict(), 3, 4)
+    rs = np.random.RandomState(9)
+    src = _tokens(rs, n=4)
+    d = jclip.compute_text_direction(cfg, params["text"],
+                                     jnp.asarray(src), jnp.asarray(src))
+    assert np.all(np.isfinite(np.asarray(d)))
+    np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+    from dsml_thesis_tpu.losses.guidance import clip_directional_loss
+
+    embed = lambda im: jnp.ones((im.shape[0], d.shape[0]))
+    imgs = jnp.zeros((2, 8, 8, 3))
+    g = jax.grad(
+        lambda im: clip_directional_loss(embed, imgs, im, d)
+    )(imgs)
+    assert np.all(np.isfinite(np.asarray(g)))

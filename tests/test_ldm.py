@@ -243,3 +243,21 @@ def test_encode_crossattn_tokens_matches_route(monkeypatch):
     toks = ldm.encode_crossattn_tokens(params, batch)
     assert full.shape == toks.shape
     np.testing.assert_allclose(np.asarray(full), np.asarray(toks), atol=1e-6)
+
+
+def test_no_first_stage_encode_decode_symmetry():
+    # regression: decode_first_stage used to return z unchanged when
+    # first_stage is None while encode applied scale_factor, breaking
+    # round-trips for latent-space configs with scale_factor != 1
+    from dsml_thesis_tpu.models.ldm import LatentDiffusion
+
+    class Stub:
+        first_stage = None
+        scale_factor = 0.18215
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 3)
+                    .astype(np.float32))
+    z = LatentDiffusion.encode_first_stage(Stub, {}, x)
+    xr = LatentDiffusion.decode_first_stage(Stub, {}, z)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x),
+                               rtol=1e-6, atol=1e-6)

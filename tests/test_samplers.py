@@ -78,3 +78,19 @@ def test_dpm_solver_beats_ddim_at_low_steps():
     err_dpm = float(jnp.abs(dpm6 - ref).mean())
     err_ddim = float(jnp.abs(ddim6 - ddim_ref).mean())
     assert err_dpm < err_ddim
+
+
+def test_plms_jittable_with_traced_schedule():
+    # regression: the eta==0 guard used to concretize ddim.sigmas, raising
+    # TracerConversionError when the schedule rides a jit boundary
+    sched = make_schedule(timesteps=20, linear_start=LS, linear_end=LE)
+    ddim = make_ddim_schedule(sched, 5, eta=0.0)
+    shape = (1, 4, 4, 2)
+    eps = lambda x, t: x * 0.1
+
+    out_eager = plms_sample(ddim, eps, shape, jax.random.PRNGKey(0))
+    out_jit = jax.jit(
+        lambda d: plms_sample(d, eps, shape, jax.random.PRNGKey(0))
+    )(ddim)
+    np.testing.assert_allclose(np.asarray(out_eager), np.asarray(out_jit),
+                               rtol=1e-5, atol=1e-6)
