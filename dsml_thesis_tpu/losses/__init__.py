@@ -7,3 +7,4 @@ from .discriminator import (
 )
 from .lpips import LPIPS, convert_lpips_weights
 from .vqperceptual import VQGANLoss
+from .contperceptual import KLAutoencoderLoss

@@ -1,0 +1,156 @@
+"""KL autoencoder training loss: pixel + LPIPS NLL with learnable logvar,
+KL regularizer, and adaptive-weight PatchGAN.
+
+Parity target: face_reenactment/ldm/modules/losses/contperceptual.py:7-99
+(LPIPSWithDiscriminator). Semantics that differ from the VQ variant
+(losses/vqperceptual.py here):
+  - reconstruction NLL is rec/exp(logvar) + logvar, reduced as sum()/batch
+    (NOT mean — contperceptual.py:58-60), so kl_weight is calibrated against
+    a per-sample summed NLL;
+  - a KL(posterior || N(0,1)) term weighted by kl_weight
+    (contperceptual.py:61-62);
+  - logvar is declared as a trainable scalar upstream, but the reference's
+    AutoencoderKL.configure_optimizers (ldm/models/autoencoder.py:387-396)
+    never adds loss.logvar to either optimizer, so it stays frozen at
+    logvar_init in every reference run. We mirror that: logvar lives in the
+    loss params and is not updated by default; pass train_logvar=True to the
+    trainer to actually optimize it.
+
+The adaptive GAN weight uses the same two-jax.grad formulation as VQGANLoss
+(reference calculate_adaptive_weight, contperceptual.py:32-44).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .discriminator import (
+    NLayerDiscriminator,
+    adopt_weight,
+    hinge_d_loss,
+    vanilla_d_loss,
+)
+from .lpips import LPIPS
+
+
+@dataclasses.dataclass
+class KLAutoencoderLoss:
+    disc_start: int
+    logvar_init: float = 0.0
+    kl_weight: float = 1.0
+    pixelloss_weight: float = 1.0
+    disc_num_layers: int = 3
+    disc_in_channels: int = 3
+    disc_factor: float = 1.0
+    disc_weight: float = 1.0
+    perceptual_weight: float = 1.0
+    disc_ndf: int = 64
+    disc_loss: str = "hinge"
+
+    def __post_init__(self):
+        assert self.disc_loss in ("hinge", "vanilla")
+        self.discriminator = NLayerDiscriminator(
+            ndf=self.disc_ndf, n_layers=self.disc_num_layers,
+            input_nc=self.disc_in_channels,
+        )
+        self.lpips = LPIPS() if self.perceptual_weight > 0 else None
+        self._d_loss = hinge_d_loss if self.disc_loss == "hinge" else vanilla_d_loss
+
+    def init_params(self, key, image_shape) -> Dict:
+        k1, k2 = jax.random.split(key)
+        x = jnp.zeros(image_shape)
+        params = {
+            "discriminator": self.discriminator.init(k1, x)["params"],
+            "logvar": jnp.asarray(self.logvar_init, jnp.float32),
+        }
+        if self.lpips is not None:
+            params["lpips"] = self.lpips.init(k2, x, x)["params"]
+        return params
+
+    def nll_loss(self, loss_params: Dict, inputs, reconstructions) -> jnp.ndarray:
+        """sum(rec/exp(logvar) + logvar) / batch (contperceptual.py:49-60)."""
+        rec = self.pixelloss_weight * jnp.abs(inputs - reconstructions)
+        if self.lpips is not None:
+            p = self.lpips.apply({"params": loss_params["lpips"]},
+                                 inputs, reconstructions)
+            rec = rec + self.perceptual_weight * p.reshape(-1, 1, 1, 1)
+        logvar = loss_params["logvar"]
+        nll = rec / jnp.exp(logvar) + logvar
+        return jnp.sum(nll) / inputs.shape[0]
+
+    def generator_loss(
+        self,
+        loss_params: Dict,
+        kl: jnp.ndarray,
+        inputs: jnp.ndarray,
+        reconstructions: jnp.ndarray,
+        global_step,
+        decode_from_last: Optional[Callable] = None,
+        last_kernel: Optional[jnp.ndarray] = None,
+        val: bool = False,
+    ):
+        """optimizer_idx == 0 (contperceptual.py:64-93). kl is the
+        per-sample posterior KL vector (DiagonalGaussian.kl()). val=True
+        matches the reference's validation path, where the adaptive weight's
+        autograd call raises outside training and d_weight falls to 0."""
+        nll = self.nll_loss(loss_params, inputs, reconstructions)
+        logits_fake = self.discriminator.apply(
+            {"params": loss_params["discriminator"]}, reconstructions
+        )
+        g_loss = -jnp.mean(logits_fake)
+        kl_loss = jnp.sum(kl) / kl.shape[0]
+
+        if (decode_from_last is not None and last_kernel is not None
+                and self.disc_factor > 0.0):
+            nll_g = jax.grad(
+                lambda k: self.nll_loss(loss_params, inputs, decode_from_last(k))
+            )(last_kernel)
+            gan_g = jax.grad(
+                lambda k: -jnp.mean(
+                    self.discriminator.apply(
+                        {"params": loss_params["discriminator"]},
+                        decode_from_last(k),
+                    )
+                )
+            )(last_kernel)
+            d_weight = jnp.linalg.norm(nll_g.ravel()) / (
+                jnp.linalg.norm(gan_g.ravel()) + 1e-4
+            )
+            d_weight = jax.lax.stop_gradient(
+                jnp.clip(d_weight, 0.0, 1e4) * self.disc_weight
+            )
+        else:
+            d_weight = jnp.asarray(0.0)
+
+        disc_factor = adopt_weight(self.disc_factor, global_step, self.disc_start)
+        loss = nll + self.kl_weight * kl_loss + d_weight * disc_factor * g_loss
+        log = {
+            "total_loss": loss, "logvar": loss_params["logvar"],
+            "kl_loss": kl_loss, "nll_loss": nll,
+            "d_weight": d_weight, "disc_factor": disc_factor, "g_loss": g_loss,
+        }
+        return loss, log
+
+    def discriminator_loss(
+        self, loss_params: Dict, inputs, reconstructions, global_step
+    ):
+        """optimizer_idx == 1 (contperceptual.py:95-113)."""
+        logits_real = self.discriminator.apply(
+            {"params": loss_params["discriminator"]},
+            jax.lax.stop_gradient(inputs),
+        )
+        logits_fake = self.discriminator.apply(
+            {"params": loss_params["discriminator"]},
+            jax.lax.stop_gradient(reconstructions),
+        )
+        disc_factor = adopt_weight(self.disc_factor, global_step, self.disc_start)
+        d_loss = disc_factor * self._d_loss(logits_real, logits_fake)
+        log = {
+            "disc_loss": d_loss,
+            "logits_real": jnp.mean(logits_real),
+            "logits_fake": jnp.mean(logits_fake),
+        }
+        return d_loss, log

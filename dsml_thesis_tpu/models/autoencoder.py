@@ -193,6 +193,13 @@ class DiagonalGaussian:
         )
 
 
+# pytree registration so a posterior can cross jit boundaries (e.g. the KL
+# trainer's jitted model.apply returns (reconstruction, posterior))
+jax.tree_util.register_dataclass(
+    DiagonalGaussian, data_fields=["mean", "logvar"], meta_fields=[]
+)
+
+
 class VQModel(nn.Module):
     """VQGAN: encoder -> pre-quant conv -> VQ -> post-quant conv -> decoder.
 

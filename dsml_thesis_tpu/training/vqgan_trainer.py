@@ -22,12 +22,7 @@ from ..parallel import is_main_process, make_mesh, replicate, shard_batch
 from .vqgan import create_vqgan_state, make_vqgan_eval_step, make_vqgan_train_step
 
 
-def build_vqgan(model_cfg: Dict, require_perceptual_weights: bool = False):
-    p = model_cfg["params"]
-    dd = dict(p["ddconfig"])
-    for k in ("ch_mult", "attn_resolutions"):
-        dd[k] = tuple(dd[k])
-    model = VQModel(ddconfig=dd, n_embed=p["n_embed"], embed_dim=p["embed_dim"])
+def _loss_cfg(p: Dict, require_perceptual_weights: bool) -> Dict:
     lp = dict(p.get("lossconfig", {}).get("params", {}))
     lp.setdefault("disc_start", 10000)
     if "perceptual_weight" not in lp:
@@ -44,6 +39,16 @@ def build_vqgan(model_cfg: Dict, require_perceptual_weights: bool = False):
             "state_dict) and lpips_lin_ckpt (taming lin heads) — otherwise "
             "the loss would silently optimize a random-init VGG"
         )
+    return lp
+
+
+def build_vqgan(model_cfg: Dict, require_perceptual_weights: bool = False):
+    p = model_cfg["params"]
+    dd = dict(p["ddconfig"])
+    for k in ("ch_mult", "attn_resolutions"):
+        dd[k] = tuple(dd[k])
+    model = VQModel(ddconfig=dd, n_embed=p["n_embed"], embed_dim=p["embed_dim"])
+    lp = _loss_cfg(p, require_perceptual_weights)
     loss = VQGANLoss(
         disc_start=lp["disc_start"],
         codebook_weight=lp.get("codebook_weight", 1.0),
@@ -58,7 +63,37 @@ def build_vqgan(model_cfg: Dict, require_perceptual_weights: bool = False):
     return model, loss
 
 
+def build_kl_ae(model_cfg: Dict, require_perceptual_weights: bool = False):
+    """AutoencoderKL + LPIPSWithDiscriminator-equivalent loss from a
+    reference-schema YAML (ldm/models/autoencoder.py:285 +
+    ldm/modules/losses/contperceptual.py:7)."""
+    from ..losses.contperceptual import KLAutoencoderLoss
+    from ..models.autoencoder import AutoencoderKL
+
+    p = model_cfg["params"]
+    dd = dict(p["ddconfig"])
+    for k in ("ch_mult", "attn_resolutions"):
+        dd[k] = tuple(dd[k])
+    model = AutoencoderKL(ddconfig=dd, embed_dim=p["embed_dim"])
+    lp = _loss_cfg(p, require_perceptual_weights)
+    loss = KLAutoencoderLoss(
+        disc_start=lp["disc_start"],
+        logvar_init=lp.get("logvar_init", 0.0),
+        kl_weight=lp.get("kl_weight", 1.0),
+        pixelloss_weight=lp.get("pixelloss_weight", 1.0),
+        disc_weight=lp.get("disc_weight", 1.0),
+        disc_factor=lp.get("disc_factor", 1.0),
+        disc_num_layers=lp.get("disc_num_layers", 3),
+        disc_ndf=lp.get("disc_ndf", 64),
+        disc_loss=lp.get("disc_loss", "hinge"),
+        perceptual_weight=lp["perceptual_weight"],
+    )
+    return model, loss
+
+
 class VQGANTrainer:
+    _build = staticmethod(build_vqgan)
+
     def __init__(self, config: Dict, logdir: str, seed: int = 123,
                  max_steps: Optional[int] = None):
         self.config = config
@@ -67,8 +102,8 @@ class VQGANTrainer:
         self.max_steps = max_steps
         os.makedirs(os.path.join(logdir, "checkpoints"), exist_ok=True)
 
-        self.model, self.loss = build_vqgan(config["model"],
-                                            require_perceptual_weights=True)
+        self.model, self.loss = type(self)._build(config["model"],
+                                                  require_perceptual_weights=True)
         self.mesh = make_mesh()
         data_cfg = config.get("data", {}).get("params", {})
         self.batch_size = data_cfg.get("batch_size", 8)
@@ -113,10 +148,7 @@ class VQGANTrainer:
             image_shape = np.asarray(batch_or_shape["image"]).shape
         else:
             image_shape = batch_or_shape
-        state, ae_tx, disc_tx = create_vqgan_state(
-            self.model, self.loss, jax.random.PRNGKey(self.seed),
-            image_shape, self.lr,
-        )
+        state, ae_tx, disc_tx = self._create_state(image_shape)
         lp = self.config["model"].get("params", {}).get(
             "lossconfig", {}).get("params", {})
         if lp.get("vgg_ckpt") and lp.get("lpips_lin_ckpt"):
@@ -139,12 +171,25 @@ class VQGANTrainer:
         self._state = replicate(self.mesh, state)
         # donate: both optimizer states + params are overwritten in place
         self._step = jax.jit(
-            make_vqgan_train_step(self.model, self.loss, ae_tx, disc_tx),
-            donate_argnums=(0,),
+            self._make_train_step(ae_tx, disc_tx), donate_argnums=(0,),
         )
-        self._eval_step = jax.jit(make_vqgan_eval_step(self.model, self.loss))
+        self._eval_step = jax.jit(self._make_eval_step())
         self._recon_fn = jax.jit(self.model.apply)  # once: reused every log
         return self._state
+
+    # ---- hooks the KL variant overrides ----
+
+    def _create_state(self, image_shape):
+        return create_vqgan_state(
+            self.model, self.loss, jax.random.PRNGKey(self.seed),
+            image_shape, self.lr,
+        )
+
+    def _make_train_step(self, ae_tx, disc_tx):
+        return make_vqgan_train_step(self.model, self.loss, ae_tx, disc_tx)
+
+    def _make_eval_step(self):
+        return make_vqgan_eval_step(self.model, self.loss)
 
     def _checkpointer(self):
         if getattr(self, "_ckptr", None) is None:
@@ -252,3 +297,58 @@ class VQGANTrainer:
             if self.max_steps is not None and int(self._state.step) >= self.max_steps:
                 break
         return self._state
+
+
+class KLAETrainer(VQGANTrainer):
+    """AutoencoderKL training harness (reference AutoencoderKL Lightning loop,
+    ldm/models/autoencoder.py:285-424, with LPIPSWithDiscriminator). Same
+    two-optimizer shape as the VQGAN trainer; posterior sampling rides the
+    train state's PRNG key. lossconfig.params.train_logvar=true opts into
+    optimizing logvar (frozen upstream — see losses/contperceptual.py)."""
+
+    _build = staticmethod(build_kl_ae)
+
+    def _lossconfig(self) -> Dict:
+        return self.config["model"].get("params", {}).get(
+            "lossconfig", {}).get("params", {})
+
+    def _create_state(self, image_shape):
+        from .kl_ae import create_kl_ae_state
+
+        return create_kl_ae_state(
+            self.model, self.loss, jax.random.PRNGKey(self.seed),
+            image_shape, self.lr,
+            train_logvar=bool(self._lossconfig().get("train_logvar", False)),
+        )
+
+    def _make_train_step(self, ae_tx, disc_tx):
+        from .kl_ae import make_kl_ae_train_step
+
+        return make_kl_ae_train_step(self.model, self.loss, ae_tx, disc_tx)
+
+    def _make_eval_step(self):
+        from .kl_ae import make_kl_ae_eval_step
+
+        return make_kl_ae_eval_step(self.model, self.loss)
+
+    def log_reconstructions(self, batch, step: int, n: int = 4):
+        """inputs | reconstructions (posterior mode) grid, the KL analogue of
+        reference AutoencoderKL.log_images (autoencoder.py:401-417)."""
+        if jax.process_count() > 1:
+            return
+        x = jnp.asarray(batch["image"])[:n]
+        ae_params = {k: v for k, v in self._state.ae_params.items()
+                     if k != "_loss_logvar"}
+        rec, _ = self._recon_fn({"params": ae_params}, x)
+        outdir = os.path.join(self.logdir, "images")
+        os.makedirs(outdir, exist_ok=True)
+        arr = np.asarray(jnp.clip(jnp.concatenate([x, rec], axis=0), -1, 1))
+        np.save(os.path.join(outdir, f"recon_step{step:08d}.npy"), arr)
+        try:
+            from PIL import Image
+
+            row = np.concatenate(list((arr + 1) * 127.5), axis=1).astype(np.uint8)
+            Image.fromarray(row).save(
+                os.path.join(outdir, f"recon_step{step:08d}.png"))
+        except Exception:
+            pass

@@ -107,6 +107,11 @@ def main():
 
         trainer = VQGANTrainer(config, logdir, seed=opt.seed,
                                max_steps=opt.max_steps)
+    elif "autoencoder" in model_target and "AutoencoderKL" in model_target:
+        from dsml_thesis_tpu.training.vqgan_trainer import KLAETrainer
+
+        trainer = KLAETrainer(config, logdir, seed=opt.seed,
+                              max_steps=opt.max_steps)
     elif is_finetune_target(model_target):
         from dsml_thesis_tpu.training.finetune_trainer import FinetuneTrainer
 
