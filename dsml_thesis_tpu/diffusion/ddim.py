@@ -63,8 +63,13 @@ def p_sample_ddim(
     index: jnp.ndarray,
     noise: Optional[jnp.ndarray] = None,
     temperature: float = 1.0,
+    x0_postprocess: Optional[Callable] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One reverse DDIM step at schedule position `index` (traced scalar ok)."""
+    """One reverse DDIM step at schedule position `index` (traced scalar ok).
+
+    x0_postprocess(pred_x0) -> pred_x0 is applied between the x0 prediction
+    and the x_prev update — the reference's quantize_denoised hook, which
+    snaps pred_x0 through the VQ codebook each step (ddim.py:186-187)."""
     b = x.shape[0]
     t = jnp.full((b,), jnp.take(ddim.timesteps, index), dtype=jnp.int32)
     e_t = eps_fn(x, t)
@@ -75,6 +80,8 @@ def p_sample_ddim(
     sqrt_1m_at = jnp.take(ddim.sqrt_one_minus_alphas, index)
 
     pred_x0 = (x - sqrt_1m_at * e_t) / jnp.sqrt(a_t)
+    if x0_postprocess is not None:
+        pred_x0 = x0_postprocess(pred_x0)
     dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
     if noise is None:
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
@@ -94,6 +101,7 @@ def ddim_sample(
     x0: Optional[jnp.ndarray] = None,
     temperature: float = 1.0,
     eta_noise: bool = True,
+    x0_postprocess: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Full DDIM reverse chain as one lax.scan (replaces ddim.py:112-162 loop)."""
     if mask is not None and x0 is None:
@@ -120,7 +128,9 @@ def ddim_sample(
             noise = jax.random.normal(kn, img.shape, dtype=jnp.float32)
         else:
             noise = None
-        img, _ = p_sample_ddim(ddim, eps_fn, img, index, noise=noise, temperature=temperature)
+        img, _ = p_sample_ddim(ddim, eps_fn, img, index, noise=noise,
+                               temperature=temperature,
+                               x0_postprocess=x0_postprocess)
         return (img, key), None
 
     (img, _), _ = jax.lax.scan(step, (img, key), jnp.arange(S))

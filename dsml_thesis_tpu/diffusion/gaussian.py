@@ -73,12 +73,18 @@ def p_losses(
     l_simple_weight: float = 1.0,
     original_elbo_weight: float = 0.0,
     logvar: Optional[jnp.ndarray] = None,
+    sample_weights: Optional[jnp.ndarray] = None,
 ):
     """Simple + VLB-weighted diffusion loss given the model output.
 
     Returns (loss, aux dict). `model_eps` is the raw UNet output on
     q_sample(x_start, t, noise); the caller runs the network so this function
     stays architecture-agnostic.
+
+    sample_weights ([B], optional) weights the per-sample means — used by the
+    trainer's exact-eval path to mask padding rows in the ragged final
+    validation batch (the reference evaluates the full split, ddpm.py:356-363;
+    SPMD needs static batch shapes, so the tail is padded + masked instead).
     """
     if parameterization == "eps":
         target = noise
@@ -98,10 +104,15 @@ def p_losses(
         loss_gamma = loss_simple
 
     loss_vlb = jnp.take(sched.lvlb_weights, t, axis=0) * loss_simple
-    loss = l_simple_weight * loss_gamma.mean() + original_elbo_weight * loss_vlb.mean()
+    if sample_weights is None:
+        wmean = lambda x: x.mean()
+    else:
+        w = sample_weights.astype(loss_simple.dtype)
+        wmean = lambda x: jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+    loss = l_simple_weight * wmean(loss_gamma) + original_elbo_weight * wmean(loss_vlb)
     aux = {
-        "loss_simple": loss_simple.mean(),
-        "loss_vlb": loss_vlb.mean(),
+        "loss_simple": wmean(loss_simple),
+        "loss_vlb": wmean(loss_vlb),
         "loss": loss,
     }
     return loss, aux

@@ -72,6 +72,8 @@ class LatentDiffusion:
     l_simple_weight: float = 1.0
     original_elbo_weight: float = 0.0
     first_stage_key: str = "image"
+    # training_loss honors batch["_sample_weights"] (exact ragged-tail eval)
+    supports_sample_weights = True
     image_size: int = 32
     channels: int = 3
     monitor: str = "val_loss_ema"
@@ -301,6 +303,9 @@ class LatentDiffusion:
             loss_type=self.loss_type,
             l_simple_weight=self.l_simple_weight,
             original_elbo_weight=self.original_elbo_weight,
+            # exact-eval path: masks padding rows in the ragged final val
+            # batch (Trainer.validate); absent during training
+            sample_weights=batch.get("_sample_weights"),
         )
         return loss, aux
 

@@ -41,31 +41,56 @@ def attention_reference(q, k, v, scale=None):
     return out
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                  defer_div: bool = True):
     """One (batch*head, q-block) program: q-block vs full K/V in VMEM.
 
     For the model family's sequence lengths (<= 4096) the whole K/V for one
     head fits comfortably in VMEM, so no online-softmax accumulation is
     needed — a single fused pass computes exact softmax per q-row.
+
+    defer_div rides the softmax denominator on the P@V matmul (a ones column
+    appended to V) and normalizes the [Bq, D] output instead: two fewer VPU
+    passes (row-sum + divide) over the [Bq, Nk] score matrix, which is where
+    the VPU time is at N=4096. Exact — bf16 relative rounding of P is
+    scale-invariant, so normalizing after the cast is as accurate as before.
     """
     q = q_ref[0]  # [Bq, D]
     k = k_ref[0]  # [Nk, D]
     v = v_ref[0]  # [Nk, D]
+    # fold the softmax scale into Q in the log2 domain BEFORE the matmul:
+    # the scores come off the MXU already scaled and exp2 replaces exp, so
+    # the VPU never runs a separate multiply pass over the [Bq, Nk] matrix.
+    # exp(s*scale - m) == exp2(s*scale*log2e - m') exactly (m' = row max of
+    # the folded scores); bf16 rounding of q*c is scale-invariant, same
+    # relative error as bf16 q itself.
+    c = jnp.asarray(scale * 1.4426950408889634, q.dtype)  # log2(e)
     sim = jax.lax.dot_general(
-        q, k,
+        q * c, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # [Bq, Nk] fp32
+    )  # [Bq, Nk] fp32, scaled, log2 domain
     m = jnp.max(sim, axis=-1, keepdims=True)
-    p = jnp.exp(sim - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / denom
-    out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
+    p = jnp.exp2(sim - m)
+    if defer_div:
+        d = v.shape[-1]
+        v1 = jnp.concatenate(
+            [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1
+        )  # [Nk, D+1]; the pad column costs nothing (lane tile is 128-wide)
+        out = jnp.dot(p.astype(v.dtype), v1, preferred_element_type=jnp.float32)
+        o_ref[0] = (out[:, :d] / out[:, d:d + 1]).astype(o_ref.dtype)
+    else:
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / denom
+        out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0] = out.astype(o_ref.dtype)
 
 
 def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = False):
     """Pallas fused attention. q: [B, H, Nq, D], k/v: [B, H, Nk, D]."""
+    import os
+
+    defer_div = os.environ.get("DSML_FLASH_DEFER_DIV", "1") != "0"
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     b, h, nq, d = q.shape
@@ -92,7 +117,7 @@ def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = F
         110 * (1 << 20),
     )
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
+        functools.partial(_flash_kernel, scale=scale, defer_div=defer_div),
         out_shape=jax.ShapeDtypeStruct((bh, nq_p, d), q.dtype),
         grid=grid,
         in_specs=[
@@ -229,11 +254,39 @@ def _flash_bwd(scale, block_q, interpret, res, g):
 _flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
 
 
+# v5e VMEM is 128MB; leave headroom for Mosaic's own buffers
+_VMEM_BUDGET = 100 * (1 << 20)
+
+
+def _fit_block_q(nq: int, nk: int, d: int, itemsize: int,
+                 requested: int):
+    """Largest block_q <= requested whose working set fits the VMEM budget,
+    or None if even the smallest block cannot fit (fall back to XLA).
+
+    Sized on the BACKWARD working set (the larger of the two): K/V/dk/dv in
+    fp32 + two fp32 [block_q, nk] score/ds buffers (double-buffered by the
+    pipeline) + q/do/dq blocks."""
+    bq = min(requested, nq)
+    while bq >= 8:
+        kv_resident = 6 * nk * d * 4
+        scores = 4 * (bq * nk * 4)
+        blocks = 8 * bq * d * 4
+        if kv_resident + scores + blocks + (1 << 21) <= _VMEM_BUDGET:
+            return bq
+        bq //= 2
+    return None
+
+
 def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
     """Dispatch: Pallas flash kernel for real self-attention workloads on TPU,
     jnp path otherwise (tiny-KV cross-attention, CPU tests). interpret=True
     runs the SAME differentiable wrapper (custom VJP, env block size) in
-    Pallas interpret mode, so CPU checks exercise the production path."""
+    Pallas interpret mode, so CPU checks exercise the production path.
+
+    The kernel keeps the whole K/V for one head in VMEM, so its reach is
+    bounded: the q-block is shrunk until the working set fits the VMEM
+    budget, and shapes that cannot fit at any block size (huge Nk) fall back
+    to the XLA path instead of dying in a Mosaic OOM at compile time."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     import os
@@ -247,6 +300,11 @@ def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
         # v5e A/B on the flagship bench (frames/s/chip): 128 -> 5.50,
         # 256 -> 5.99, 512 -> 6.08, 1024 -> 6.13 — bigger q-blocks win
         # monotonically (fewer grid steps; N=1024 runs as one program)
-        block_q = int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024"))
-        return _flash_attention_diff(q, k, v, scale, block_q, interpret)
+        block_q = _fit_block_q(
+            q.shape[2], k.shape[2], q.shape[3],
+            jnp.dtype(q.dtype).itemsize,
+            int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024")),
+        )
+        if block_q is not None:
+            return _flash_attention_diff(q, k, v, scale, block_q, interpret)
     return attention_reference(q, k, v, scale=scale)

@@ -87,30 +87,51 @@ class Trainer:
                 instantiate_from_config(self.data_cfg["train"]),
                 batch_size=bs, shuffle=True, num_workers=nw, seed=seed,
             )
-        # eval splits drop the ragged tail (< batch_size samples): SPMD
-        # sharding needs the batch axis divisible by the data mesh — a
-        # documented divergence from the reference's full-set validation
+        # eval splits keep the ragged tail (drop_last=False): validate() pads
+        # it to the static batch shape and masks the padding out of the
+        # metric means via batch["_sample_weights"], so val metrics cover the
+        # FULL split like the reference (ddpm.py:356-363). Multi-process runs
+        # still drop the tail (a ragged batch cannot shard across hosts).
         if "validation" in self.data_cfg:
             self.val_data = DataLoader(
                 instantiate_from_config(self.data_cfg["validation"]),
                 batch_size=bs, shuffle=False, num_workers=nw, seed=seed,
+                drop_last=False,
             )
         if "test" in self.data_cfg:
             self.test_data = DataLoader(
                 instantiate_from_config(self.data_cfg["test"]),
                 batch_size=bs, shuffle=False, num_workers=nw, seed=seed,
+                drop_last=False,
             )
 
         # LR scaling (reference main.py:686-701)
         base_lr = self.model_cfg.get("base_learning_rate", 1e-6)
-        accumulate = self.lightning_cfg.get("trainer", {}).get(
-            "accumulate_grad_batches", 1
-        )
+        trainer_cfg = self.lightning_cfg.get("trainer", {})
+        accumulate = trainer_cfg.get("accumulate_grad_batches", 1)
         if config.get("scale_lr", True):
             self.lr = accumulate * bs * base_lr
         else:
             self.lr = base_lr
         self.grad_accum = accumulate
+        # lightning.trainer keys the reference drives through
+        # Trainer.from_argparse_args + config (main.py:671-706): a verbatim
+        # reference YAML fully specifies the run. CLI flags still win where
+        # they are explicitly given (main.py here mirrors that precedence).
+        self.max_epochs = trainer_cfg.get("max_epochs")
+        if self.max_steps is None and trainer_cfg.get("max_steps") is not None:
+            self.max_steps = int(trainer_cfg["max_steps"])
+        self.check_val_every_n_epoch = int(
+            trainer_cfg.get("check_val_every_n_epoch", 1)
+        )
+        # Lightning semantics: int = batch count, float = fraction of batches
+        self.limit_val_batches = trainer_cfg.get("limit_val_batches")
+        # reference ImageLogger callback config (main.py:614-624):
+        # lightning.callbacks.image_logger.params.{batch_frequency,max_images}
+        il = self.lightning_cfg.get("callbacks", {}).get(
+            "image_logger", {}).get("params", {})
+        self.image_every = il.get("batch_frequency")
+        self.log_max_images = int(il.get("max_images", 4))
 
         self._state: Optional[TrainState] = None
         self._tx = None
@@ -270,10 +291,27 @@ class Trainer:
         """One jitted program for the whole image-logging pass — on the axon
         TPU tunnel an unjitted per-call trace would be a fresh multi-minute
         remote compile every invocation; jit caches on (structure, shapes),
-        which are fixed across calls from the same loader."""
-        from ..diffusion import ddim_sample_with_intermediates, make_ddim_schedule
+        which are fixed across calls from the same loader.
+
+        Rows match the reference ImageLogger + LatentDiffusion.log_images
+        (main.py:298-401, ddpm.py:1252-1361): inputs, reconstruction, EMA
+        samples, denoise_row (pred_x0 trajectory), diffusion_row (forward
+        q_sample progression at log-spaced t), and — for VQ first stages —
+        samples_x0_quantized (pred_x0 snapped through the codebook each step,
+        ddim.py:186-187 quantize_denoised)."""
+        from ..diffusion import (
+            ddim_sample,
+            ddim_sample_with_intermediates,
+            make_ddim_schedule,
+            q_sample,
+        )
+        from ..models.autoencoder import VQModel
 
         ddim = make_ddim_schedule(self.ldm.schedule, ddim_steps)
+        T = self.ldm.schedule.num_timesteps
+        # log-spaced forward ts like the reference's log_every_t row
+        diff_ts = sorted({0, T // 8, T // 4, T // 2, 3 * T // 4, T - 1})
+        is_vq = isinstance(self.ldm.first_stage, VQModel)
 
         def fn(params, b, key):
             x = b[self.ldm.first_stage_key][:n]
@@ -299,23 +337,89 @@ class Trainer:
                 log_every=max(1, ddim.num_steps // 4),
             )
             denoise_row = self.ldm.decode_first_stage(params, traj[:, 0])
-            return {"inputs": x, "reconstruction": xrec, "samples": x_samples,
-                    "denoise_row": denoise_row}
+            # diffusion row: forward q_sample of the first sample at
+            # log-spaced t (reference ddpm.py:1285-1298)
+            kd = jax.random.split(jax.random.fold_in(key, 1), len(diff_ts))
+            z0 = z[:1]
+            diff_row = jnp.concatenate([
+                self.ldm.decode_first_stage(
+                    params,
+                    q_sample(self.ldm.schedule, z0,
+                             jnp.full((1,), ti, jnp.int32),
+                             jax.random.normal(kd[j], z0.shape)),
+                ) for j, ti in enumerate(diff_ts)
+            ], axis=0)
+            out = {"inputs": x, "reconstruction": xrec, "samples": x_samples,
+                   "denoise_row": denoise_row, "diffusion_row": diff_row}
+            if is_vq:
+                sf = self.ldm.scale_factor
+
+                def quantize_x0(p0):
+                    q = self.ldm.first_stage.apply(
+                        {"params": params["first_stage"]}, p0 / sf,
+                        method=lambda m, zz: m.quantize(zz)[0],
+                    )
+                    return q * sf
+
+                sq = ddim_sample(
+                    ddim, self.ldm.schedule, eps_fn, z.shape,
+                    jax.random.fold_in(key, 2), eta_noise=False,
+                    x0_postprocess=quantize_x0,
+                )
+                out["samples_x0_quantized"] = self.ldm.decode_first_stage(
+                    params, sq)
+            return out
 
         return jax.jit(fn)
 
-    def log_images(self, batch: Dict, step: int, n: int = 4, ddim_steps: int = 20):
-        """Input / VQ-reconstruction / conditional sample grids as npy+png."""
-        if jax.process_count() > 1:
-            # the grid program runs on host-local (non-addressable-globally)
-            # arrays; skipping keeps every process's device program identical
+    def _log_conditioning_grids(self, batch: Dict, step: int, n: int,
+                                outdir: str):
+        """Host-side conditioning visualization (reference ddpm.py:1269-1282):
+        image-valued cond streams are saved as grids; class labels are
+        rendered as text images (log_txt_as_img equivalent)."""
+        for key in ("shape_image", "masked_image", "identity"):
+            if key in batch:
+                arr = np.asarray(batch[key][:n], np.float32)
+                np.save(os.path.join(
+                    outdir, f"conditioning_{key}_step{step:08d}.npy"), arr)
+        labels = batch.get("human_label", batch.get("class_label"))
+        if labels is None:
             return
+        try:
+            from PIL import Image, ImageDraw
+        except Exception:
+            return
+        texts = [str(np.asarray(l)) for l in list(labels)[:n]]
+        size = int(np.asarray(batch[self.ldm.first_stage_key]).shape[1]) \
+            if self.ldm.first_stage_key in batch else 128
+        img = Image.new("RGB", (size * len(texts), size), "white")
+        draw = ImageDraw.Draw(img)
+        for i, txt in enumerate(texts):
+            draw.text((i * size + 4, size // 2), txt, fill="black")
+        img.save(os.path.join(outdir, f"conditioning_step{step:08d}.png"))
+
+    def log_images(self, batch: Dict, step: int, n: int = 4, ddim_steps: int = 20):
+        """Input / reconstruction / sample / diffusion-row grids as npy+png.
+
+        Multi-host: the grid program runs as one global SPMD computation on
+        the sharded batch (identical programs on every process), then only
+        the main process materializes and writes the grids — the reference's
+        rank_zero_only ImageLogger semantics (main.py:318-329)."""
         b = _to_jnp_batch(batch)
         if self._log_images_fn is None:
             self._log_images_fn = self._make_log_images_fn(n, ddim_steps)
+        multihost = jax.process_count() > 1
+        if multihost:
+            b = shard_batch(self.mesh, b)
         grids = self._log_images_fn(
             self._state.ema_full(), b, jax.random.PRNGKey(step)
         )
+        if multihost:
+            from jax.experimental import multihost_utils
+
+            grids = multihost_utils.process_allgather(grids)
+            if not is_main_process():
+                return
         outdir = os.path.join(self.logdir, "images")
         for k, v in grids.items():
             arr = np.asarray(jnp.clip(v, -1, 1))
@@ -329,20 +433,53 @@ class Trainer:
                 )
             except Exception:
                 pass
+        self._log_conditioning_grids(batch, step, n, outdir)
 
     # ---------- loops ----------
 
+    def _resolve_val_batches(self, max_batches, data) -> Optional[int]:
+        """CLI arg wins; else lightning.trainer.limit_val_batches (int =
+        count, float = fraction, Lightning semantics)."""
+        if max_batches is not None:
+            return max_batches
+        lim = self.limit_val_batches
+        if lim is None:
+            return None
+        if isinstance(lim, float) and lim <= 1.0:
+            return max(1, int(lim * len(data)))
+        return int(lim)
+
     def validate(self, rng: jax.Array, max_batches: Optional[int] = None,
                  data=None) -> Dict:
-        sums, n = {}, 0
-        for i, batch in enumerate(data if data is not None else self.val_data):
+        data = data if data is not None else self.val_data
+        max_batches = self._resolve_val_batches(max_batches, data)
+        bs = self.data_cfg.get("batch_size", 4)
+        # ragged tails can only be masked when the loss honors the weights;
+        # otherwise padding rows would pollute the means — drop instead
+        pad_ok = getattr(self.loss_module, "supports_sample_weights", False)
+        sums, n = {}, 0.0
+        for i, batch in enumerate(data):
             if max_batches is not None and i >= max_batches:
                 break
-            sb = shard_batch(self.mesh, _to_jnp_batch(batch))
+            jb = _to_jnp_batch(batch)
+            n_real = next(iter(jb.values())).shape[0]
+            if n_real < bs:
+                if not pad_ok:
+                    continue
+                # pad to the static batch shape (edge-repeat) + 0/1 mask:
+                # the eval program keeps ONE compiled shape and the masked
+                # means are exactly the full-split statistics
+                pad = bs - n_real
+                jb = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+                    for k, v in jb.items()}
+                jb["_sample_weights"] = np.concatenate(
+                    [np.ones(n_real, np.float32), np.zeros(pad, np.float32)])
+            sb = shard_batch(self.mesh, jb)
             m = self._eval_step(self._state, sb, jax.random.fold_in(rng, i))
             for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            n += 1
+                sums[k] = sums.get(k, 0.0) + float(v) * n_real
+            n += n_real
         return {k: v / max(n, 1) for k, v in sums.items()}
 
     def test(self, rng: Optional[jax.Array] = None) -> Optional[Dict]:
@@ -357,10 +494,12 @@ class Trainer:
             image_every: Optional[int] = None, val_max_batches: Optional[int] = None,
             profile_at_step: Optional[int] = None):
         assert self.train_data is not None
+        if image_every is None:
+            # YAML-driven interval (reference ImageLogger batch_frequency)
+            image_every = self.image_every
         self._install_signal_handlers()
         rng = jax.random.PRNGKey(self.seed)
         monitor = self.ldm.monitor
-        first_batch = None
         profiler = None
         if profile_at_step is not None:
             from .profiling import StepProfiler
@@ -371,7 +510,7 @@ class Trainer:
 
         try:
             self._fit_epochs(epochs, log_every, image_every, val_max_batches,
-                             rng, monitor, first_batch, profiler)
+                             rng, monitor, profiler)
         except BaseException:
             # reference main.py:730-734: melk() rescue-save on any exception
             if self._state is not None:
@@ -385,15 +524,13 @@ class Trainer:
         return self._state
 
     def _fit_epochs(self, epochs, log_every, image_every, val_max_batches,
-                    rng, monitor, first_batch, profiler):
+                    rng, monitor, profiler):
         for epoch in range(epochs):
             t_epoch = time.time()
             for batch in self.train_data:
                 jb = _to_jnp_batch(batch)
                 if self._state is None:
                     self.init_state(jb)
-                if first_batch is None:
-                    first_batch = batch
                 sb = shard_batch(self.mesh, jb)
                 step_next = int(self._state.step) + 1
                 if profiler is not None:
@@ -405,14 +542,18 @@ class Trainer:
                 if step % log_every == 0:
                     self.log_metrics(metrics, step)
                 if image_every and step % image_every == 0:
-                    self.log_images(first_batch, step)
+                    # the batch that triggered the interval, like the
+                    # reference ImageLogger (main.py:331-358) — not a frozen
+                    # first batch
+                    self.log_images(batch, step, n=self.log_max_images)
                 if self._should_stop or (
                     self.max_steps is not None and step >= self.max_steps
                 ):
                     break
 
             epoch_s = time.time() - t_epoch
-            if self.val_data is not None:
+            run_val = (epoch + 1) % max(1, self.check_val_every_n_epoch) == 0
+            if self.val_data is not None and run_val:
                 from .profiling import device_memory_stats
 
                 val = self.validate(jax.random.fold_in(rng, epoch),

@@ -204,3 +204,30 @@ def test_group_norm_dispatch_interpret_differentiable(monkeypatch):
         group_norm_silu_reference(x, gamma, beta, 32) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_flash_dispatch_vmem_guard():
+    """No shape can reach the Pallas kernel with a working set beyond the
+    VMEM budget: huge Nk falls back to the XLA path; large-but-fitting Nk
+    shrinks the q-block instead of failing."""
+    from dsml_thesis_tpu.ops.attention import _fit_block_q, multi_head_attention
+
+    # flagship shapes keep their measured-best block
+    assert _fit_block_q(4096, 4096, 32, 2, 1024) == 1024
+    assert _fit_block_q(1024, 1024, 32, 2, 1024) == 1024
+    # long sequences shrink the q-block to fit
+    bq = _fit_block_q(16384, 16384, 64, 2, 1024)
+    assert bq is not None and bq < 1024
+    # Nk whose resident K/V alone exceed VMEM -> fallback to XLA
+    assert _fit_block_q(65536, 65536, 64, 2, 1024) is None
+
+    # fallback path produces the reference numerics (force use_pallas via
+    # guard: None -> XLA on CPU anyway, so just check numerics agree)
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(1, 2, 300, 16).astype(np.float32))
+    k = jnp.asarray(rs.randn(1, 2, 300, 16).astype(np.float32))
+    v = jnp.asarray(rs.randn(1, 2, 300, 16).astype(np.float32))
+    out = multi_head_attention(q, k, v)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -149,3 +149,93 @@ def test_restore_legacy_full_ema_checkpoint(tmp_path):
     restored = t.restore_checkpoint("legacy")
     assert "first_stage" not in restored.ema_params
     assert set(restored.ema_params) <= set(restored.params)
+
+
+def test_lightning_trainer_yaml_keys(tmp_path):
+    """A verbatim reference-style YAML fully specifies the run: max_steps,
+    check_val_every_n_epoch, limit_val_batches come from lightning.trainer
+    (reference main.py:671-706 Trainer.from_argparse_args + config)."""
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = _config()
+    cfg["lightning"] = {"trainer": {
+        "max_steps": 3, "check_val_every_n_epoch": 2, "limit_val_batches": 1,
+    }}
+    trainer = Trainer(cfg, str(tmp_path / "run"), seed=0)  # no CLI max_steps
+    assert trainer.max_steps == 3
+    state = trainer.fit(epochs=2, log_every=1)
+    assert int(state.step) == 3  # YAML max_steps honored
+
+    lines = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    # epoch 0 skipped (check_val_every_n_epoch=2): exactly one val record,
+    # after the second epoch
+    vals = [l for l in lines if l["split"] == "val"]
+    assert len(vals) == 1
+
+    # CLI max_steps still wins over YAML when given
+    t2 = Trainer(cfg, str(tmp_path / "run2"), seed=0, max_steps=1)
+    assert t2.max_steps == 1
+
+
+def test_ragged_tail_eval_exact(tmp_path):
+    """The final ragged val batch is padded + masked, not dropped: metrics
+    cover the full split and are invariant to the padding content
+    (reference full-set validation, ddpm.py:356-363)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = _config()
+    # 12 samples at global batch 8 -> one full batch + a 4-sample tail
+    cfg["data"]["params"]["validation"]["params"]["length"] = 12
+    trainer = Trainer(cfg, str(tmp_path / "run"), seed=0, max_steps=1)
+    state = trainer.fit(epochs=1, log_every=1)
+
+    val = trainer.validate(jax.random.PRNGKey(7))
+    assert np.isfinite(val["val_loss"])
+
+    # invariance: zero out the padding rows instead of edge-repeating them —
+    # a correct mask makes the metric identical
+    batches = list(trainer.val_data)
+    assert len(batches) == 2 and batches[1]["image"].shape[0] == 4
+    from dsml_thesis_tpu.parallel import shard_batch
+
+    def eval_padded(pad_value):
+        jb = {k: np.asarray(v) for k, v in batches[1].items()
+              if isinstance(v, np.ndarray)}
+        jb = {k: np.concatenate(
+            [v, np.full((4,) + v.shape[1:], pad_value, v.dtype)], axis=0)
+            for k, v in jb.items()}
+        jb["_sample_weights"] = np.array([1, 1, 1, 1, 0, 0, 0, 0], np.float32)
+        sb = shard_batch(trainer.mesh, jb)
+        m = trainer._eval_step(
+            state, sb, jax.random.fold_in(jax.random.PRNGKey(7), 1))
+        return float(m["val_loss"])
+
+    np.testing.assert_allclose(eval_padded(0), eval_padded(1), rtol=1e-5)
+
+
+def test_p_losses_sample_weights_match_subset():
+    """Weighted p_losses over [real | padding] rows equals unweighted
+    p_losses over the real rows alone."""
+    import jax.numpy as jnp
+
+    from dsml_thesis_tpu.diffusion import make_schedule
+    from dsml_thesis_tpu.diffusion.gaussian import p_losses
+
+    sched = make_schedule(timesteps=10, linear_start=0.0015, linear_end=0.02)
+    rs = np.random.RandomState(0)
+    eps = jnp.asarray(rs.randn(6, 4, 4, 2).astype(np.float32))
+    x0 = jnp.asarray(rs.randn(6, 4, 4, 2).astype(np.float32))
+    noise = jnp.asarray(rs.randn(6, 4, 4, 2).astype(np.float32))
+    t = jnp.asarray(rs.randint(0, 10, 6))
+
+    w = jnp.asarray([1, 1, 1, 1, 0, 0], jnp.float32)
+    loss_w, aux_w = p_losses(sched, eps, x0, noise, t,
+                             original_elbo_weight=0.1, sample_weights=w)
+    loss_s, aux_s = p_losses(sched, eps[:4], x0[:4], noise[:4], t[:4],
+                             original_elbo_weight=0.1)
+    np.testing.assert_allclose(float(loss_w), float(loss_s), rtol=1e-6)
+    np.testing.assert_allclose(float(aux_w["loss_simple"]),
+                               float(aux_s["loss_simple"]), rtol=1e-6)
