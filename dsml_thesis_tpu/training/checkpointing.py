@@ -1,7 +1,8 @@
 """Shared top-k checkpoint bookkeeping.
 
 Reference: PyTorch Lightning ModelCheckpoint with save_top_k and
-metric-embedded filenames (main.py:588-599). Lower score = better (losses).
+metric-embedded filenames (main.py:588-599). mode="min" (losses, the
+reference default) or mode="max" (e.g. a PSNR monitor).
 """
 from __future__ import annotations
 
@@ -20,16 +21,19 @@ def save_topk(
     save_fn: Callable[[str], None],
     ckpt_dir: str,
     wait_fn: Optional[Callable[[], None]] = None,
+    mode: str = "min",
 ) -> None:
     """Insert (score, name) into the best-first `topk` list in place, saving
     via save_fn and evicting the worst on overflow. Skips the (multi-GB)
     serialization outright when the score cannot enter the top-k. wait_fn
     blocks on in-flight async saves before eviction deletes directories."""
-    if len(topk) >= save_top_k and score >= topk[-1][0]:
+    assert mode in ("min", "max")
+    worse = (lambda a, b: a >= b) if mode == "min" else (lambda a, b: a <= b)
+    if len(topk) >= save_top_k and worse(score, topk[-1][0]):
         return
     save_fn(name)
     topk.append((score, name))
-    topk.sort(key=lambda t: t[0])
+    topk.sort(key=lambda t: t[0], reverse=(mode == "max"))
     if wait_fn is not None and len(topk) > save_top_k:
         wait_fn()  # don't delete an in-flight save
     while len(topk) > save_top_k:

@@ -142,9 +142,11 @@ class Trainer:
         self._metrics_file = open(os.path.join(logdir, "metrics.jsonl"), "a")
         # top-k checkpoint tracking (reference ModelCheckpoint save_top_k=5
         # with metric-embedded filenames, main.py:580-599)
-        self.save_top_k = self.lightning_cfg.get("modelcheckpoint", {}).get(
-            "params", {}
-        ).get("save_top_k", 5)
+        mc = self.lightning_cfg.get("modelcheckpoint", {}).get("params", {})
+        self.save_top_k = mc.get("save_top_k", 5)
+        # Lightning ModelCheckpoint mode: "min" for loss monitors (the
+        # reference default), "max" for higher-is-better monitors (PSNR etc.)
+        self.monitor_mode = mc.get("mode", "min")
         self._topk: list = []  # [(score, name)] sorted best-first
 
     # ---------- setup ----------
@@ -244,7 +246,9 @@ class Trainer:
                     found.append((float(name.rsplit("=", 1)[1]), name))
                 except ValueError:
                     continue
-        self._topk = sorted(found)[: self.save_top_k]
+        self._topk = sorted(
+            found, reverse=(self.monitor_mode == "max")
+        )[: self.save_top_k]
 
     def restore_checkpoint(self, name: str):
         self.wait_for_checkpoints()
@@ -275,7 +279,8 @@ class Trainer:
                   f"step={step:08d}-{monitor}={score:.5f}",
                   self.save_checkpoint,
                   os.path.join(self.logdir, "checkpoints"),
-                  wait_fn=self.wait_for_checkpoints)
+                  wait_fn=self.wait_for_checkpoints,
+                  mode=self.monitor_mode)
 
     # ---------- logging ----------
 

@@ -33,12 +33,21 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--mfu", action="store_true",
+                    help="XLA cost-analysis roofline: FLOPs + HBM bytes of "
+                         "one UNet eval and the full pipeline, vs v5e peaks")
+    ap.add_argument("--fps", type=float, default=None,
+                    help="measured frames/s/chip from bench.py (whole-program"
+                         " timing) to rate the pipeline against the roofline")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from dsml_thesis_tpu.config import build_model, load_config
 
-    cfg = load_config([f"configs/latent-diffusion/mead-{args.res}-ldm-f4.yaml"])
+    cfg = load_config([
+        args.config or f"configs/latent-diffusion/mead-{args.res}-ldm-f4.yaml"
+    ])
     ldm = build_model(cfg["model"])
     B, F, S = args.batch, args.frames, args.steps
     lat = args.res // 4
@@ -68,12 +77,68 @@ def main():
     dec_fn = jax.jit(lambda p, z: ldm.decode_first_stage(p, z))
     dt_dec, _ = timed(dec_fn, params, z, n=3)
 
+    if args.mfu:
+        report_mfu(ldm, cfg, params, args, unet_fn, x2, t2, ctx2, cc2)
+        return
+
     total_unet = S * F * dt_unet
     print(f"UNet eval (bs{2*B}, {lat}x{lat}): {dt_unet*1e3:.1f} ms "
           f"-> {S}x{F} evals = {total_unet:.2f} s")
     print(f"decode ({B*F} frames @ {args.res}px): {dt_dec:.2f} s")
     est = total_unet + dt_dec
     print(f"estimated clip total: {est:.2f} s -> {B*F/est:.2f} frames/s/chip")
+
+
+V5E_PEAK_BF16 = 197e12   # FLOP/s per chip
+V5E_HBM_BW = 819e9       # bytes/s per chip
+
+
+def report_mfu(ldm, cfg, params, args, unet_fn, x2, t2, ctx2, cc2):
+    """Roofline accounting from XLA's own compiled cost analysis: how much
+    of the v5e's MXU and HBM the program actually uses, so 'fast' is rated
+    against hardware peaks, not just the 3.125 f/s target (PROFILE.md)."""
+    import numpy as np
+
+    from dsml_thesis_tpu.diffusion import make_ddim_schedule, make_video_pipeline
+    from dsml_thesis_tpu.utils_io import cast_sampling_params
+
+    B, F, S = args.batch, args.frames, args.steps
+    params = cast_sampling_params(params)
+
+    ca = unet_fn.lower(params, x2, t2, ctx2, cc2).compile().cost_analysis()
+    uf, ub = ca.get("flops", 0.0), ca.get("bytes accessed", 0.0)
+    print(f"UNet eval (CFG bs{x2.shape[0]}): {uf/1e9:.1f} GFLOP, "
+          f"{ub/1e9:.2f} GB accessed")
+
+    c2p = cfg["model"]["params"]["cond_stage_config_2"]["params"]
+    w = (c2p["seq_len"] - 1) // 2
+    ddim = make_ddim_schedule(ldm.schedule, S, eta=0.0)
+    pipeline = make_video_pipeline(ldm, ddim, w, guidance_scale=2.0)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    masked = jax.random.normal(ks[0], (B, F, args.res, args.res, 3)) * 0.5
+    audio = jax.random.normal(ks[1], (B, F, c2p["subspace_dim"]))
+    ident = jax.random.normal(ks[2], (B, args.res, args.res, 3)) * 0.5
+    labels = jnp.zeros((B,), jnp.int32)
+    key = jax.random.PRNGKey(2)
+    pj = jax.jit(pipeline)
+    ca2 = pj.lower(params, masked, audio, ident, labels, key)\
+            .compile().cost_analysis()
+    pf, pb = ca2.get("flops", 0.0), ca2.get("bytes accessed", 0.0)
+    frames = B * F
+    print(f"full pipeline ({frames} frames, DDIM-{S}): {pf/1e12:.2f} TFLOP, "
+          f"{pb/1e12:.2f} TB accessed "
+          f"({pf/frames/1e9:.1f} GFLOP/frame, {pb/frames/1e9:.1f} GB/frame)")
+
+    if args.fps:
+        t_iter = frames / args.fps
+        mfu = pf / t_iter / V5E_PEAK_BF16
+        hbm = pb / t_iter / V5E_HBM_BW
+        print(f"at {args.fps} frames/s/chip ({t_iter:.1f} s/iter):")
+        print(f"  MFU  = {100*mfu:.1f}% of v5e bf16 peak ({V5E_PEAK_BF16/1e12:.0f} TFLOP/s)")
+        print(f"  HBM  = {100*hbm:.1f}% of v5e bandwidth ({V5E_HBM_BW/1e9:.0f} GB/s)")
+        # roofline floor: time if ONLY compute or ONLY memory bound
+        print(f"  speed-of-light iter: max(compute {pf/V5E_PEAK_BF16:.2f}s, "
+              f"memory {pb/V5E_HBM_BW:.2f}s) vs measured {t_iter:.1f}s")
 
 
 if __name__ == "__main__":

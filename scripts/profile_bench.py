@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--outdir", default="/tmp/jaxprof")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--config", default=None,
+                    help="override the model yaml (e.g. the reference-faithful "
+                         "mead-256-ldm-f4-fullattn.yaml)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -70,7 +73,9 @@ def main():
     from dsml_thesis_tpu.diffusion import make_ddim_schedule, make_video_pipeline
     from dsml_thesis_tpu.utils_io import cast_sampling_params
 
-    cfg = load_config([f"configs/latent-diffusion/mead-{args.res}-ldm-f4.yaml"])
+    cfg = load_config([
+        args.config or f"configs/latent-diffusion/mead-{args.res}-ldm-f4.yaml"
+    ])
     ldm = build_model(cfg["model"])
     c2p = cfg["model"]["params"]["cond_stage_config_2"]["params"]
     w = (c2p["seq_len"] - 1) // 2

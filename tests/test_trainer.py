@@ -239,3 +239,24 @@ def test_p_losses_sample_weights_match_subset():
     np.testing.assert_allclose(float(loss_w), float(loss_s), rtol=1e-6)
     np.testing.assert_allclose(float(aux_w["loss_simple"]),
                                float(aux_s["loss_simple"]), rtol=1e-6)
+
+
+def test_save_topk_mode_max():
+    """mode='max' keeps the HIGHEST scores (a future PSNR monitor) and the
+    disk-rebuild sort follows the mode (VERDICT r2: _rebuild_topk_from_disk
+    implicitly assumed lower-is-better)."""
+    from dsml_thesis_tpu.training.checkpointing import save_topk
+
+    saved, topk = [], []
+    for s in (1.0, 3.0, 2.0, 5.0, 0.5):
+        save_topk(topk, 2, s, f"step={len(saved):08d}-psnr={s:.5f}",
+                  saved.append, "/nonexistent", mode="max")
+    assert [s for s, _ in topk] == [5.0, 3.0]
+    # 0.5 was never serialized (cannot enter top-2)
+    assert not any("0.50000" in n for n in saved)
+
+    # min mode unchanged
+    topk2, saved2 = [], []
+    for s in (1.0, 3.0, 2.0, 0.5):
+        save_topk(topk2, 2, s, f"n{s}", saved2.append, "/nonexistent")
+    assert [s for s, _ in topk2] == [0.5, 1.0]
