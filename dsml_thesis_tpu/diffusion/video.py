@@ -54,6 +54,22 @@ def progressive_video_sample(
 
     use_cfg = uncond_contexts is not None and guidance_scale != 1.0
 
+    # Opt-in bf16 DDIM step math + scan carry (A/B lever; fidelity-gated via
+    # scripts/fidelity_gate.py — the default keeps the eps-combine and x_prev
+    # algebra in fp32). The latent tensors are tiny (B*64*64*3), so this
+    # targets VPU/fusion time, not bandwidth.
+    import dataclasses
+    import os
+
+    bf16_step = os.environ.get("DSML_BF16_STEP", "0") == "1"
+    carry_dtype = jnp.bfloat16 if bf16_step else jnp.float32
+    if bf16_step:
+        ddim = dataclasses.replace(ddim, **{
+            f.name: (getattr(ddim, f.name).astype(jnp.bfloat16)
+                     if f.name != "timesteps" else ddim.timesteps)
+            for f in dataclasses.fields(ddim)
+        })
+
     def frame_step(z_id, per_frame):
         m_lat, ctx, uctx, kf, xT_f = per_frame
         concat = jnp.concatenate([m_lat, z_id], axis=-1)  # [B, h, w, 2c]
@@ -74,11 +90,14 @@ def progressive_video_sample(
 
         img = (xT_f if x_T is not None
                else jax.random.normal(kf, lat_shape, dtype=jnp.float32))
+        img = img.astype(carry_dtype)
+        step_eps = ((lambda x, t: eps_fn(x, t).astype(jnp.bfloat16))
+                    if bf16_step else eps_fn)
 
         def ddim_step(img, i):
             index = S - 1 - i
-            img, _ = p_sample_ddim(ddim, eps_fn, img, index, noise=None)
-            return img, None
+            img, _ = p_sample_ddim(ddim, step_eps, img, index, noise=None)
+            return img.astype(carry_dtype), None
 
         img, _ = jax.lax.scan(ddim_step, img, jnp.arange(S))
         # autoregressive identity update (reference :316-317)
@@ -98,9 +117,9 @@ def progressive_video_sample(
         jnp.moveaxis(x_T.astype(jnp.float32), 1, 0) if x_T is not None
         else jnp.zeros((F, 1, 1, 1, 1)),
     )
-    # carry dtype is fp32 (generated latents come out of the fp32 eps math);
-    # z_id0 may arrive bf16 from a cast first stage
-    _, frames = jax.lax.scan(frame_step, z_id0.astype(jnp.float32), xs)
+    # carry dtype matches the step math (fp32 default); z_id0 may arrive
+    # bf16 from a cast first stage
+    _, frames = jax.lax.scan(frame_step, z_id0.astype(carry_dtype), xs)
     return jnp.moveaxis(frames, 0, 1)  # [B, F, h, w, c]
 
 

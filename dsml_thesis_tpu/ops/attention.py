@@ -42,7 +42,7 @@ def attention_reference(q, k, v, scale=None):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                  defer_div: bool = True):
+                  defer_div: bool = True, pv_transpose: bool = False):
     """One (batch*head, q-block) program: q-block vs full K/V in VMEM.
 
     For the model family's sequence lengths (<= 4096) the whole K/V for one
@@ -77,7 +77,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         v1 = jnp.concatenate(
             [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1
         )  # [Nk, D+1]; the pad column costs nothing (lane tile is 128-wide)
-        out = jnp.dot(p.astype(v.dtype), v1, preferred_element_type=jnp.float32)
+        if pv_transpose:
+            # [D+1, Bq] = V1^T @ P^T: contraction Nk (full 128 depth) AND
+            # output width Bq (full 128 lanes) — vs [Bq, Nk]@[Nk, D+1] whose
+            # 33-wide output uses 26% of the lanes; M=D+1 rows stream
+            out_t = jax.lax.dot_general(
+                v1, p.astype(v.dtype), (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out = out_t.T  # [Bq, D+1] relayout in VMEM
+        else:
+            out = jnp.dot(p.astype(v.dtype), v1,
+                          preferred_element_type=jnp.float32)
         o_ref[0] = (out[:, :d] / out[:, d:d + 1]).astype(o_ref.dtype)
     else:
         denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -91,6 +102,7 @@ def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = F
     import os
 
     defer_div = os.environ.get("DSML_FLASH_DEFER_DIV", "1") != "0"
+    pv_transpose = os.environ.get("DSML_FLASH_PV_T", "0") == "1"
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     b, h, nq, d = q.shape
@@ -117,7 +129,8 @@ def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = F
         110 * (1 << 20),
     )
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, defer_div=defer_div),
+        functools.partial(_flash_kernel, scale=scale, defer_div=defer_div,
+                          pv_transpose=pv_transpose),
         out_shape=jax.ShapeDtypeStruct((bh, nq_p, d), q.dtype),
         grid=grid,
         in_specs=[

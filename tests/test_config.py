@@ -18,6 +18,11 @@ def test_all_shipped_configs_build():
 
             model, loss = build_vqgan(cfg["model"])
             assert model is not None and loss is not None
+        elif "autoencoder.AutoencoderKL" in target:
+            from dsml_thesis_tpu.training.vqgan_trainer import build_kl_ae
+
+            model, loss = build_kl_ae(cfg["model"])
+            assert model is not None and loss.kl_weight > 0
         elif "tune" in target.lower() or "CLIP" in target:
             ft = build_finetune(cfg["model"])
             assert ft is not None

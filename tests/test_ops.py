@@ -231,3 +231,21 @@ def test_flash_dispatch_vmem_guard():
     ref = attention_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_flash_kernel_variants_match_reference(monkeypatch):
+    """defer-div (ones-column denominator) and PV-transposed variants are
+    numerically the same softmax attention (interpret mode)."""
+    rs = np.random.RandomState(3)
+    q = jnp.asarray(rs.randn(1, 2, 64, 16).astype(np.float32))
+    k = jnp.asarray(rs.randn(1, 2, 64, 16).astype(np.float32))
+    v = jnp.asarray(rs.randn(1, 2, 64, 16).astype(np.float32))
+    ref = attention_reference(q, k, v)
+    for env in ({"DSML_FLASH_DEFER_DIV": "0"},
+                {"DSML_FLASH_DEFER_DIV": "1"},
+                {"DSML_FLASH_DEFER_DIV": "1", "DSML_FLASH_PV_T": "1"}):
+        for kk, vv in env.items():
+            monkeypatch.setenv(kk, vv)
+        out = flash_attention(q, k, v, block_q=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
