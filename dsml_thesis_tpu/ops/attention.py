@@ -102,11 +102,15 @@ def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = F
     import os
 
     defer_div = os.environ.get("DSML_FLASH_DEFER_DIV", "1") != "0"
-    pv_transpose = os.environ.get("DSML_FLASH_PV_T", "0") == "1"
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     b, h, nq, d = q.shape
     nk = k.shape[2]
+    # transposed P@V pays off when the contraction is long enough to amortize
+    # its M=D+1 row stream — v5e A/Bs: N=4096 fullattn 3.149 -> 3.275
+    # f/s/chip, but N<=1024 training 225.0 -> 220.2 img/s (PROFILE.md)
+    pv_env = os.environ.get("DSML_FLASH_PV_T", "auto")
+    pv_transpose = (nk >= 2048) if pv_env == "auto" else pv_env != "0"
     bh = b * h
     q3 = q.reshape(bh, nq, d)
     k3 = k.reshape(bh, nk, d)
@@ -150,7 +154,7 @@ def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = F
 
 
 def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                      *, scale: float):
+                      *, scale: float, defer_div: bool = True):
     """Backward for one (batch*head, q-block): recompute P for the block, emit
     dq for the block and accumulate dk/dv across the sequential q-block grid.
     Zero-padded q/do rows contribute exactly zero to dk/dv, so no masking.
@@ -161,18 +165,38 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     v = v_ref[0]
     do = do_ref[0].astype(jnp.float32)
 
+    # same VPU-saving reformulations as the forward kernel: scale folds into
+    # Q in the log2 domain (pre-scaled scores off the MXU, exp2 not exp) and
+    # the softmax normalization never touches the [Bq, Nk] matrix — row
+    # sums ride MXU dots against a ones vector, and 1/denom folds into
+    # per-ROW scalings of do / q / dq (all [Bq, D]-sized):
+    #   dv[j]  = sum_i (p_un[i,j]/den_i) do[i]   = p_un^T @ (do/den)
+    #   dk[j]  = sum_i ds_un[i,j]/den_i  q[i]    = ds_un^T @ (q/den)
+    #   dq[i]  = (1/den_i) * ds_un[i] @ K
+    c2 = jnp.asarray(scale * 1.4426950408889634, q.dtype)  # log2(e)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+        q * c2, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)          # [Bq, Nk] fp32
+    p_un = jnp.exp2(s - m)                              # [Bq, Nk] unnormalized
+    if defer_div:
+        ones = jnp.ones((k.shape[0], 1), jnp.float32)
+        den = jnp.dot(p_un, ones, preferred_element_type=jnp.float32)
+        inv_den = 1.0 / den
+    else:
+        inv_den = None
+        p_un = p_un / jnp.sum(p_un, axis=-1, keepdims=True)  # normalized p
 
     dp = jax.lax.dot_general(
         do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                   # [Bq, Nk]
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    if defer_div:
+        pdp = p_un * dp
+        row = jnp.dot(pdp, ones, preferred_element_type=jnp.float32) * inv_den
+    else:
+        row = jnp.sum(dp * p_un, axis=-1, keepdims=True)
+    ds_un = p_un * (dp - row)   # defer_div: = den * ds; else: = ds
 
     @pl.when(j == 0)
     def _():
@@ -182,16 +206,21 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     # dk/dv out buffers are fp32 regardless of model dtype: a bf16
     # read-modify-write across the sequential q-block grid would re-round
     # the running sum every step (cast to param dtype happens once, outside)
+    do_s = do * inv_den if defer_div else do
+    q_s = (q.astype(jnp.float32) * inv_den if defer_div
+           else q.astype(jnp.float32))
     dv_ref[0] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dk_ref[0] += scale * jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        p_un, do_s, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dq_ref[0] = (scale * jnp.dot(
-        ds, k.astype(jnp.float32), preferred_element_type=jnp.float32
-    )).astype(dq_ref.dtype)
+    dk_ref[0] += scale * jax.lax.dot_general(
+        ds_un, q_s, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq = jnp.dot(ds_un, k.astype(jnp.float32),
+                 preferred_element_type=jnp.float32)
+    dq_ref[0] = ((scale * inv_den * dq) if defer_div
+                 else (scale * dq)).astype(dq_ref.dtype)
 
 
 def flash_attention_bwd(q, k, v, do, scale=None, block_q: int = 256,
@@ -217,8 +246,12 @@ def flash_attention_bwd(q, k, v, do, scale=None, block_q: int = 256,
         6 * nk * d * 4 + 4 * (block_q * nk * 4) + 8 * block_q * d * 4 + (1 << 21),
         110 * (1 << 20),
     )
+    import os
+
+    bwd_defer = os.environ.get("DSML_FLASH_BWD_DEFER", "1") != "0"
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_kernel, scale=scale),
+        functools.partial(_flash_bwd_kernel, scale=scale,
+                          defer_div=bwd_defer),
         out_shape=(
             jax.ShapeDtypeStruct((bh, nq_p, d), q.dtype),
             jax.ShapeDtypeStruct((bh, nk, d), jnp.float32),  # fp32 accumulators

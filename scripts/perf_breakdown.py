@@ -94,49 +94,53 @@ V5E_HBM_BW = 819e9       # bytes/s per chip
 
 
 def report_mfu(ldm, cfg, params, args, unet_fn, x2, t2, ctx2, cc2):
-    """Roofline accounting from XLA's own compiled cost analysis: how much
-    of the v5e's MXU and HBM the program actually uses, so 'fast' is rated
-    against hardware peaks, not just the 3.125 f/s target (PROFILE.md)."""
-    import numpy as np
+    """Roofline accounting from XLA's compiled cost analysis: how much of the
+    v5e's MXU and HBM the program actually uses, so 'fast' is rated against
+    hardware peaks, not just the 3.125 f/s target (PROFILE.md).
 
-    from dsml_thesis_tpu.diffusion import make_ddim_schedule, make_video_pipeline
+    XLA cost analysis counts a lax.scan body ONCE, so the pipeline totals are
+    assembled from per-component analyses (UNet eval, VQ encode, VQ decode)
+    times their trip counts — the same structure bench.py executes."""
     from dsml_thesis_tpu.utils_io import cast_sampling_params
 
     B, F, S = args.batch, args.frames, args.steps
     params = cast_sampling_params(params)
 
-    ca = unet_fn.lower(params, x2, t2, ctx2, cc2).compile().cost_analysis()
-    uf, ub = ca.get("flops", 0.0), ca.get("bytes accessed", 0.0)
+    def cost(jitted, *a):
+        ca = jitted.lower(*a).compile().cost_analysis()
+        return ca.get("flops", 0.0), ca.get("bytes accessed", 0.0)
+
+    uf, ub = cost(unet_fn, params, x2, t2, ctx2, cc2)
     print(f"UNet eval (CFG bs{x2.shape[0]}): {uf/1e9:.1f} GFLOP, "
           f"{ub/1e9:.2f} GB accessed")
 
-    c2p = cfg["model"]["params"]["cond_stage_config_2"]["params"]
-    w = (c2p["seq_len"] - 1) // 2
-    ddim = make_ddim_schedule(ldm.schedule, S, eta=0.0)
-    pipeline = make_video_pipeline(ldm, ddim, w, guidance_scale=2.0)
-    ks = jax.random.split(jax.random.PRNGKey(1), 3)
-    masked = jax.random.normal(ks[0], (B, F, args.res, args.res, 3)) * 0.5
-    audio = jax.random.normal(ks[1], (B, F, c2p["subspace_dim"]))
-    ident = jax.random.normal(ks[2], (B, args.res, args.res, 3)) * 0.5
-    labels = jnp.zeros((B,), jnp.int32)
-    key = jax.random.PRNGKey(2)
-    pj = jax.jit(pipeline)
-    ca2 = pj.lower(params, masked, audio, ident, labels, key)\
-            .compile().cost_analysis()
-    pf, pb = ca2.get("flops", 0.0), ca2.get("bytes accessed", 0.0)
+    lat = args.res // 4
+    enc_fn = jax.jit(lambda p, x: ldm.encode_first_stage(p, x))
+    ef, eb = cost(enc_fn, params,
+                  jnp.zeros((B * F, args.res, args.res, 3)))
+    dec_fn = jax.jit(lambda p, z: ldm.decode_first_stage(p, z))
+    df, db = cost(dec_fn, params, jnp.zeros((B * F, lat, lat, 3)))
+    print(f"VQ encode ({B*F} frames): {ef/1e9:.1f} GFLOP | "
+          f"decode: {df/1e9:.1f} GFLOP")
+
+    # pipeline = S*F UNet evals + masked-frame encodes (B*F) + identity
+    # encode (~B, folded into the B*F figure) + per-frame decode
     frames = B * F
-    print(f"full pipeline ({frames} frames, DDIM-{S}): {pf/1e12:.2f} TFLOP, "
+    pf = S * F * uf + ef + df
+    pb = S * F * ub + eb + db
+    print(f"full pipeline ({frames} frames, DDIM-{S}): {pf/1e12:.1f} TFLOP, "
           f"{pb/1e12:.2f} TB accessed "
-          f"({pf/frames/1e9:.1f} GFLOP/frame, {pb/frames/1e9:.1f} GB/frame)")
+          f"({pf/frames/1e9:.0f} GFLOP/frame, {pb/frames/1e9:.1f} GB/frame)")
 
     if args.fps:
         t_iter = frames / args.fps
         mfu = pf / t_iter / V5E_PEAK_BF16
         hbm = pb / t_iter / V5E_HBM_BW
         print(f"at {args.fps} frames/s/chip ({t_iter:.1f} s/iter):")
-        print(f"  MFU  = {100*mfu:.1f}% of v5e bf16 peak ({V5E_PEAK_BF16/1e12:.0f} TFLOP/s)")
-        print(f"  HBM  = {100*hbm:.1f}% of v5e bandwidth ({V5E_HBM_BW/1e9:.0f} GB/s)")
-        # roofline floor: time if ONLY compute or ONLY memory bound
+        print(f"  MFU  = {100*mfu:.1f}% of v5e bf16 peak "
+              f"({V5E_PEAK_BF16/1e12:.0f} TFLOP/s)")
+        print(f"  HBM  = {100*hbm:.1f}% of v5e bandwidth "
+              f"({V5E_HBM_BW/1e9:.0f} GB/s)")
         print(f"  speed-of-light iter: max(compute {pf/V5E_PEAK_BF16:.2f}s, "
               f"memory {pb/V5E_HBM_BW:.2f}s) vs measured {t_iter:.1f}s")
 
