@@ -42,7 +42,8 @@ def attention_reference(q, k, v, scale=None):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                  defer_div: bool = True, pv_transpose: bool = False):
+                  defer_div: bool = True, pv_transpose: bool = False,
+                  norm_bound: bool = False):
     """One (batch*head, q-block) program: q-block vs full K/V in VMEM.
 
     For the model family's sequence lengths (<= 4096) the whole K/V for one
@@ -65,12 +66,25 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     # the folded scores); bf16 rounding of q*c is scale-invariant, same
     # relative error as bf16 q itself.
     c = jnp.asarray(scale * 1.4426950408889634, q.dtype)  # log2(e)
+    qc = q * c
     sim = jax.lax.dot_general(
-        q * c, k,
+        qc, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [Bq, Nk] fp32, scaled, log2 domain
-    m = jnp.max(sim, axis=-1, keepdims=True)
+    if norm_bound:
+        # replace the O(Bq*Nk) row-max reduce with a Cauchy-Schwarz bound:
+        # |sim[i,j]| <= ||qc_i|| * max_j ||k_j||, computed in O(Bq*D + Nk*D).
+        # Softmax is shift-invariant and fp32 relative precision is
+        # scale-invariant, so any shift >= rowmax is exact up to flushing
+        # terms below ~2^-120 of the max — which standard softmax rounds
+        # away in the sum anyway.
+        qn = jnp.sqrt(jnp.sum(qc.astype(jnp.float32) ** 2, axis=-1,
+                              keepdims=True))
+        kn = jnp.sqrt(jnp.max(jnp.sum(k.astype(jnp.float32) ** 2, axis=-1)))
+        m = qn * kn
+    else:
+        m = jnp.max(sim, axis=-1, keepdims=True)
     p = jnp.exp2(sim - m)
     if defer_div:
         d = v.shape[-1]
@@ -111,6 +125,10 @@ def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = F
     # f/s/chip, but N<=1024 training 225.0 -> 220.2 img/s (PROFILE.md)
     pv_env = os.environ.get("DSML_FLASH_PV_T", "auto")
     pv_transpose = (nk >= 2048) if pv_env == "auto" else pv_env != "0"
+    # Cauchy-Schwarz shift instead of the row-max pass: wins where the
+    # score matrix is big (fullattn N=4096 A/B: 3.314 -> 3.343 f/s/chip)
+    nb_env = os.environ.get("DSML_FLASH_NORM_BOUND", "auto")
+    norm_bound = (nk >= 2048) if nb_env == "auto" else nb_env == "1"
     bh = b * h
     q3 = q.reshape(bh, nq, d)
     k3 = k.reshape(bh, nk, d)
@@ -134,7 +152,7 @@ def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = F
     )
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, defer_div=defer_div,
-                          pv_transpose=pv_transpose),
+                          pv_transpose=pv_transpose, norm_bound=norm_bound),
         out_shape=jax.ShapeDtypeStruct((bh, nq_p, d), q.dtype),
         grid=grid,
         in_specs=[

@@ -249,3 +249,17 @@ def test_flash_kernel_variants_match_reference(monkeypatch):
         out = flash_attention(q, k, v, block_q=32, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_flash_norm_bound_variant_matches_reference(monkeypatch):
+    """The Cauchy-Schwarz shift bound (no row-max pass) is numerically the
+    same softmax attention."""
+    monkeypatch.setenv("DSML_FLASH_NORM_BOUND", "1")
+    rs = np.random.RandomState(5)
+    q = jnp.asarray(rs.randn(1, 2, 64, 16).astype(np.float32)) * 3
+    k = jnp.asarray(rs.randn(1, 2, 64, 16).astype(np.float32)) * 3
+    v = jnp.asarray(rs.randn(1, 2, 64, 16).astype(np.float32))
+    out = flash_attention(q, k, v, block_q=32, interpret=True)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
