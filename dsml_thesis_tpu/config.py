@@ -331,6 +331,9 @@ def build_model(model_cfg: Dict) -> LatentDiffusion:
         image_size=p.get("image_size", 32),
         channels=p.get("channels", 3),
         monitor=p.get("monitor", "val_loss_ema"),
+        # config-gated patch tiling (reference ddpm.py:893-1013); tuples come
+        # through YAML as lists — tiling.py takes either
+        split_input_params=p.get("split_input_params"),
     )
 
 

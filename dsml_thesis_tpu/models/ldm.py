@@ -77,6 +77,12 @@ class LatentDiffusion:
     image_size: int = 32
     channels: int = 3
     monitor: str = "val_loss_ema"
+    # split-input fold/unfold tiling (reference ddpm.py:893-1013, config-gated
+    # and unset by every shipped YAML): {"ks": (h,w), "stride": (h,w),
+    # "vqf": f, "patch_distributed_vq": bool, tie/clip knobs}. When set,
+    # apply_model and the first-stage codecs run over overlapping patches and
+    # blend with the border weighting (diffusion/tiling.py).
+    split_input_params: Optional[Dict] = None
 
     # ---------- initialization ----------
 
@@ -143,12 +149,33 @@ class LatentDiffusion:
         first stages return plain arrays and ignore it."""
         if self.first_stage is None:
             return x * self.scale_factor
-        z = self.first_stage.apply(
-            {"params": params["first_stage"]}, x, method="encode"
-        )
-        if isinstance(z, DiagonalGaussian):
-            z = z.sample(rng) if rng is not None else z.mode()
+
+        def enc(v):
+            z = self.first_stage.apply(
+                {"params": params["first_stage"]}, v, method="encode"
+            )
+            if isinstance(z, DiagonalGaussian):
+                z = z.sample(rng) if rng is not None else z.mode()
+            return z
+
+        if self._split_params() is not None:
+            # patch-distributed VQ encode (reference ddpm.py:826-864): encode
+            # overlapping pixel patches, blend the latent patches (df = vqf)
+            from ..diffusion import tiling
+
+            sp = self._split_params()
+            z = tiling.tiled_apply(lambda v, L: enc(v), x, sp,
+                                   df=int(sp["vqf"]))
+        else:
+            z = enc(x)
         return jax.lax.stop_gradient(z * self.scale_factor)
+
+    def _split_params(self) -> Optional[Dict]:
+        """split_input_params when the patch-distributed path is enabled."""
+        sp = self.split_input_params
+        if sp and sp.get("patch_distributed_vq", True):
+            return sp
+        return None
 
     def decode_first_stage(self, params: Dict, z: jnp.ndarray,
                            force_not_quantize: bool = False) -> jnp.ndarray:
@@ -166,9 +193,18 @@ class LatentDiffusion:
             self.first_stage.decode
         ).parameters:  # VQ interface only; KL decode has no quantizer
             kwargs["force_not_quantize"] = force_not_quantize
-        return self.first_stage.apply(
-            {"params": frozen}, z, method="decode", **kwargs
+        dec = lambda v: self.first_stage.apply(
+            {"params": frozen}, v, method="decode", **kwargs
         )
+        if self._split_params() is not None:
+            # patch-distributed decode (reference ddpm.py:707-755): decode
+            # overlapping latent patches, blend the pixel patches (uf = vqf)
+            from ..diffusion import tiling
+
+            sp = self._split_params()
+            return tiling.tiled_apply(lambda v, L: dec(v), z, sp,
+                                      uf=int(sp["vqf"]))
+        return dec(z)
 
     # ---------- conditioning ----------
 
@@ -270,13 +306,32 @@ class LatentDiffusion:
     def apply_model(self, params: Dict, x_t: jnp.ndarray, t: jnp.ndarray,
                     cond: Dict[str, Optional[jnp.ndarray]]) -> jnp.ndarray:
         """DiffusionWrapper routing (reference ddpm.py:1397-1423): channel-
-        concat the concat streams, cross-attend to the context tokens."""
+        concat the concat streams, cross-attend to the context tokens.
+
+        With split_input_params set, the UNet runs over overlapping patches
+        and the eps patches are blended (reference ddpm.py:893-1013). The
+        spatially-aligned concat streams are channel-concatenated BEFORE
+        tiling — equivalent to the reference's unfold of its image-kind cond;
+        crossattn tokens replicate per patch (the reference's cond_list
+        fan-out). The reference's coordinates_bbox re-tokenization branch is
+        Layout2Img-only (dead upstream) and not reproduced."""
         x_in = x_t
         if cond.get("concat") is not None:
             x_in = jnp.concatenate([x_t, cond["concat"]], axis=-1)
-        return self.unet.apply(
-            {"params": params["unet"]}, x_in, t, cond.get("crossattn")
+        ctx = cond.get("crossattn")
+        unet = lambda xi, ti, ci: self.unet.apply(
+            {"params": params["unet"]}, xi, ti, ci
         )
+        if self.split_input_params is not None:
+            from ..diffusion import tiling
+
+            def fn(patches, L):
+                t_rep = jnp.repeat(t, L, axis=0)
+                c_rep = None if ctx is None else jnp.repeat(ctx, L, axis=0)
+                return unet(patches, t_rep, c_rep)  # [B*L, kh, kw, C_eps]
+
+            return tiling.tiled_apply(fn, x_in, self.split_input_params)
+        return unet(x_in, t, ctx)
 
     # ---------- training ----------
 
