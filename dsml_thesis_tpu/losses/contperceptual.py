@@ -16,8 +16,9 @@ Parity target: face_reenactment/ldm/modules/losses/contperceptual.py:7-99
     loss params and is not updated by default; pass train_logvar=True to the
     trainer to actually optimize it.
 
-The adaptive GAN weight uses the same two-jax.grad formulation as VQGANLoss
-(reference calculate_adaptive_weight, contperceptual.py:32-44).
+The adaptive GAN weight (reference calculate_adaptive_weight,
+contperceptual.py:32-44) pulls both last-layer gradients back through ONE
+shared decoder forward via jax.vjp.
 """
 from __future__ import annotations
 
@@ -94,8 +95,9 @@ class KLAutoencoderLoss:
     ):
         """optimizer_idx == 0 (contperceptual.py:64-93). kl is the
         per-sample posterior KL vector (DiagonalGaussian.kl()). val=True
-        matches the reference's validation path, where the adaptive weight's
-        autograd call raises outside training and d_weight falls to 0."""
+        forces d_weight to 0 regardless of the decode hooks, matching the
+        reference's validation path (the adaptive weight's autograd call
+        raises outside training there)."""
         nll = self.nll_loss(loss_params, inputs, reconstructions)
         logits_fake = self.discriminator.apply(
             {"params": loss_params["discriminator"]}, reconstructions
@@ -103,19 +105,23 @@ class KLAutoencoderLoss:
         g_loss = -jnp.mean(logits_fake)
         kl_loss = jnp.sum(kl) / kl.shape[0]
 
-        if (decode_from_last is not None and last_kernel is not None
+        if (not val and decode_from_last is not None and last_kernel is not None
                 and self.disc_factor > 0.0):
-            nll_g = jax.grad(
-                lambda k: self.nll_loss(loss_params, inputs, decode_from_last(k))
-            )(last_kernel)
-            gan_g = jax.grad(
-                lambda k: -jnp.mean(
+            # one shared decoder forward + two cotangent pullbacks, instead
+            # of two independent jax.grad traces each re-running the decoder
+            rec2, pullback = jax.vjp(decode_from_last, last_kernel)
+            nll_cot = jax.grad(
+                lambda r: self.nll_loss(loss_params, inputs, r)
+            )(rec2)
+            gan_cot = jax.grad(
+                lambda r: -jnp.mean(
                     self.discriminator.apply(
-                        {"params": loss_params["discriminator"]},
-                        decode_from_last(k),
+                        {"params": loss_params["discriminator"]}, r
                     )
                 )
-            )(last_kernel)
+            )(rec2)
+            (nll_g,) = pullback(nll_cot)
+            (gan_g,) = pullback(gan_cot)
             d_weight = jnp.linalg.norm(nll_g.ravel()) / (
                 jnp.linalg.norm(gan_g.ravel()) + 1e-4
             )

@@ -78,7 +78,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         # Softmax is shift-invariant and fp32 relative precision is
         # scale-invariant, so any shift >= rowmax is exact up to flushing
         # terms below ~2^-120 of the max — which standard softmax rounds
-        # away in the sum anyway.
+        # away in the sum anyway. If the bound's slack over the true row max
+        # exceeds the bf16 exponent range (~133 log2 units, needs
+        # ||q||*||k|| ~ 2^130) the WHOLE row flushes; the denominator clamp
+        # below turns that into a ~0 output row instead of 0/0 = NaN.
         qn = jnp.sqrt(jnp.sum(qc.astype(jnp.float32) ** 2, axis=-1,
                               keepdims=True))
         kn = jnp.sqrt(jnp.max(jnp.sum(k.astype(jnp.float32) ** 2, axis=-1)))
@@ -103,9 +106,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         else:
             out = jnp.dot(p.astype(v.dtype), v1,
                           preferred_element_type=jnp.float32)
-        o_ref[0] = (out[:, :d] / out[:, d:d + 1]).astype(o_ref.dtype)
+        # guard: with norm_bound the shift can exceed the true row max by an
+        # unbounded margin; if the slack tops ~133 log2 units every p in the
+        # row flushes to zero (bf16 subnormal floor) and the deferred
+        # denominator is exactly 0 -> 0/0 NaN. Clamp so a pathological row
+        # degrades to ~0 output instead of poisoning the tensor. The row-max
+        # path guarantees denom >= 1 and never hits the clamp.
+        denom = jnp.maximum(out[:, d:d + 1], jnp.float32(1e-30))
+        o_ref[0] = (out[:, :d] / denom).astype(o_ref.dtype)
     else:
-        denom = jnp.sum(p, axis=-1, keepdims=True)
+        denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True),
+                            jnp.float32(1e-30))
         p = p / denom
         out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         o_ref[0] = out.astype(o_ref.dtype)
@@ -322,12 +333,13 @@ _flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
 _VMEM_BUDGET = 100 * (1 << 20)
 
 
-def _fit_block_q(nq: int, nk: int, d: int, itemsize: int,
-                 requested: int):
+def _fit_block_q(nq: int, nk: int, d: int, requested: int):
     """Largest block_q <= requested whose working set fits the VMEM budget,
     or None if even the smallest block cannot fit (fall back to XLA).
 
-    Sized on the BACKWARD working set (the larger of the two): K/V/dk/dv in
+    Deliberately dtype-independent: sized on the fp32 BACKWARD working set
+    (the larger of the two passes), because the custom VJP means any forward
+    call may later be differentiated with the same block_q. K/V/dk/dv in
     fp32 + two fp32 [block_q, nk] score/ds buffers (double-buffered by the
     pipeline) + q/do/dq blocks."""
     bq = min(requested, nq)
@@ -366,7 +378,6 @@ def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
         # monotonically (fewer grid steps; N=1024 runs as one program)
         block_q = _fit_block_q(
             q.shape[2], k.shape[2], q.shape[3],
-            jnp.dtype(q.dtype).itemsize,
             int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024")),
         )
         if block_q is not None:

@@ -458,7 +458,10 @@ class Trainer:
                  data=None) -> Dict:
         data = data if data is not None else self.val_data
         max_batches = self._resolve_val_batches(max_batches, data)
-        bs = self.data_cfg.get("batch_size", 4)
+        # the loader yields host-local slices, so the static shape to pad to
+        # is the PER-PROCESS batch (comparing against the global batch_size
+        # would misclassify every batch as ragged under multi-process)
+        bs = self.data_cfg.get("batch_size", 4) // max(jax.process_count(), 1)
         # ragged tails can only be masked when the loss honors the weights;
         # otherwise padding rows would pollute the means — drop instead
         pad_ok = getattr(self.loss_module, "supports_sample_weights", False)
@@ -468,16 +471,18 @@ class Trainer:
                 break
             jb = _to_jnp_batch(batch)
             n_real = next(iter(jb.values())).shape[0]
-            if n_real < bs:
-                if not pad_ok:
-                    continue
-                # pad to the static batch shape (edge-repeat) + 0/1 mask:
-                # the eval program keeps ONE compiled shape and the masked
-                # means are exactly the full-split statistics
+            if n_real < bs and not pad_ok:
+                continue
+            if pad_ok:
+                # pad ragged tails to the static batch shape (edge-repeat)
+                # and attach a 0/1 mask to EVERY batch (full ones included):
+                # one pytree structure -> one compiled eval shape, and the
+                # masked means are exactly the full-split statistics
                 pad = bs - n_real
-                jb = {k: np.concatenate(
-                    [v, np.repeat(v[-1:], pad, axis=0)], axis=0)
-                    for k, v in jb.items()}
+                if pad:
+                    jb = {k: np.concatenate(
+                        [v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+                        for k, v in jb.items()}
                 jb["_sample_weights"] = np.concatenate(
                     [np.ones(n_real, np.float32), np.zeros(pad, np.float32)])
             sb = shard_batch(self.mesh, jb)
@@ -495,10 +500,14 @@ class Trainer:
         self.log_metrics(metrics, int(self._state.step), split="test")
         return metrics
 
-    def fit(self, epochs: int = 1, log_every: int = 100,
+    def fit(self, epochs: Optional[int] = None, log_every: int = 100,
             image_every: Optional[int] = None, val_max_batches: Optional[int] = None,
             profile_at_step: Optional[int] = None):
         assert self.train_data is not None
+        if epochs is None:
+            # YAML-driven epoch count (lightning.trainer.max_epochs); an
+            # explicit argument (CLI --epochs) wins
+            epochs = self.max_epochs or 1
         if image_every is None:
             # YAML-driven interval (reference ImageLogger batch_frequency)
             image_every = self.image_every

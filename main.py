@@ -122,9 +122,8 @@ def main():
     print(f"logdir: {logdir}; devices: {jax.device_count()}; lr: {trainer.lr:.3e}")
 
     if opt.train:
-        epochs = opt.epochs or config.get("lightning", {}).get("trainer", {}).get(
-            "max_epochs", 1
-        )
+        # None -> Trainer.fit defaults from lightning.trainer.max_epochs
+        epochs = opt.epochs or None
         if resume_ckpt is not None:
             # build state lazily from the first batch, then restore
             first = next(iter(trainer.train_data))

@@ -213,13 +213,13 @@ def test_flash_dispatch_vmem_guard():
     from dsml_thesis_tpu.ops.attention import _fit_block_q, multi_head_attention
 
     # flagship shapes keep their measured-best block
-    assert _fit_block_q(4096, 4096, 32, 2, 1024) == 1024
-    assert _fit_block_q(1024, 1024, 32, 2, 1024) == 1024
+    assert _fit_block_q(4096, 4096, 32, 1024) == 1024
+    assert _fit_block_q(1024, 1024, 32, 1024) == 1024
     # long sequences shrink the q-block to fit
-    bq = _fit_block_q(16384, 16384, 64, 2, 1024)
+    bq = _fit_block_q(16384, 16384, 64, 1024)
     assert bq is not None and bq < 1024
     # Nk whose resident K/V alone exceed VMEM -> fallback to XLA
-    assert _fit_block_q(65536, 65536, 64, 2, 1024) is None
+    assert _fit_block_q(65536, 65536, 64, 1024) is None
 
     # fallback path produces the reference numerics (force use_pallas via
     # guard: None -> XLA on CPU anyway, so just check numerics agree)
@@ -263,3 +263,23 @@ def test_flash_norm_bound_variant_matches_reference(monkeypatch):
     ref = attention_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flash_norm_bound_pathological_scale_no_nan(monkeypatch):
+    """When the Cauchy-Schwarz shift overshoots the true row max by more than
+    the bf16 exponent range (here ||q||*||k|| ~ 2^40 per axis with q ⟂ k, so
+    every exp2 term flushes to zero), the denominator clamp must yield finite
+    (~0) outputs rather than 0/0 = NaN rows."""
+    monkeypatch.setenv("DSML_FLASH_NORM_BOUND", "1")
+    d = 16
+    # q in the first half of the feature space, k in the second: all dot
+    # products are exactly 0, so the true row max is 0 while the bound is
+    # ||q||*||k|| — maximal slack
+    q = np.zeros((1, 1, 32, d), np.float32)
+    k = np.zeros((1, 1, 32, d), np.float32)
+    q[..., : d // 2] = 2.0**40
+    k[..., d // 2 :] = 2.0**40
+    v = np.ones((1, 1, 32, d), np.float32)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          block_q=32, interpret=True)
+    assert bool(jnp.isfinite(out).all()), "norm_bound row flush produced NaN"
