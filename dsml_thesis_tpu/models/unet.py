@@ -114,6 +114,52 @@ class ResBlock(nn.Module):
         return x + h
 
 
+class _HeadProj(nn.Module):
+    """Head-split projection: same param tree as `nn.Dense(heads*dim_head,
+    use_bias=False)` (kernel [C, H*D]) but contracted as a per-head einsum
+    producing [B, H, N, D] directly, so the head-split transpose is absorbed
+    into the matmul's output layout instead of a separate HBM copy."""
+
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kern = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.heads * self.dim_head), jnp.float32,
+        )
+        k3 = kern.astype(self.dtype).reshape(
+            x.shape[-1], self.heads, self.dim_head
+        )
+        return jnp.einsum("bnc,chd->bhnd", x.astype(self.dtype), k3)
+
+
+class _HeadMerge(nn.Module):
+    """Output projection from [B, H, N, D]: same param tree as
+    `nn.Dense(q_dim)` (kernel [H*D, q_dim] + bias) but contracted per head,
+    absorbing the inverse head transpose."""
+
+    features: int
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, o):
+        kern = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.heads * self.dim_head, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        k3 = kern.astype(self.dtype).reshape(
+            self.heads, self.dim_head, self.features
+        )
+        return jnp.einsum("bhnd,hdc->bnc", o.astype(self.dtype), k3) + bias.astype(self.dtype)
+
+
 class CrossAttention(nn.Module):
     """Multi-head attention; self-attn if context is None (attention.py:152-193)."""
 
@@ -124,9 +170,24 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
+        import os
+
         inner = self.heads * self.dim_head
         q_dim = x.shape[-1]
         context = x if context is None else context
+        # DSML_ATTN_BHND=1: produce/consume the head axis inside the
+        # projection matmuls (einsum bnc,chd->bhnd) instead of explicit
+        # reshape+transpose copies around the kernel — identical params and
+        # numerics, different XLA data movement. A/B lever for the ~7-8.5%
+        # layout-copy share in the device profile (PROFILE.md).
+        if os.environ.get("DSML_ATTN_BHND", "0") == "1":
+            q = _HeadProj(self.heads, self.dim_head, self.dtype, name="to_q")(x)
+            k = _HeadProj(self.heads, self.dim_head, self.dtype, name="to_k")(context)
+            v = _HeadProj(self.heads, self.dim_head, self.dtype, name="to_v")(context)
+            out = multi_head_attention(q, k, v, scale=self.dim_head**-0.5)
+            out = _HeadMerge(q_dim, self.heads, self.dim_head, self.dtype,
+                             name="to_out")(out)
+            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)

@@ -5,3 +5,4 @@ from .mesh import (
     replicate,
     shard_batch,
 )
+from .tp import shard_state

@@ -1,0 +1,81 @@
+"""Tensor-parallel parameter partitioning over the mesh's `model` axis.
+
+The reference has no tensor parallelism (its only parallelism is DDP,
+main.py:532); at this model scale (157M params) TP is a capability, not a
+necessity. The TPU-native mechanism is GSPMD: attach Megatron-style
+PartitionSpecs to the attention projection weights and let the SPMD
+partitioner propagate shardings and insert the collectives —
+
+  - to_q / to_k / to_v kernels  [C, H*D]  -> P(None, "model")
+    column-parallel: each model shard computes H/m heads. The subsequent
+    reshape to [B, N, H, D] keeps head-major order, so the sharded inner
+    axis maps exactly onto a sharded head axis (m must divide H) and the
+    per-head attention itself partitions with no communication.
+  - to_out kernel               [H*D, C]  -> P("model", None)
+    row-parallel: each shard contracts its own heads' slice; GSPMD inserts
+    the one psum over `model` that completes the block. to_out bias stays
+    replicated.
+
+Convolutions, GroupNorm, time-embedding MLPs and the GEGLU feed-forward stay
+replicated: the conv params cannot shard without cross-shard halo traffic,
+and the GEGLU kernel stores [a | gate] as one concatenated matrix (torch
+checkpoint layout) whose halves would land on disjoint shard subsets —
+sharding it would force a reshard between the split and the gate multiply.
+Gradients of replicated params get the same psum DP already needs.
+
+Known limitation: the Pallas flash-attention kernel is opaque to GSPMD, so
+under tp > 1 sharded q/k/v would be all-gathered around the pallas_call.
+Trainer(tp>1) therefore routes attention through the XLA path (which GSPMD
+partitions head-parallel) by setting DSML_FLASH_ATTN=0 for the process; a
+shard_mapped kernel is the future fix.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.tree_util import keystr, tree_map_with_path
+
+# matched against the keystr suffix of each leaf, whatever the tree prefix
+# (params, adam mu/nu, EMA shadows all share the module path suffix)
+TP_RULES = [
+    (re.compile(r"\['(to_q|to_k|to_v)'\]\['kernel'\]$"), P(None, "model")),
+    (re.compile(r"\['to_out'\]\['kernel'\]$"), P("model", None)),
+]
+
+
+def leaf_spec(path) -> P:
+    """PartitionSpec for one leaf path (default: replicated)."""
+    s = keystr(path)
+    for rx, spec in TP_RULES:
+        if rx.search(s):
+            return spec
+    return P()
+
+
+def _spec_fits(spec: P, x, mesh: Mesh) -> bool:
+    """A rule only applies when the leaf has the expected rank and the model
+    axis divides the sharded dimension (e.g. m must divide the head count)."""
+    if getattr(x, "ndim", 0) != len(spec):
+        return False
+    m = mesh.shape.get("model", 1)
+    for dim, name in zip(x.shape, spec):
+        if name == "model" and dim % m != 0:
+            return False
+    return True
+
+
+def shard_state(mesh: Mesh, tree: Any) -> Any:
+    """Place a TrainState (or any pytree) onto the mesh: attention projection
+    leaves sharded over `model` per TP_RULES, everything else replicated.
+    With model=1 (or no matching leaves) this degenerates to replicate()."""
+
+    def put(path, x):
+        spec = leaf_spec(path)
+        if spec != P() and not _spec_fits(spec, x, mesh):
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return tree_map_with_path(put, tree)

@@ -32,7 +32,12 @@ import numpy as np
 
 from ..config import build_model, instantiate_from_config
 from ..models.ldm import LatentDiffusion
-from ..parallel import is_main_process, make_mesh, replicate, shard_batch
+from ..parallel import (
+    is_main_process,
+    make_mesh,
+    shard_batch,
+    shard_state,
+)
 from .train_state import (
     TrainState,
     create_train_state,
@@ -58,7 +63,7 @@ def _to_jnp_batch(batch: Dict, keys=None):
 
 class Trainer:
     def __init__(self, config: Dict, logdir: str, seed: int = 123,
-                 mesh=None, max_steps: Optional[int] = None):
+                 mesh=None, max_steps: Optional[int] = None, tp: int = 1):
         self.config = config
         self.logdir = logdir
         self.seed = seed
@@ -74,7 +79,13 @@ class Trainer:
         self.ldm: LatentDiffusion = build_model(self.model_cfg)
         # subclasses may wrap the LDM in a different loss (finetune stacks)
         self.loss_module = self.ldm
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if tp > 1:
+            # the Pallas flash kernel is opaque to GSPMD (parallel/tp.py):
+            # route attention through the XLA path, which partitions
+            # head-parallel over the `model` axis
+            os.environ["DSML_FLASH_ATTN"] = "0"
+        self.tp = tp
+        self.mesh = mesh if mesh is not None else make_mesh(n_model=tp)
 
         # data
         from ..data import DataLoader
@@ -181,7 +192,9 @@ class Trainer:
             scheduler_config=scheduler_cfg, grad_accum=self.grad_accum,
         )
         state = create_train_state(self.ldm, params, self._tx)
-        self._state = replicate(self.mesh, state)
+        # TP-aware placement: attention projections shard over `model` per
+        # parallel/tp.py; degenerates to full replication when tp == 1
+        self._state = shard_state(self.mesh, state)
         # donate the incoming state: params/opt/EMA buffers are overwritten in
         # place, halving peak HBM during the update
         self._train_step = jax.jit(

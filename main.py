@@ -30,6 +30,10 @@ def get_parser():
     p.add_argument("--scale_lr", type=str, default="true")
     p.add_argument("--no-test", action="store_true", default=False)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree over the mesh `model` axis "
+                        "(attention projections shard Megatron-style; see "
+                        "parallel/tp.py)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host DCN pods)")
     return p
@@ -118,7 +122,8 @@ def main():
         trainer = FinetuneTrainer(config, logdir, seed=opt.seed,
                                   max_steps=opt.max_steps)
     else:
-        trainer = Trainer(config, logdir, seed=opt.seed, max_steps=opt.max_steps)
+        trainer = Trainer(config, logdir, seed=opt.seed, max_steps=opt.max_steps,
+                          tp=opt.tp)
     print(f"logdir: {logdir}; devices: {jax.device_count()}; lr: {trainer.lr:.3e}")
 
     if opt.train:

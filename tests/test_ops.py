@@ -283,3 +283,35 @@ def test_flash_norm_bound_pathological_scale_no_nan(monkeypatch):
     out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
                           block_q=32, interpret=True)
     assert bool(jnp.isfinite(out).all()), "norm_bound row flush produced NaN"
+
+
+def test_cross_attention_bhnd_variant_matches(monkeypatch):
+    """DSML_ATTN_BHND=1 (head axis produced inside the projection einsums,
+    no explicit head-split transposes) uses the IDENTICAL param tree and
+    numerics as the Dense+transpose path."""
+    import jax
+    from dsml_thesis_tpu.models.unet import CrossAttention
+
+    attn = CrossAttention(heads=4, dim_head=8)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 24).astype(np.float32))
+    ctx = jnp.asarray(np.random.RandomState(1).randn(2, 5, 24).astype(np.float32))
+
+    monkeypatch.delenv("DSML_ATTN_BHND", raising=False)
+    params = attn.init(jax.random.PRNGKey(0), x, ctx)["params"]
+    base_self = attn.apply({"params": params}, x)
+    base_cross = attn.apply({"params": params}, x, ctx)
+
+    monkeypatch.setenv("DSML_ATTN_BHND", "1")
+    params_b = attn.init(jax.random.PRNGKey(0), x, ctx)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_b)
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(params_b),
+    ):
+        assert p1 == p2 and a.shape == b.shape
+    out_self = attn.apply({"params": params}, x)  # SAME params, bhnd math
+    out_cross = attn.apply({"params": params}, x, ctx)
+    np.testing.assert_allclose(np.asarray(out_self), np.asarray(base_self),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_cross), np.asarray(base_cross),
+                               rtol=1e-5, atol=1e-5)
