@@ -5,4 +5,4 @@ from .mesh import (
     replicate,
     shard_batch,
 )
-from .tp import shard_state
+from .tp import fsdp_spec, shard_state

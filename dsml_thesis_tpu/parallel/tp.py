@@ -67,15 +67,46 @@ def _spec_fits(spec: P, x, mesh: Mesh) -> bool:
     return True
 
 
-def shard_state(mesh: Mesh, tree: Any) -> Any:
+def fsdp_spec(x, mesh: Mesh, base: P = None, min_elems: int = None) -> P:
+    """ZeRO-3-style spec: shard the largest still-unsharded axis that the
+    `data` mesh size divides. Small leaves (< min_elems, default 2^16 or
+    DSML_FSDP_MIN_ELEMS) stay replicated — all-gathering a bias costs more
+    latency than the bytes it saves. `base` carries an existing TP assignment;
+    FSDP fills a remaining None axis, so TP+FSDP compose into a 2-D sharding
+    (e.g. to_q kernel P("data", "model"))."""
+    import os
+
+    if min_elems is None:
+        min_elems = int(os.environ.get("DSML_FSDP_MIN_ELEMS", str(2**16)))
+    n = mesh.shape.get("data", 1)
+    ndim = getattr(x, "ndim", 0)
+    dims = list(base) if base is not None else []
+    dims += [None] * (ndim - len(dims))  # P() means replicated at any rank
+    if (n > 1 and getattr(x, "ndim", 0) >= 1 and x.size >= min_elems):
+        free = [(d, i) for i, d in enumerate(x.shape)
+                if dims[i] is None and d % n == 0]
+        if free:
+            dims[max(free)[1]] = "data"
+    if all(d is None for d in dims):
+        return P()
+    return P(*dims)
+
+
+def shard_state(mesh: Mesh, tree: Any, fsdp: bool = False) -> Any:
     """Place a TrainState (or any pytree) onto the mesh: attention projection
     leaves sharded over `model` per TP_RULES, everything else replicated.
-    With model=1 (or no matching leaves) this degenerates to replicate()."""
+    With fsdp=True, every large leaf additionally shards one axis over `data`
+    (params, Adam moments, and EMA shadows all ride the same tree_map, so the
+    whole optimizer memory partitions — the GSPMD partitioner inserts the
+    all-gathers at use and keeps the update math sharded). With model=1 and
+    fsdp=False this degenerates to replicate()."""
 
     def put(path, x):
         spec = leaf_spec(path)
         if spec != P() and not _spec_fits(spec, x, mesh):
             spec = P()
+        if fsdp:
+            spec = fsdp_spec(x, mesh, base=spec)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return tree_map_with_path(put, tree)

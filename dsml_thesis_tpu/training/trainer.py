@@ -63,7 +63,8 @@ def _to_jnp_batch(batch: Dict, keys=None):
 
 class Trainer:
     def __init__(self, config: Dict, logdir: str, seed: int = 123,
-                 mesh=None, max_steps: Optional[int] = None, tp: int = 1):
+                 mesh=None, max_steps: Optional[int] = None, tp: int = 1,
+                 fsdp: bool = False):
         self.config = config
         self.logdir = logdir
         self.seed = seed
@@ -85,6 +86,7 @@ class Trainer:
             # head-parallel over the `model` axis
             os.environ["DSML_FLASH_ATTN"] = "0"
         self.tp = tp
+        self.fsdp = fsdp
         self.mesh = mesh if mesh is not None else make_mesh(n_model=tp)
 
         # data
@@ -192,9 +194,11 @@ class Trainer:
             scheduler_config=scheduler_cfg, grad_accum=self.grad_accum,
         )
         state = create_train_state(self.ldm, params, self._tx)
-        # TP-aware placement: attention projections shard over `model` per
-        # parallel/tp.py; degenerates to full replication when tp == 1
-        self._state = shard_state(self.mesh, state)
+        # TP/FSDP-aware placement: attention projections shard over `model`,
+        # fsdp additionally partitions every large leaf (params + Adam moments
+        # + EMA) over `data` — see parallel/tp.py; degenerates to full
+        # replication when tp == 1 and fsdp is off
+        self._state = shard_state(self.mesh, state, fsdp=self.fsdp)
         # donate the incoming state: params/opt/EMA buffers are overwritten in
         # place, halving peak HBM during the update
         self._train_step = jax.jit(

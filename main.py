@@ -34,6 +34,10 @@ def get_parser():
                    help="tensor-parallel degree over the mesh `model` axis "
                         "(attention projections shard Megatron-style; see "
                         "parallel/tp.py)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3-style sharding: partition params, optimizer "
+                        "moments, and EMA over the `data` axis (parallel/tp.py "
+                        "fsdp_spec); composes with --tp into 2-D shardings")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host DCN pods)")
     return p
@@ -123,7 +127,7 @@ def main():
                                   max_steps=opt.max_steps)
     else:
         trainer = Trainer(config, logdir, seed=opt.seed, max_steps=opt.max_steps,
-                          tp=opt.tp)
+                          tp=opt.tp, fsdp=opt.fsdp)
     print(f"logdir: {logdir}; devices: {jax.device_count()}; lr: {trainer.lr:.3e}")
 
     if opt.train:

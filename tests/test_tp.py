@@ -70,6 +70,61 @@ def test_shard_state_places_attention_on_model_axis():
     assert out["attn2"]["to_q"]["kernel"].sharding.spec == P()
 
 
+def test_fsdp_spec_axis_choice():
+    from dsml_thesis_tpu.parallel import make_mesh
+    from dsml_thesis_tpu.parallel.tp import fsdp_spec
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    # large 2-D leaf: largest divisible axis shards over data
+    assert fsdp_spec(np.zeros((512, 256)), mesh) == P("data", None)
+    # conv kernel: spatial dims (3) not divisible, Cout wins over Cin
+    assert fsdp_spec(np.zeros((3, 3, 128, 256)), mesh) == P(None, None, None, "data")
+    # small leaf stays replicated (all-gather latency > bytes saved)
+    assert fsdp_spec(np.zeros((64, 64)), mesh) == P()
+    # TP base occupies an axis; FSDP fills the remaining one -> 2-D sharding
+    assert fsdp_spec(np.zeros((512, 256)), mesh, base=P(None, "model")) \
+        == P("data", "model")
+    # no divisible free axis: base passes through untouched
+    assert fsdp_spec(np.zeros((510, 255)), mesh, base=P(None, "model")) \
+        == P(None, "model")
+
+
+def test_fsdp_train_step_matches_dp(tmp_path, monkeypatch):
+    """ZeRO-3 placement (params/moments/EMA sharded over `data`) must be a
+    pure memory-layout change: same loss and updated params as replicated DP."""
+    from dsml_thesis_tpu.parallel import shard_batch
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    # the tiny test model's leaves are all below the production threshold
+    monkeypatch.setenv("DSML_FSDP_MIN_ELEMS", "128")
+    cfg = _config()
+    rng = jax.random.PRNGKey(7)
+
+    results = {}
+    for name, fsdp in (("dp", False), ("fsdp", True)):
+        t = Trainer(cfg, str(tmp_path / name), seed=0, max_steps=1, fsdp=fsdp)
+        batch = next(iter(t.train_data))
+        state = t.init_state(batch)
+        leaves = jax.tree_util.tree_leaves(state.params)
+        n_sharded = sum(1 for x in leaves if "data" in str(x.sharding.spec))
+        if fsdp:
+            assert n_sharded > 0, "fsdp placed nothing on the data axis"
+        else:
+            assert n_sharded == 0
+        sb = shard_batch(t.mesh, {k: np.asarray(v) for k, v in batch.items()})
+        new_state, metrics = t._train_step(state, sb, rng)
+        results[name] = (
+            float(metrics["train/loss"]),
+            np.asarray(new_state.params["unet"]["mid_attn"]["block_0"]
+                       ["attn1"]["to_q"]["kernel"]),
+        )
+
+    np.testing.assert_allclose(results["fsdp"][0], results["dp"][0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(results["fsdp"][1], results["dp"][1],
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_tp_train_step_matches_dp(tmp_path):
     """One train step on a 4x2 dp x tp mesh == the same step on an 8-way DP
     mesh: loss and updated params agree (GSPMD inserts the to_out psum)."""
