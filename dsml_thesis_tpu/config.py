@@ -60,6 +60,13 @@ def load_config(paths: Sequence[str], overrides: Sequence[str] = ()) -> Dict:
         with open(p) as f:
             cfg = _deep_merge(cfg, yaml.safe_load(f) or {})
     for ov in overrides:
+        if "=" not in ov:
+            # unknown CLI args land here (parse_known_args); swallowing a
+            # mistyped flag as an empty config key would silently change a run
+            raise ValueError(
+                f"unrecognized argument {ov!r}: config overrides must be "
+                "dotted key=value pairs (e.g. model.params.image_size=32)"
+            )
         key, _, val = ov.partition("=")
         node = cfg
         parts = key.strip().split(".")

@@ -214,9 +214,17 @@ class Trainer:
             self.save_checkpoint("last", wait=True)
             self._should_stop = True
 
-        for sig in (signal.SIGTERM, signal.SIGUSR1):
+        def divein(*_a):
+            # reference main.py:717-726: SIGUSR2 drops into a debugger on the
+            # training host (pdb here; the reference uses pudb)
+            import pdb
+
+            pdb.set_trace()
+
+        for sig, handler in ((signal.SIGTERM, melk), (signal.SIGUSR1, melk),
+                             (signal.SIGUSR2, divein)):
             try:
-                signal.signal(sig, melk)
+                signal.signal(sig, handler)
             except (ValueError, OSError):  # non-main thread
                 pass
 

@@ -26,7 +26,7 @@ def get_parser():
     p.add_argument("-s", "--seed", type=int, default=123)
     p.add_argument("-l", "--logdir", type=str, default="logs")
     p.add_argument("--epochs", type=int, default=None)
-    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--max-steps", "--max_steps", type=int, default=None)
     p.add_argument("--scale_lr", type=str, default="true")
     p.add_argument("--no-test", action="store_true", default=False)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -40,6 +40,9 @@ def get_parser():
                         "fsdp_spec); composes with --tp into 2-D shardings")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host DCN pods)")
+    p.add_argument("-d", "--debug", action="store_true",
+                   help="drop into pdb post-mortem on a training exception "
+                        "(rank zero only; reference main.py:737-743)")
     return p
 
 
@@ -138,7 +141,17 @@ def main():
             first = next(iter(trainer.train_data))
             trainer.init_state(first)
             trainer.restore_checkpoint(resume_ckpt)
-        trainer.fit(epochs=epochs)
+        try:
+            trainer.fit(epochs=epochs)
+        except Exception:
+            # rescue checkpoint already saved by Trainer.fit's except path
+            if opt.debug and jax.process_index() == 0:
+                import pdb
+                import traceback
+
+                traceback.print_exc()
+                pdb.post_mortem()
+            raise
         print("training done; final step:", int(trainer._state.step))
         if not opt.no_test and hasattr(trainer, "test"):
             test_metrics = trainer.test()

@@ -54,6 +54,16 @@ def test_transformer_text_embedder():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_non_kv_override_rejected():
+    """A mistyped CLI flag (parse_known_args leftovers) must fail loudly, not
+    become a silent empty config key."""
+    import pytest
+
+    with pytest.raises(ValueError, match="unrecognized argument"):
+        load_config(["configs/latent-diffusion/mead-128-ldm-f4.yaml"],
+                    ["--max_steps", "1"])
+
+
 def test_dotlist_override_types():
     cfg = load_config(
         ["configs/latent-diffusion/mead-128-ldm-f4.yaml"],
