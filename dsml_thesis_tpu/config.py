@@ -60,14 +60,15 @@ def load_config(paths: Sequence[str], overrides: Sequence[str] = ()) -> Dict:
         with open(p) as f:
             cfg = _deep_merge(cfg, yaml.safe_load(f) or {})
     for ov in overrides:
-        if "=" not in ov:
+        key, _, val = ov.partition("=")
+        if "=" not in ov or key.lstrip().startswith("-"):
             # unknown CLI args land here (parse_known_args); swallowing a
-            # mistyped flag as an empty config key would silently change a run
+            # mistyped flag (either '--flag value' or '--flag=value' form)
+            # as a bogus config key would silently change a run
             raise ValueError(
                 f"unrecognized argument {ov!r}: config overrides must be "
                 "dotted key=value pairs (e.g. model.params.image_size=32)"
             )
-        key, _, val = ov.partition("=")
         node = cfg
         parts = key.strip().split(".")
         for i, part in enumerate(parts[:-1]):

@@ -11,6 +11,7 @@ Shapes are (B, H, N, D) with D = head_dim (32 for all reference configs).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 
@@ -25,6 +26,38 @@ def _on_tpu() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+# Scoped dispatch override (None = env/default). jit runs the Python body
+# only while TRACING, so wrapping a step function in this context pins the
+# dispatch decision for exactly the programs traced inside it — unlike an
+# os.environ mutation, nothing leaks to later models in the process and an
+# explicit user DSML_FLASH_ATTN setting stays intact.
+_FLASH_OVERRIDE = None
+
+
+@contextlib.contextmanager
+def flash_attention_override(enabled):
+    global _FLASH_OVERRIDE
+    prev = _FLASH_OVERRIDE
+    _FLASH_OVERRIDE = enabled
+    try:
+        yield
+    finally:
+        _FLASH_OVERRIDE = prev
+
+
+def scoped_flash_override(fn, enabled):
+    """Wrap fn so every trace of it sees the given flash-dispatch override
+    (Trainer(tp>1) uses this: the Pallas kernel is opaque to GSPMD, so TP
+    programs must take the XLA attention path — see parallel/tp.py)."""
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        with flash_attention_override(enabled):
+            return fn(*a, **kw)
+
+    return wrapped
 
 
 def attention_reference(q, k, v, scale=None):
@@ -368,9 +401,10 @@ def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
     import os
 
     if use_pallas is None:
+        enabled = (_FLASH_OVERRIDE if _FLASH_OVERRIDE is not None
+                   else os.environ.get("DSML_FLASH_ATTN", "1") != "0")
         use_pallas = (
-            os.environ.get("DSML_FLASH_ATTN", "1") != "0"
-            and _on_tpu() and q.shape[2] >= 256 and k.shape[2] >= 256
+            enabled and _on_tpu() and q.shape[2] >= 256 and k.shape[2] >= 256
         )
     if use_pallas:
         # v5e A/B on the flagship bench (frames/s/chip): 128 -> 5.50,

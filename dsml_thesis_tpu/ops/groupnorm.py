@@ -54,6 +54,22 @@ def group_norm_silu_reference(
         # (one read of x instead of two separate convert+reduce fusions)
         both = jnp.sum(jnp.concatenate([xf, xf * xf], axis=-1), axis=1)
         ch_sum, ch_sq = both[:, :c], both[:, c:]
+    elif "mm" in variant:
+        # MXU stats: append a ones lane and take one Gram contraction
+        # z^T z per batch — row C is the channel sums (ones · x), the
+        # diagonal is the sums of squares. One streamed pass on the MXU
+        # (C+1 x C+1 output is tiny) instead of two VPU convert+reduce
+        # fusions. bf16 inputs stay bf16 for the dot (f32 accumulate):
+        # halves the stream, per-element x^2 rounding averages out over
+        # the ~20k samples behind each group stat.
+        zdt = jnp.bfloat16 if orig_dtype == jnp.bfloat16 else jnp.float32
+        z = jnp.concatenate(
+            [x.reshape(b, -1, c).astype(zdt),
+             jnp.ones((b, n_spatial, 1), zdt)], axis=-1)
+        gram = jnp.einsum("bnc,bnd->bcd", z, z,
+                          preferred_element_type=jnp.float32)
+        ch_sum = gram[:, c, :c]
+        ch_sq = jnp.diagonal(gram, axis1=1, axis2=2)[:, :c]
     elif "pair" in variant:
         # variadic reduce: (sum, sum_sq) in ONE reduction op — single read of
         # x, no concat materialization

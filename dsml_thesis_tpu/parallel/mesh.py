@@ -65,6 +65,15 @@ def make_mesh(
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
+        if len(devices) % n_model != 0:
+            # silently idling len % n_model chips would contradict the
+            # printed jax.device_count() for the whole run (--tp is
+            # user-reachable); an explicit n_data may still subset devices
+            raise ValueError(
+                f"model-parallel degree {n_model} does not divide the "
+                f"device count {len(devices)}; pick a divisor or pass "
+                "n_data explicitly to subset devices"
+            )
         n_data = len(devices) // n_model
     assert n_data * n_model <= len(devices)
     dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)

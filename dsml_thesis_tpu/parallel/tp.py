@@ -26,8 +26,8 @@ Gradients of replicated params get the same psum DP already needs.
 Known limitation: the Pallas flash-attention kernel is opaque to GSPMD, so
 under tp > 1 sharded q/k/v would be all-gathered around the pallas_call.
 Trainer(tp>1) therefore routes attention through the XLA path (which GSPMD
-partitions head-parallel) by setting DSML_FLASH_ATTN=0 for the process; a
-shard_mapped kernel is the future fix.
+partitions head-parallel) via ops.attention.scoped_flash_override around its
+own traces only; a shard_mapped kernel is the future fix.
 """
 from __future__ import annotations
 
@@ -55,14 +55,27 @@ def leaf_spec(path) -> P:
     return P()
 
 
-def _spec_fits(spec: P, x, mesh: Mesh) -> bool:
+def _spec_fits(spec: P, x, mesh: Mesh, num_heads=None, dim_head=None) -> bool:
     """A rule only applies when the leaf has the expected rank and the model
-    axis divides the sharded dimension (e.g. m must divide the head count)."""
+    axis can split the packed [.., H*D] kernel dim on a HEAD boundary: the
+    head-parallel invariant is m | H, not merely m | H*D (m=2 over H=3, D=8
+    divides 24 but splits head 1 across shards, forcing GSPMD to reshard
+    around every [B,N,H,D] reshape). With a num_heads hint the check is
+    exact; with dim_head (num_head_channels configs, H varies per level)
+    H is derived per leaf; with neither, fall back to m | H*D."""
     if getattr(x, "ndim", 0) != len(spec):
         return False
     m = mesh.shape.get("model", 1)
     for dim, name in zip(x.shape, spec):
-        if name == "model" and dim % m != 0:
+        if name != "model":
+            continue
+        if dim % m != 0:
+            return False
+        if num_heads is not None and num_heads % m != 0:
+            return False
+        if dim_head is not None and (
+            dim % dim_head != 0 or (dim // dim_head) % m != 0
+        ):
             return False
     return True
 
@@ -92,9 +105,12 @@ def fsdp_spec(x, mesh: Mesh, base: P = None, min_elems: int = None) -> P:
     return P(*dims)
 
 
-def shard_state(mesh: Mesh, tree: Any, fsdp: bool = False) -> Any:
+def shard_state(mesh: Mesh, tree: Any, fsdp: bool = False,
+                num_heads=None, dim_head=None) -> Any:
     """Place a TrainState (or any pytree) onto the mesh: attention projection
     leaves sharded over `model` per TP_RULES, everything else replicated.
+    num_heads/dim_head (from the UNet config) let _spec_fits enforce the
+    head-boundary invariant exactly — Trainer passes them via _head_hints().
     With fsdp=True, every large leaf additionally shards one axis over `data`
     (params, Adam moments, and EMA shadows all ride the same tree_map, so the
     whole optimizer memory partitions — the GSPMD partitioner inserts the
@@ -103,7 +119,9 @@ def shard_state(mesh: Mesh, tree: Any, fsdp: bool = False) -> Any:
 
     def put(path, x):
         spec = leaf_spec(path)
-        if spec != P() and not _spec_fits(spec, x, mesh):
+        if spec != P() and not _spec_fits(spec, x, mesh,
+                                          num_heads=num_heads,
+                                          dim_head=dim_head):
             spec = P()
         if fsdp:
             spec = fsdp_spec(x, mesh, base=spec)

@@ -27,9 +27,10 @@ class FinetuneTrainer(Trainer):
 
     def __init__(self, config: Dict, logdir: str, seed: int = 123,
                  mesh=None, max_steps: Optional[int] = None,
-                 encoder_fns: Optional[Dict] = None):
+                 encoder_fns: Optional[Dict] = None, tp: int = 1,
+                 fsdp: bool = False):
         super().__init__(config, logdir, seed=seed, mesh=mesh,
-                         max_steps=max_steps)
+                         max_steps=max_steps, tp=tp, fsdp=fsdp)
         self.finetune = build_finetune(
             self.model_cfg, ldm=self.ldm, **(encoder_fns or {})
         )
@@ -66,7 +67,7 @@ class FinetuneTrainer(Trainer):
                 z = self.finetune.edit(params, x_lat, target)
                 return jnp.clip(self.ldm.decode_first_stage(params, z), -1, 1)
 
-            self._log_images_fn = jax.jit(fn)
+            self._log_images_fn = self._jit(fn)
 
         x_lat = jnp.asarray(batch["latent"][:n])
         if self.finetune.edit_attr_label is not None:

@@ -80,11 +80,6 @@ class Trainer:
         self.ldm: LatentDiffusion = build_model(self.model_cfg)
         # subclasses may wrap the LDM in a different loss (finetune stacks)
         self.loss_module = self.ldm
-        if tp > 1:
-            # the Pallas flash kernel is opaque to GSPMD (parallel/tp.py):
-            # route attention through the XLA path, which partitions
-            # head-parallel over the `model` axis
-            os.environ["DSML_FLASH_ATTN"] = "0"
         self.tp = tp
         self.fsdp = fsdp
         self.mesh = mesh if mesh is not None else make_mesh(n_model=tp)
@@ -169,6 +164,28 @@ class Trainer:
         towers) before the optimizer/EMA partition is built."""
         return params
 
+    def _jit(self, fn, **jit_kw):
+        """jit with the trainer's attention-dispatch scope: under tp > 1 the
+        Pallas flash kernel is opaque to GSPMD (parallel/tp.py), so every
+        program this trainer traces takes the XLA attention path — scoped to
+        the trace, not a process-global env mutation (an explicit user
+        DSML_FLASH_ATTN and later tp=1 trainers in the same process keep
+        their own dispatch)."""
+        if self.tp > 1:
+            from ..ops.attention import scoped_flash_override
+
+            fn = scoped_flash_override(fn, False)
+        return jax.jit(fn, **jit_kw)
+
+    def _head_hints(self) -> Dict:
+        """num_heads / dim_head from the UNet config, so shard_state can gate
+        the TP rules on the real invariant (model axis divides the HEAD
+        count, not just the packed H*D kernel dim)."""
+        up = self.model_cfg.get("params", {}).get(
+            "unet_config", {}).get("params", {})
+        return {"num_heads": up.get("num_heads"),
+                "dim_head": up.get("num_head_channels")}
+
     def init_state(self, example_batch: Dict):
         params = self._augment_params(self.ldm.init_params(
             jax.random.PRNGKey(self.seed), _to_jnp_batch(example_batch)
@@ -198,13 +215,14 @@ class Trainer:
         # fsdp additionally partitions every large leaf (params + Adam moments
         # + EMA) over `data` — see parallel/tp.py; degenerates to full
         # replication when tp == 1 and fsdp is off
-        self._state = shard_state(self.mesh, state, fsdp=self.fsdp)
+        self._state = shard_state(self.mesh, state, fsdp=self.fsdp,
+                                  **self._head_hints())
         # donate the incoming state: params/opt/EMA buffers are overwritten in
         # place, halving peak HBM during the update
-        self._train_step = jax.jit(
+        self._train_step = self._jit(
             make_train_step(self.loss_module, self._tx), donate_argnums=(0,)
         )
-        self._eval_step = jax.jit(make_eval_step(self.loss_module))
+        self._eval_step = self._jit(make_eval_step(self.loss_module))
         return self._state
 
     def _install_signal_handlers(self):
@@ -243,15 +261,20 @@ class Trainer:
         blocks (rescue saves, end of fit)."""
         path = os.path.abspath(os.path.join(self.logdir, "checkpoints", name))
         ckptr = self._checkpointer()
-        try:
-            state = jax.device_get(self._state)
-        except RuntimeError as e:
-            # rescue path: the step that failed had the state buffers donated
-            # to it (donate_argnums) — nothing recoverable on device; skip
-            # rather than masking the original exception
-            print(f"checkpoint '{name}' skipped: state unavailable ({e})")
+        # rescue path: the step that failed had the state buffers donated to
+        # it (donate_argnums) — nothing recoverable on device; skip rather
+        # than masking the original exception
+        if any(getattr(x, "is_deleted", lambda: False)()
+               for x in jax.tree_util.tree_leaves(self._state)):
+            print(f"checkpoint '{name}' skipped: state buffers were donated "
+                  "to the failed step")
             return
-        ckptr.save(path, state, force=True)
+        # hand Orbax the jax.Arrays directly: it is sharding-aware, so each
+        # host serializes only its addressable shards (a device_get here
+        # raises on multi-host FSDP/TP-sharded state, and needlessly gathers
+        # the full tree otherwise); the host copy happens before save returns,
+        # so the next step may donate the device buffers
+        ckptr.save(path, self._state, force=True)
         if wait:
             ckptr.wait_until_finished()
 
@@ -400,7 +423,7 @@ class Trainer:
                     params, sq)
             return out
 
-        return jax.jit(fn)
+        return self._jit(fn)
 
     def _log_conditioning_grids(self, batch: Dict, step: int, n: int,
                                 outdir: str):

@@ -18,7 +18,7 @@ import numpy as np
 from ..config import instantiate_from_config
 from ..losses.vqperceptual import VQGANLoss
 from ..models.autoencoder import VQModel
-from ..parallel import is_main_process, make_mesh, replicate, shard_batch
+from ..parallel import is_main_process, make_mesh, shard_batch, shard_state
 from .vqgan import create_vqgan_state, make_vqgan_eval_step, make_vqgan_train_step
 
 
@@ -95,11 +95,12 @@ class VQGANTrainer:
     _build = staticmethod(build_vqgan)
 
     def __init__(self, config: Dict, logdir: str, seed: int = 123,
-                 max_steps: Optional[int] = None):
+                 max_steps: Optional[int] = None, fsdp: bool = False):
         self.config = config
         self.logdir = logdir
         self.seed = seed
         self.max_steps = max_steps
+        self.fsdp = fsdp
         os.makedirs(os.path.join(logdir, "checkpoints"), exist_ok=True)
 
         self.model, self.loss = type(self)._build(config["model"],
@@ -168,7 +169,10 @@ class VQGANTrainer:
                     lin_sd if isinstance(lin_sd, dict) else lin_sd.state_dict(),
                 ),
             })
-        self._state = replicate(self.mesh, state)
+        # fsdp: shape-based ZeRO-3 placement over the data axis (tp.py
+        # fsdp_spec — no TP rules match the AE param names, so without fsdp
+        # this is plain replication)
+        self._state = shard_state(self.mesh, state, fsdp=self.fsdp)
         # donate: both optimizer states + params are overwritten in place
         self._step = jax.jit(
             self._make_train_step(ae_tx, disc_tx), donate_argnums=(0,),
@@ -201,12 +205,15 @@ class VQGANTrainer:
     def save_checkpoint(self, name: str):
         path = os.path.abspath(os.path.join(self.logdir, "checkpoints", name))
         ckptr = self._checkpointer()
-        try:
-            state = jax.device_get(self._state)
-        except RuntimeError as e:  # donated to a failed step
-            print(f"checkpoint '{name}' skipped: state unavailable ({e})")
+        if any(getattr(x, "is_deleted", lambda: False)()
+               for x in jax.tree_util.tree_leaves(self._state)):
+            # donated to a failed step — nothing recoverable on device
+            print(f"checkpoint '{name}' skipped: state buffers were donated "
+                  "to the failed step")
             return
-        ckptr.save(path, state, force=True)
+        # jax.Arrays straight to Orbax (sharding-aware): required under
+        # multi-host fsdp, where device_get on data-sharded state raises
+        ckptr.save(path, self._state, force=True)
         ckptr.wait_until_finished()
 
     def restore_checkpoint(self, name: str):

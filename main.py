@@ -113,21 +113,29 @@ def main():
     model_target = config["model"]["target"]
     from dsml_thesis_tpu.config import is_finetune_target
 
-    if "autoencoder" in model_target and "VQModel" in model_target:
-        from dsml_thesis_tpu.training.vqgan_trainer import VQGANTrainer
+    if "autoencoder" in model_target and (
+            "VQModel" in model_target or "AutoencoderKL" in model_target):
+        if opt.tp > 1:
+            # TP_RULES shard the LDM attention projections; the AE param
+            # names never match, so --tp would silently run pure-DP
+            raise SystemExit(
+                "--tp applies to LDM/finetune training only; first-stage "
+                "autoencoder training supports --fsdp"
+            )
+        from dsml_thesis_tpu.training.vqgan_trainer import (
+            KLAETrainer,
+            VQGANTrainer,
+        )
 
-        trainer = VQGANTrainer(config, logdir, seed=opt.seed,
-                               max_steps=opt.max_steps)
-    elif "autoencoder" in model_target and "AutoencoderKL" in model_target:
-        from dsml_thesis_tpu.training.vqgan_trainer import KLAETrainer
-
-        trainer = KLAETrainer(config, logdir, seed=opt.seed,
-                              max_steps=opt.max_steps)
+        cls = VQGANTrainer if "VQModel" in model_target else KLAETrainer
+        trainer = cls(config, logdir, seed=opt.seed,
+                      max_steps=opt.max_steps, fsdp=opt.fsdp)
     elif is_finetune_target(model_target):
         from dsml_thesis_tpu.training.finetune_trainer import FinetuneTrainer
 
         trainer = FinetuneTrainer(config, logdir, seed=opt.seed,
-                                  max_steps=opt.max_steps)
+                                  max_steps=opt.max_steps,
+                                  tp=opt.tp, fsdp=opt.fsdp)
     else:
         trainer = Trainer(config, logdir, seed=opt.seed, max_steps=opt.max_steps,
                           tp=opt.tp, fsdp=opt.fsdp)

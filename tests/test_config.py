@@ -62,6 +62,11 @@ def test_non_kv_override_rejected():
     with pytest.raises(ValueError, match="unrecognized argument"):
         load_config(["configs/latent-diffusion/mead-128-ldm-f4.yaml"],
                     ["--max_steps", "1"])
+    # the '=' form of a mistyped flag must be rejected too, not become a
+    # bogus '--max-stepz' config key
+    with pytest.raises(ValueError, match="unrecognized argument"):
+        load_config(["configs/latent-diffusion/mead-128-ldm-f4.yaml"],
+                    ["--max-stepz=500"])
 
 
 def test_dotlist_override_types():

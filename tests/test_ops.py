@@ -67,6 +67,32 @@ def test_group_norm_silu_pallas_matches_reference(shape, groups):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("variant", ["barrier", "cat", "pair", "mm"])
+def test_group_norm_stats_variants_match_ref(variant, monkeypatch):
+    """Every DSML_GN_VARIANT stats formulation (incl. the MXU Gram-matrix
+    'mm') computes the same GroupNorm+SiLU as the default two-reduce path."""
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (2, 8, 8, 160)) * 3 + 1
+    gamma = jax.random.normal(jax.random.PRNGKey(3), (160,)) * 0.1 + 1
+    beta = jax.random.normal(jax.random.PRNGKey(4), (160,)) * 0.1
+
+    monkeypatch.delenv("DSML_GN_VARIANT", raising=False)
+    ref = group_norm_silu_reference(x, gamma, beta, num_groups=32)
+    monkeypatch.setenv("DSML_GN_VARIANT", variant)
+    out = group_norm_silu_reference(x, gamma, beta, num_groups=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    # bf16 input: the mm variant streams bf16 into the dot (f32 accumulate)
+    xb = x.astype(jnp.bfloat16)
+    monkeypatch.delenv("DSML_GN_VARIANT", raising=False)
+    refb = group_norm_silu_reference(xb, gamma, beta, num_groups=32)
+    monkeypatch.setenv("DSML_GN_VARIANT", variant)
+    outb = group_norm_silu_reference(xb, gamma, beta, num_groups=32)
+    np.testing.assert_allclose(
+        np.asarray(outb, np.float32), np.asarray(refb, np.float32),
+        atol=0.05, rtol=0.02)
+
+
 @pytest.mark.parametrize("shape,groups", [((2, 8, 8, 160), 32), ((3, 100, 64), 32)])
 def test_group_norm_stats_fused_matches_reference(shape, groups):
     from dsml_thesis_tpu.ops.groupnorm import group_norm_silu_stats_fused

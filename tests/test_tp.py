@@ -70,6 +70,66 @@ def test_shard_state_places_attention_on_model_axis():
     assert out["attn2"]["to_q"]["kernel"].sharding.spec == P()
 
 
+def test_spec_fits_head_boundary():
+    """m | H*D is not enough: with a num_heads/dim_head hint the TP rule must
+    refuse a split that lands mid-head (H=3, D=8, m=2: 24 % 2 == 0 but a
+    shard would own head0 + half of head1)."""
+    from dsml_thesis_tpu.parallel import make_mesh
+    from dsml_thesis_tpu.parallel.tp import shard_state
+
+    mesh = make_mesh(n_model=2)
+    tree = {"attn1": {"to_q": {"kernel": jnp.zeros((8, 24))}}}
+    # no hint: packed-dim check only (legacy behavior) -> sharded
+    out = shard_state(mesh, tree)
+    assert out["attn1"]["to_q"]["kernel"].sharding.spec == P(None, "model")
+    # H=3 heads (num_heads hint): not divisible by m=2 -> replicated
+    out = shard_state(mesh, tree, num_heads=3)
+    assert out["attn1"]["to_q"]["kernel"].sharding.spec == P()
+    # dim_head hint: H = 24/8 = 3, same refusal
+    out = shard_state(mesh, tree, dim_head=8)
+    assert out["attn1"]["to_q"]["kernel"].sharding.spec == P()
+    # H=4 heads via dim_head=6 divides m=2 -> sharded
+    out = shard_state(mesh, tree, dim_head=6)
+    assert out["attn1"]["to_q"]["kernel"].sharding.spec == P(None, "model")
+
+
+def test_make_mesh_rejects_non_divisor_tp():
+    """--tp that doesn't divide the device count must fail loudly instead of
+    silently idling chips (mesh.py make_mesh)."""
+    from dsml_thesis_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="does not divide"):
+        make_mesh(n_model=3)  # 8 virtual devices
+    # explicit n_data still allows deliberate subsetting
+    mesh = make_mesh(n_data=2, n_model=3)
+    assert mesh.shape == {"data": 2, "model": 3}
+
+
+def test_tp_trainer_does_not_mutate_flash_env(tmp_path):
+    """Trainer(tp>1) must scope its XLA-attention routing to its own traces
+    (ops.attention.scoped_flash_override), not clobber the process env."""
+    import os
+
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    before = os.environ.get("DSML_FLASH_ATTN")
+    t = Trainer(_config(), str(tmp_path), seed=0, max_steps=1, tp=2)
+    assert os.environ.get("DSML_FLASH_ATTN") == before
+
+    # the override is active exactly while the trainer's programs trace
+    from dsml_thesis_tpu.ops import attention
+
+    seen = []
+
+    def probe(x):
+        seen.append(attention._FLASH_OVERRIDE)
+        return x + 1
+
+    t._jit(probe)(jnp.zeros(()))
+    assert seen == [False]
+    assert attention._FLASH_OVERRIDE is None  # restored after the trace
+
+
 def test_fsdp_spec_axis_choice():
     from dsml_thesis_tpu.parallel import make_mesh
     from dsml_thesis_tpu.parallel.tp import fsdp_spec

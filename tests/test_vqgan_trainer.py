@@ -59,6 +59,30 @@ def test_vqgan_trainer_fit_val_topk(tmp_path):
     assert any(f.startswith("recon_step") and f.endswith(".npy") for f in imgs)
 
 
+def test_vqgan_trainer_fsdp_step_matches_dp(tmp_path, monkeypatch):
+    """--fsdp on the first-stage trainers is a pure memory-layout change:
+    same losses as replicated DP, with params actually placed on `data`."""
+    import jax
+
+    from dsml_thesis_tpu.training.vqgan_trainer import VQGANTrainer
+
+    monkeypatch.setenv("DSML_FSDP_MIN_ELEMS", "128")
+    results = {}
+    for name, fsdp in (("dp", False), ("fsdp", True)):
+        t = VQGANTrainer(_config(), str(tmp_path / name), seed=0,
+                         max_steps=1, fsdp=fsdp)
+        state = t.fit(epochs=1, log_every=1)
+        leaves = jax.tree_util.tree_leaves(state.ae_params)
+        n_sharded = sum(1 for x in leaves if "data" in str(x.sharding.spec))
+        assert (n_sharded > 0) == fsdp
+        lines = [json.loads(l) for l in
+                 open(tmp_path / name / "metrics.jsonl")]
+        results[name] = [l for l in lines if l["split"] == "train"][0]
+    np.testing.assert_allclose(results["fsdp"]["train/total_loss"],
+                               results["dp"]["train/total_loss"],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_vqgan_trainer_resume_roundtrip(tmp_path):
     """The shared main.py resume interface works for VQGAN runs:
     init_state(first_batch_dict) + restore_checkpoint('last')."""
