@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import multi_head_attention
+from ..ops.attention import multi_head_attention, packed_multi_head_attention
 from ..ops.groupnorm import group_norm_silu
 
 
@@ -192,6 +192,17 @@ class CrossAttention(nn.Module):
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
 
+        if os.environ.get("DSML_ATTN_PACKED", "0") == "1":
+            # packed-layout kernel: the [B,N,H*D] projections feed the flash
+            # kernel directly, no head-split transposes in HBM (same params
+            # as the base path; dispatch falls back to split-head for
+            # anything the packed kernel can't take)
+            out = packed_multi_head_attention(
+                q, k, v, self.heads, scale=self.dim_head**-0.5
+            )
+            out = nn.Dense(q_dim, dtype=self.dtype, name="to_out")(out)
+            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
         b, n, _ = q.shape
         m = k.shape[1]
         split = lambda t, L: t.reshape(b, L, self.heads, self.dim_head).transpose(0, 2, 1, 3)
@@ -259,9 +270,15 @@ class AttentionBlock(nn.Module):
         norm = GroupNormSiLU(silu=False, name="norm")(x).reshape(b, n, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(norm)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        split = lambda t: t.reshape(b, n, self.num_heads, hd).transpose(0, 2, 1, 3)
-        out = multi_head_attention(split(q), split(k), split(v), scale=hd**-0.5)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        import os
+
+        if os.environ.get("DSML_ATTN_PACKED", "0") == "1":
+            out = packed_multi_head_attention(q, k, v, self.num_heads,
+                                              scale=hd**-0.5)
+        else:
+            split = lambda t: t.reshape(b, n, self.num_heads, hd).transpose(0, 2, 1, 3)
+            out = multi_head_attention(split(q), split(k), split(v), scale=hd**-0.5)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = nn.Dense(
             c, kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
             dtype=self.dtype, name="proj_out",

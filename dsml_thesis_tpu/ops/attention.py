@@ -60,6 +60,56 @@ def scoped_flash_override(fn, enabled):
     return wrapped
 
 
+# Mesh context for multi-device dispatch. pallas_call is opaque to the GSPMD
+# partitioner — inside a jit over a >1-device mesh XLA would all-gather
+# q/k/v around the kernel. With a mesh in scope, multi_head_attention wraps
+# the kernel in jax.shard_map instead: each device runs the SAME single-
+# device flash program on its local (batch-, and under TP head-) shard, with
+# zero collectives (attention rows/heads are independent). Trace-scoped like
+# _FLASH_OVERRIDE above.
+_ATTN_MESH = None
+
+
+@contextlib.contextmanager
+def attention_mesh(mesh):
+    global _ATTN_MESH
+    prev = _ATTN_MESH
+    _ATTN_MESH = mesh
+    try:
+        yield
+    finally:
+        _ATTN_MESH = prev
+
+
+def scoped_attention_mesh(fn, mesh):
+    """Wrap fn so every trace of it dispatches flash attention through
+    shard_map over the given mesh (Trainer._jit uses this on any
+    multi-device mesh)."""
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        with attention_mesh(mesh):
+            return fn(*a, **kw)
+
+    return wrapped
+
+
+def _attention_partition_spec(mesh, b: int, h: int):
+    """Largest [B, H, N, D] partitioning the mesh and shape allow: batch over
+    `data`, heads over `model` (head-parallel attention needs no
+    communication). None when nothing divides — the caller falls back to the
+    XLA path, which GSPMD can partition on its own."""
+    from jax.sharding import PartitionSpec as P
+
+    nd = mesh.shape.get("data", 1)
+    nm = mesh.shape.get("model", 1)
+    spec_b = "data" if nd > 1 and b % nd == 0 else None
+    spec_h = "model" if nm > 1 and h % nm == 0 else None
+    if spec_b is None and spec_h is None:
+        return None
+    return P(spec_b, spec_h, None, None)
+
+
 def attention_reference(q, k, v, scale=None):
     """Plain jnp attention, numerically the spec for the Pallas kernel.
 
@@ -74,10 +124,11 @@ def attention_reference(q, k, v, scale=None):
     return out
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                  defer_div: bool = True, pv_transpose: bool = False,
-                  norm_bound: bool = False):
-    """One (batch*head, q-block) program: q-block vs full K/V in VMEM.
+def _attend_one_head(q, k, v, *, scale: float, defer_div: bool = True,
+                     pv_transpose: bool = False, norm_bound: bool = False,
+                     out_dtype=None):
+    """Single-head fused attention core shared by the flash kernels:
+    q [Bq, D] vs full K/V [Nk, D] in VMEM -> [Bq, D].
 
     For the model family's sequence lengths (<= 4096) the whole K/V for one
     head fits comfortably in VMEM, so no online-softmax accumulation is
@@ -89,9 +140,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     the VPU time is at N=4096. Exact — bf16 relative rounding of P is
     scale-invariant, so normalizing after the cast is as accurate as before.
     """
-    q = q_ref[0]  # [Bq, D]
-    k = k_ref[0]  # [Nk, D]
-    v = v_ref[0]  # [Nk, D]
+    out_dtype = out_dtype or q.dtype
     # fold the softmax scale into Q in the log2 domain BEFORE the matmul:
     # the scores come off the MXU already scaled and exp2 replaces exp, so
     # the VPU never runs a separate multiply pass over the [Bq, Nk] matrix.
@@ -146,13 +195,50 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         # degrades to ~0 output instead of poisoning the tensor. The row-max
         # path guarantees denom >= 1 and never hits the clamp.
         denom = jnp.maximum(out[:, d:d + 1], jnp.float32(1e-30))
-        o_ref[0] = (out[:, :d] / denom).astype(o_ref.dtype)
+        return (out[:, :d] / denom).astype(out_dtype)
     else:
         denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True),
                             jnp.float32(1e-30))
         p = p / denom
         out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        o_ref[0] = out.astype(o_ref.dtype)
+        return out.astype(out_dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                  defer_div: bool = True, pv_transpose: bool = False,
+                  norm_bound: bool = False):
+    """One (batch*head, q-block) program (see _attend_one_head)."""
+    o_ref[0] = _attend_one_head(
+        q_ref[0], k_ref[0], v_ref[0], scale=scale, defer_div=defer_div,
+        pv_transpose=pv_transpose, norm_bound=norm_bound,
+        out_dtype=o_ref.dtype,
+    )
+
+
+def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                         heads: int, defer_div: bool = True,
+                         pv_transpose: bool = False,
+                         norm_bound: bool = False):
+    """One (batch, q-block) program on the PACKED [N, H*D] activation layout
+    the projections produce: the head axis never exists in HBM, so the
+    head-split transposes around the kernel (and their HBM round trip,
+    ~7-8.5% of device time in the flagship profile) disappear. Heads are
+    processed sequentially with STATIC lane slices (h is a Python loop
+    index); K/V rows are loaded once per batch and shared by all heads."""
+    q = q_ref[0]  # [Bq, H*D]
+    k = k_ref[0]  # [Nk, H*D]
+    v = v_ref[0]  # [Nk, H*D]
+    d = q.shape[-1] // heads
+    outs = []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        outs.append(_attend_one_head(
+            q[:, sl], k[:, sl], v[:, sl], scale=scale, defer_div=defer_div,
+            pv_transpose=pv_transpose, norm_bound=norm_bound,
+            out_dtype=o_ref.dtype,
+        ))
+    # one full-width store (a VMEM repack) instead of H lane-sliced stores
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
 
 
 def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = False):
@@ -213,6 +299,68 @@ def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = F
     if pad_q:
         out = out[:, :nq]
     return out.reshape(b, h, nq, d)
+
+
+def flash_attention_packed(q, k, v, heads: int, scale=None,
+                           block_q: int = 256, interpret: bool = False):
+    """Pallas fused attention on the packed activation layout.
+
+    q: [B, Nq, H*D], k/v: [B, Nk, H*D] — exactly what the to_q/to_k/to_v
+    projections produce — with no [B,H,N,D] transpose in HBM on either side
+    (see _flash_kernel_packed). Heads run sequentially inside one program;
+    K/V rows are fetched once per batch element and reused by every head.
+    """
+    import os
+
+    defer_div = os.environ.get("DSML_FLASH_DEFER_DIV", "1") != "0"
+    b, nq, hd = q.shape
+    d = hd // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    nk = k.shape[1]
+    pv_env = os.environ.get("DSML_FLASH_PV_T", "auto")
+    pv_transpose = (nk >= 2048) if pv_env == "auto" else pv_env != "0"
+    nb_env = os.environ.get("DSML_FLASH_NORM_BOUND", "auto")
+    norm_bound = (nk >= 2048) if nb_env == "auto" else nb_env == "1"
+
+    block_q = min(block_q, nq)
+    pad_q = (-nq) % block_q
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+    nq_p = nq + pad_q
+
+    grid = (b, nq_p // block_q)
+    itemsize = jnp.dtype(q.dtype).itemsize
+    # resident: packed K + V (+ double buffers) + q/out blocks + one live
+    # fp32 [block_q, nk] score matrix (heads are sequential; 2x for
+    # scheduling overlap across the head loop)
+    vmem_limit = min(
+        4 * nk * hd * itemsize + 2 * (block_q * nk * 4)
+        + 4 * block_q * hd * itemsize + (1 << 21),
+        110 * (1 << 20),
+    )
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_packed, scale=scale, heads=heads,
+                          defer_div=defer_div, pv_transpose=pv_transpose,
+                          norm_bound=norm_bound),
+        out_shape=jax.ShapeDtypeStruct((b, nq_p, hd), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(q, k, v)
+    if pad_q:
+        out = out[:, :nq]
+    return out
 
 
 def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
@@ -362,6 +510,44 @@ def _flash_bwd(scale, block_q, interpret, res, g):
 _flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _packed_attention_diff(q, k, v, heads, scale, block_q=256,
+                           interpret=False):
+    return flash_attention_packed(q, k, v, heads, scale=scale,
+                                  block_q=block_q, interpret=interpret)
+
+
+def _packed_fwd(q, k, v, heads, scale, block_q, interpret):
+    return (flash_attention_packed(q, k, v, heads, scale=scale,
+                                   block_q=block_q, interpret=interpret),
+            (q, k, v))
+
+
+def _packed_bwd(heads, scale, block_q, interpret, res, g):
+    # bwd reuses the BHND flash backward through head-split transposes: the
+    # packed layout is a forward/sampling optimization (no HBM transpose in
+    # the hot inference path); training pays the two transposes it always
+    # paid. A packed bwd kernel is the follow-up if training profiles
+    # demand it.
+    q, k, v = res
+
+    def split(t, n):
+        b = t.shape[0]
+        d = t.shape[-1] // heads
+        return t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+
+    nq, nk = q.shape[1], k.shape[1]
+    dq, dk, dv = flash_attention_bwd(
+        split(q, nq), split(k, nk), split(v, nk), split(g, nq),
+        scale=scale, block_q=block_q, interpret=interpret,
+    )
+    merge = lambda t, n: t.transpose(0, 2, 1, 3).reshape(t.shape[0], n, -1)
+    return merge(dq, nq), merge(dk, nk), merge(dv, nk)
+
+
+_packed_attention_diff.defvjp(_packed_fwd, _packed_bwd)
+
+
 # v5e VMEM is 128MB; leave headroom for Mosaic's own buffers
 _VMEM_BUDGET = 100 * (1 << 20)
 
@@ -384,6 +570,63 @@ def _fit_block_q(nq: int, nk: int, d: int, requested: int):
             return bq
         bq //= 2
     return None
+
+
+def _fit_block_q_packed(nq: int, nk: int, hd: int, requested: int):
+    """VMEM fit for the packed kernel: K/V resident at the full packed width
+    (shared across the sequential head loop), one live fp32 score matrix
+    (x2 for scheduling overlap), q/out blocks at packed width."""
+    bq = min(requested, nq)
+    while bq >= 8:
+        kv_resident = 4 * nk * hd * 4
+        scores = 4 * (bq * nk * 4)
+        blocks = 4 * bq * hd * 4
+        if kv_resident + scores + blocks + (1 << 21) <= _VMEM_BUDGET:
+            return bq
+        bq //= 2
+    return None
+
+
+def packed_multi_head_attention(q, k, v, heads: int, scale=None,
+                                use_pallas=None, interpret=False):
+    """Attention on the packed activation layout: q [B, Nq, H*D],
+    k/v [B, Nk, H*D] -> [B, Nq, H*D].
+
+    Dispatch twin of multi_head_attention for callers that keep activations
+    packed (models/unet.py DSML_ATTN_PACKED=1): the flash path runs
+    _flash_kernel_packed with NO head-split transpose in HBM on either side.
+    Anything the packed kernel cannot take (tiny KV, VMEM overflow, CPU,
+    flash disabled, a multi-device mesh — head-sharding the packed dim is
+    future work) falls back to the standard split-head dispatch, so the
+    packed entry is always safe to call."""
+    d = q.shape[-1] // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    import os
+
+    if use_pallas is None:
+        enabled = (_FLASH_OVERRIDE if _FLASH_OVERRIDE is not None
+                   else os.environ.get("DSML_FLASH_ATTN", "1") != "0")
+        use_pallas = (
+            enabled and _on_tpu() and q.shape[1] >= 256 and k.shape[1] >= 256
+        )
+    if use_pallas and not (_ATTN_MESH is not None and _ATTN_MESH.size > 1):
+        block_q = _fit_block_q_packed(
+            q.shape[1], k.shape[1], q.shape[2],
+            int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024")),
+        )
+        if block_q is not None:
+            return _packed_attention_diff(q, k, v, heads, scale, block_q,
+                                          interpret)
+
+    def split(t):
+        b, n = t.shape[0], t.shape[1]
+        return t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+
+    out = multi_head_attention(split(q), split(k), split(v), scale=scale,
+                               use_pallas=use_pallas, interpret=interpret)
+    b, n = q.shape[0], q.shape[1]
+    return out.transpose(0, 2, 1, 3).reshape(b, n, heads * d)
 
 
 def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
@@ -415,5 +658,19 @@ def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
             int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024")),
         )
         if block_q is not None:
+            mesh = _ATTN_MESH
+            if mesh is not None and mesh.size > 1:
+                spec = _attention_partition_spec(mesh, q.shape[0], q.shape[1])
+                if spec is None:
+                    # nothing shards cleanly: a bare pallas_call would force
+                    # GSPMD gathers — the XLA path partitions instead
+                    return attention_reference(q, k, v, scale=scale)
+                run = jax.shard_map(
+                    lambda qq, kk, vv: _flash_attention_diff(
+                        qq, kk, vv, scale, block_q, interpret),
+                    mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                    check_vma=False,
+                )
+                return run(q, k, v)
             return _flash_attention_diff(q, k, v, scale, block_q, interpret)
     return attention_reference(q, k, v, scale=scale)

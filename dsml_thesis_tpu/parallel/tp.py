@@ -23,11 +23,12 @@ checkpoint layout) whose halves would land on disjoint shard subsets —
 sharding it would force a reshard between the split and the gate multiply.
 Gradients of replicated params get the same psum DP already needs.
 
-Known limitation: the Pallas flash-attention kernel is opaque to GSPMD, so
-under tp > 1 sharded q/k/v would be all-gathered around the pallas_call.
-Trainer(tp>1) therefore routes attention through the XLA path (which GSPMD
-partitions head-parallel) via ops.attention.scoped_flash_override around its
-own traces only; a shard_mapped kernel is the future fix.
+The Pallas flash-attention kernel is opaque to GSPMD (an unpartitioned
+pallas_call would force q/k/v all-gathers), so on multi-device meshes
+Trainer._jit scopes ops.attention.attention_mesh around its traces: the
+dispatch wraps the kernel in jax.shard_map — batch over `data`, heads over
+`model` — and every device runs the single-device flash program on its local
+shard with zero collectives (rows and heads of attention are independent).
 """
 from __future__ import annotations
 

@@ -165,16 +165,18 @@ class Trainer:
         return params
 
     def _jit(self, fn, **jit_kw):
-        """jit with the trainer's attention-dispatch scope: under tp > 1 the
-        Pallas flash kernel is opaque to GSPMD (parallel/tp.py), so every
-        program this trainer traces takes the XLA attention path — scoped to
-        the trace, not a process-global env mutation (an explicit user
-        DSML_FLASH_ATTN and later tp=1 trainers in the same process keep
-        their own dispatch)."""
-        if self.tp > 1:
-            from ..ops.attention import scoped_flash_override
+        """jit with the trainer's attention-dispatch scope: the Pallas flash
+        kernel is opaque to GSPMD, so on any multi-device mesh the dispatch
+        wraps it in shard_map over this trainer's mesh (batch over `data`,
+        heads over `model` — see ops.attention.attention_mesh) instead of
+        letting XLA gather q/k/v around an unpartitioned pallas_call. Scoped
+        to the trace, not a process-global env mutation: an explicit user
+        DSML_FLASH_ATTN and other models in the same process keep their own
+        dispatch."""
+        if self.mesh.size > 1:
+            from ..ops.attention import scoped_attention_mesh
 
-            fn = scoped_flash_override(fn, False)
+            fn = scoped_attention_mesh(fn, self.mesh)
         return jax.jit(fn, **jit_kw)
 
     def _head_hints(self) -> Dict:

@@ -174,12 +174,23 @@ class VQGANTrainer:
         # this is plain replication)
         self._state = shard_state(self.mesh, state, fsdp=self.fsdp)
         # donate: both optimizer states + params are overwritten in place
-        self._step = jax.jit(
+        self._step = self._jit(
             self._make_train_step(ae_tx, disc_tx), donate_argnums=(0,),
         )
-        self._eval_step = jax.jit(self._make_eval_step())
-        self._recon_fn = jax.jit(self.model.apply)  # once: reused every log
+        self._eval_step = self._jit(self._make_eval_step())
+        self._recon_fn = self._jit(self.model.apply)  # once: reused every log
         return self._state
+
+    def _jit(self, fn, **jit_kw):
+        """Same multi-device attention scoping as Trainer._jit: the AE
+        mid-block self-attention rides the shared flash dispatch, which on a
+        >1-device mesh must shard_map the Pallas kernel instead of letting
+        GSPMD gather around it (ops.attention.attention_mesh)."""
+        if self.mesh.size > 1:
+            from ..ops.attention import scoped_attention_mesh
+
+            fn = scoped_attention_mesh(fn, self.mesh)
+        return jax.jit(fn, **jit_kw)
 
     # ---- hooks the KL variant overrides ----
 

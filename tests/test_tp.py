@@ -105,9 +105,10 @@ def test_make_mesh_rejects_non_divisor_tp():
     assert mesh.shape == {"data": 2, "model": 3}
 
 
-def test_tp_trainer_does_not_mutate_flash_env(tmp_path):
-    """Trainer(tp>1) must scope its XLA-attention routing to its own traces
-    (ops.attention.scoped_flash_override), not clobber the process env."""
+def test_tp_trainer_scopes_attention_mesh(tmp_path):
+    """Trainer on a multi-device mesh must scope its flash shard_map routing
+    to its own traces (ops.attention.attention_mesh), not clobber the
+    process env or other models' dispatch."""
     import os
 
     from dsml_thesis_tpu.training.trainer import Trainer
@@ -116,18 +117,67 @@ def test_tp_trainer_does_not_mutate_flash_env(tmp_path):
     t = Trainer(_config(), str(tmp_path), seed=0, max_steps=1, tp=2)
     assert os.environ.get("DSML_FLASH_ATTN") == before
 
-    # the override is active exactly while the trainer's programs trace
+    # the mesh scope is active exactly while the trainer's programs trace
     from dsml_thesis_tpu.ops import attention
 
     seen = []
 
     def probe(x):
-        seen.append(attention._FLASH_OVERRIDE)
+        seen.append(attention._ATTN_MESH)
         return x + 1
 
     t._jit(probe)(jnp.zeros(()))
-    assert seen == [False]
-    assert attention._FLASH_OVERRIDE is None  # restored after the trace
+    assert seen == [t.mesh]
+    assert attention._ATTN_MESH is None  # restored after the trace
+
+
+def test_flash_attention_shard_map_matches_reference():
+    """Under an attention_mesh scope the flash kernel runs per-shard via
+    shard_map (batch over data, heads over model) — same numbers and same
+    gradients as the reference jnp attention."""
+    from dsml_thesis_tpu.ops.attention import (
+        attention_mesh,
+        attention_reference,
+        multi_head_attention,
+    )
+    from dsml_thesis_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    # B=2 divides data=2, H=8 divides model=4, N=256 clears the flash gate
+    q = jax.random.normal(kq, (2, 8, 256, 32))
+    k = jax.random.normal(kk, (2, 8, 256, 32))
+    v = jax.random.normal(kv, (2, 8, 256, 32))
+
+    def flash(q, k, v):
+        return multi_head_attention(q, k, v, use_pallas=True, interpret=True)
+
+    with attention_mesh(mesh):
+        out = jax.jit(flash)(q, k, v)
+        gq, gk, gv = jax.jit(jax.grad(
+            lambda q, k, v: jnp.sum(flash(q, k, v) ** 2), argnums=(0, 1, 2)
+        ))(q, k, v)
+    ref = attention_reference(q, k, v)
+    rq, rk, rv = jax.grad(
+        lambda q, k, v: jnp.sum(attention_reference(q, k, v) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    for g, r in ((gq, rq), (gk, rk), (gv, rv)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
+
+    # indivisible heads AND batch: dispatch must fall back to the XLA path
+    # (no shard_map island) and still be correct
+    q3 = q[:1, :3]
+    with attention_mesh(mesh):
+        out3 = jax.jit(flash)(q3, k[:1, :3], v[:1, :3])
+    np.testing.assert_allclose(
+        np.asarray(out3),
+        np.asarray(attention_reference(q3, k[:1, :3], v[:1, :3])),
+        atol=2e-5, rtol=2e-5)
 
 
 def test_fsdp_spec_axis_choice():
