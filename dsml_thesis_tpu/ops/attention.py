@@ -28,11 +28,13 @@ def _on_tpu() -> bool:
         return False
 
 
-# Scoped dispatch override (None = env/default). jit runs the Python body
-# only while TRACING, so wrapping a step function in this context pins the
-# dispatch decision for exactly the programs traced inside it — unlike an
-# os.environ mutation, nothing leaks to later models in the process and an
-# explicit user DSML_FLASH_ATTN setting stays intact.
+# Scoped dispatch override (None = env/default), an A/B hook: jit runs the
+# Python body only while TRACING, so tracing a step function under this
+# context pins the flash-vs-XLA decision for exactly the programs traced
+# inside it — unlike an os.environ mutation, nothing leaks to later models
+# in the process and an explicit user DSML_FLASH_ATTN setting stays intact.
+# (Multi-device programs don't need it anymore: scoped_attention_mesh below
+# routes flash through shard_map instead of disabling it.)
 _FLASH_OVERRIDE = None
 
 
@@ -45,19 +47,6 @@ def flash_attention_override(enabled):
         yield
     finally:
         _FLASH_OVERRIDE = prev
-
-
-def scoped_flash_override(fn, enabled):
-    """Wrap fn so every trace of it sees the given flash-dispatch override
-    (Trainer(tp>1) uses this: the Pallas kernel is opaque to GSPMD, so TP
-    programs must take the XLA attention path — see parallel/tp.py)."""
-
-    @functools.wraps(fn)
-    def wrapped(*a, **kw):
-        with flash_attention_override(enabled):
-            return fn(*a, **kw)
-
-    return wrapped
 
 
 # Mesh context for multi-device dispatch. pallas_call is opaque to the GSPMD
@@ -108,6 +97,30 @@ def _attention_partition_spec(mesh, b: int, h: int):
     if spec_b is None and spec_h is None:
         return None
     return P(spec_b, spec_h, None, None)
+
+
+def _flash_flags(nk: int):
+    """Resolve the env-tunable kernel reformulation flags for a KV length.
+
+    Single source of truth for the split-head AND packed entries, so a
+    threshold retune cannot diverge the two dispatches:
+    - defer_div: denominator rides P@V as a ones column (always on unless
+      DSML_FLASH_DEFER_DIV=0).
+    - pv_transpose: transposed P@V pays off when the contraction is long
+      enough to amortize its M=D+1 row stream — v5e A/Bs: N=4096 fullattn
+      3.149 -> 3.275 f/s/chip, but N<=1024 training 225.0 -> 220.2 img/s
+      (PROFILE.md), hence the nk>=2048 auto threshold.
+    - norm_bound: Cauchy-Schwarz shift instead of the row-max pass; wins
+      where the score matrix is big (fullattn N=4096: 3.314 -> 3.343).
+    """
+    import os
+
+    defer_div = os.environ.get("DSML_FLASH_DEFER_DIV", "1") != "0"
+    pv_env = os.environ.get("DSML_FLASH_PV_T", "auto")
+    pv_transpose = (nk >= 2048) if pv_env == "auto" else pv_env != "0"
+    nb_env = os.environ.get("DSML_FLASH_NORM_BOUND", "auto")
+    norm_bound = (nk >= 2048) if nb_env == "auto" else nb_env == "1"
+    return defer_div, pv_transpose, norm_bound
 
 
 def attention_reference(q, k, v, scale=None):
@@ -243,22 +256,11 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
 def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = False):
     """Pallas fused attention. q: [B, H, Nq, D], k/v: [B, H, Nk, D]."""
-    import os
-
-    defer_div = os.environ.get("DSML_FLASH_DEFER_DIV", "1") != "0"
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    # transposed P@V pays off when the contraction is long enough to amortize
-    # its M=D+1 row stream — v5e A/Bs: N=4096 fullattn 3.149 -> 3.275
-    # f/s/chip, but N<=1024 training 225.0 -> 220.2 img/s (PROFILE.md)
-    pv_env = os.environ.get("DSML_FLASH_PV_T", "auto")
-    pv_transpose = (nk >= 2048) if pv_env == "auto" else pv_env != "0"
-    # Cauchy-Schwarz shift instead of the row-max pass: wins where the
-    # score matrix is big (fullattn N=4096 A/B: 3.314 -> 3.343 f/s/chip)
-    nb_env = os.environ.get("DSML_FLASH_NORM_BOUND", "auto")
-    norm_bound = (nk >= 2048) if nb_env == "auto" else nb_env == "1"
+    defer_div, pv_transpose, norm_bound = _flash_flags(nk)
     bh = b * h
     q3 = q.reshape(bh, nq, d)
     k3 = k.reshape(bh, nk, d)
@@ -310,18 +312,12 @@ def flash_attention_packed(q, k, v, heads: int, scale=None,
     (see _flash_kernel_packed). Heads run sequentially inside one program;
     K/V rows are fetched once per batch element and reused by every head.
     """
-    import os
-
-    defer_div = os.environ.get("DSML_FLASH_DEFER_DIV", "1") != "0"
     b, nq, hd = q.shape
     d = hd // heads
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     nk = k.shape[1]
-    pv_env = os.environ.get("DSML_FLASH_PV_T", "auto")
-    pv_transpose = (nk >= 2048) if pv_env == "auto" else pv_env != "0"
-    nb_env = os.environ.get("DSML_FLASH_NORM_BOUND", "auto")
-    norm_bound = (nk >= 2048) if nb_env == "auto" else nb_env == "1"
+    defer_div, pv_transpose, norm_bound = _flash_flags(nk)
 
     block_q = min(block_q, nq)
     pad_q = (-nq) % block_q
@@ -331,11 +327,13 @@ def flash_attention_packed(q, k, v, heads: int, scale=None,
 
     grid = (b, nq_p // block_q)
     itemsize = jnp.dtype(q.dtype).itemsize
-    # resident: packed K + V (+ double buffers) + q/out blocks + one live
-    # fp32 [block_q, nk] score matrix (heads are sequential; 2x for
-    # scheduling overlap across the head loop)
+    # resident: packed K + V (+ double buffers) + q/out blocks + fp32
+    # [block_q, nk] score matrices. Heads run sequentially but Mosaic may
+    # keep several per-head score buffers live to overlap the unrolled head
+    # loop — budget 4x, the SAME count _fit_block_q_packed approves with, so
+    # a fit-approved shape cannot die in a VMEM-limit compile error.
     vmem_limit = min(
-        4 * nk * hd * itemsize + 2 * (block_q * nk * 4)
+        4 * nk * hd * itemsize + 4 * (block_q * nk * 4)
         + 4 * block_q * hd * itemsize + (1 << 21),
         110 * (1 << 20),
     )

@@ -415,6 +415,20 @@ def test_packed_dispatch_fallbacks():
     np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref(q, kv, kv)),
                                atol=2e-5, rtol=2e-5)
 
+    # the mesh gate must also be reached when the packed kernel WOULD run
+    # (use_pallas=True, N large enough): the packed entry has no shard_map
+    # path of its own, so it must hand off to the split-head dispatch, which
+    # shard_maps the flash kernel over the mesh — not run a bare pallas_call
+    # that GSPMD would all-gather around
+    qb = jnp.asarray(rs.randn(2, 256, heads * d).astype(np.float32))
+    kb = jnp.asarray(rs.randn(2, 256, heads * d).astype(np.float32))
+    vb = jnp.asarray(rs.randn(2, 256, heads * d).astype(np.float32))
+    with attention_mesh(mesh):
+        out_big = packed_multi_head_attention(qb, kb, vb, heads,
+                                              use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_big), np.asarray(ref(qb, kb, vb)),
+                               atol=2e-5, rtol=2e-5)
+
 
 def test_cross_attention_packed_variant_matches(monkeypatch):
     """DSML_ATTN_PACKED=1 uses the identical param tree and numerics as the
