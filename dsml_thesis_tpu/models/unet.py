@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import multi_head_attention, packed_multi_head_attention
+from ..ops.conv_gn import conv3x3_stats, group_norm_silu_apply
 from ..ops.groupnorm import group_norm_silu
 
 
@@ -47,20 +48,68 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000
 
 
 class GroupNormSiLU(nn.Module):
-    """GroupNorm (fp32 stats) optionally fused with SiLU."""
+    """GroupNorm (fp32 stats) optionally fused with SiLU.
+
+    `stats=(ch_sum, ch_sq)` (per-channel fp32 sums over the spatial axes,
+    e.g. from a producing conv's epilogue — ops/conv_gn.py) skips the
+    dedicated statistics passes and normalizes directly."""
 
     num_groups: int = 32
     eps: float = 1e-5
     silu: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stats=None):
         c = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if stats is not None:
+            return group_norm_silu_apply(
+                x, stats[0], stats[1], gamma, beta,
+                num_groups=self.num_groups, eps=self.eps, silu=self.silu,
+            )
         return group_norm_silu(
             x, gamma, beta, num_groups=self.num_groups, eps=self.eps, silu=self.silu
         )
+
+
+def _gn_epilogue_mode():
+    """DSML_GN_EPILOGUE: '1' fuses ResBlock in_conv+emb with the out_norm
+    statistics via the Pallas conv-epilogue kernel (A/B lever, TPU only);
+    'interpret' runs the same fused path in Pallas interpret mode (CPU
+    tests). Off under a >1-device mesh: a bare pallas_call is opaque to
+    GSPMD and would force gathers."""
+    import os
+
+    mode = os.environ.get("DSML_GN_EPILOGUE", "0")
+    if mode not in ("1", "interpret"):
+        return None
+    from ..ops.attention import _ATTN_MESH, _on_tpu
+
+    if _ATTN_MESH is not None and _ATTN_MESH.size > 1:
+        return None
+    if mode == "1" and not _on_tpu():
+        return None
+    return mode
+
+
+class _Conv3x3Params(nn.Module):
+    """Param-compatible stand-in for `nn.Conv(features, (3, 3))`: identical
+    param names (kernel, bias), shapes, and initializers, so the fused
+    conv-epilogue path (ops/conv_gn.py) round-trips checkpoints with the
+    unfused path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
 
 
 class ResBlock(nn.Module):
@@ -83,25 +132,44 @@ class ResBlock(nn.Module):
         elif self.down:
             h = avg_pool_2x(h)
             x = avg_pool_2x(x)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="in_conv"
-        )(h)
-
         emb_out = nn.Dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
             dtype=self.dtype,
             name="emb_proj",
         )(nn.silu(emb))
-        emb_out = emb_out[:, None, None, :]
 
-        if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNormSiLU(silu=False, name="out_norm")(h)
-            h = h * (1 + scale) + shift
-            h = nn.silu(h)
+        epi = None if self.use_scale_shift_norm else _gn_epilogue_mode()
+        if epi is not None:
+            # fused in_conv + emb-FiLM + out_norm statistics: the emb vector
+            # is constant over space, so it folds into a per-batch conv bias;
+            # the GN stats come out of the conv epilogue while the output is
+            # still in VMEM (no dedicated HBM stats passes). Identical param
+            # tree to the unfused path (in_conv/{kernel,bias}, out_norm/
+            # {scale,bias}) — checkpoint-compatible both ways.
+            k, bconv = _Conv3x3Params(self.out_channels, name="in_conv")(
+                h.shape[-1]
+            )
+            bias_vec = (bconv[None, :].astype(jnp.float32)
+                        + emb_out.astype(jnp.float32))
+            h, ch_sum, ch_sq = conv3x3_stats(
+                h, k.astype(self.dtype), bias_vec,
+                interpret=epi == "interpret",
+            )
+            h = GroupNormSiLU(name="out_norm")(h, stats=(ch_sum, ch_sq))
         else:
-            h = h + emb_out
-            h = GroupNormSiLU(name="out_norm")(h)
+            h = nn.Conv(
+                self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                name="in_conv",
+            )(h)
+            emb_out = emb_out[:, None, None, :]
+            if self.use_scale_shift_norm:
+                scale, shift = jnp.split(emb_out, 2, axis=-1)
+                h = GroupNormSiLU(silu=False, name="out_norm")(h)
+                h = h * (1 + scale) + shift
+                h = nn.silu(h)
+            else:
+                h = h + emb_out
+                h = GroupNormSiLU(name="out_norm")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1,

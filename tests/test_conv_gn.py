@@ -1,0 +1,134 @@
+"""Conv-epilogue GroupNorm statistics fusion (ops/conv_gn.py).
+
+The kernel computes conv3x3(+per-batch bias, +optional skip) and the
+per-channel GN statistics in one VMEM pass; GroupNormSiLU(stats=...)
+normalizes from them. Interpret-mode tests pin the Pallas path to the jnp
+spec; the ResBlock test pins the fused module path to the unfused one.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsml_thesis_tpu.ops.conv_gn import (
+    _conv_stats_reference,
+    conv3x3_stats,
+    group_norm_silu_apply,
+)
+from dsml_thesis_tpu.ops.groupnorm import group_norm_silu_reference
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.RandomState(seed).randn(*shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("with_skip", [False, True])
+def test_conv3x3_stats_kernel_matches_reference(with_skip):
+    b, h, w, cin, cout = 2, 16, 16, 32, 64
+    x = _rand((b, h, w, cin), 0)
+    wk = _rand((3, 3, cin, cout), 1) * 0.1
+    bias = _rand((b, cout), 2)
+    skip = _rand((b, h, w, cout), 3) if with_skip else None
+
+    y, s1, s2 = conv3x3_stats(x, wk, bias, skip=skip, use_pallas=True,
+                              interpret=True)
+    yr, r1, r2 = _conv_stats_reference(x, wk, bias, skip)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=1e-4,
+                               rtol=1e-4)
+    # fp32 reduction order differs between the kernel and lax.conv+sum
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(r1), rtol=5e-5,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(r2), rtol=5e-5,
+                               atol=1e-3)
+
+
+def test_conv3x3_stats_grad_matches_reference():
+    b, h, w, cin, cout = 2, 8, 8, 16, 32
+    x = _rand((b, h, w, cin), 0)
+    wk = _rand((3, 3, cin, cout), 1) * 0.1
+    bias = _rand((b, cout), 2)
+
+    def loss_fused(x, wk, bias):
+        y, s1, s2 = conv3x3_stats(x, wk, bias, use_pallas=True, interpret=True)
+        return jnp.sum(y**2) + jnp.sum(s1 * s2)
+
+    def loss_ref(x, wk, bias):
+        y, s1, s2 = _conv_stats_reference(x, wk, bias)
+        return jnp.sum(y**2) + jnp.sum(s1 * s2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, wk, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, wk, bias)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-2,
+                                   rtol=1e-3)
+
+
+def test_apply_with_stats_matches_full_groupnorm():
+    b, n, c, g = 2, 64, 32, 8
+    x = _rand((b, 8, 8, c), 0)
+    gamma = _rand((c,), 1) * 0.1 + 1.0
+    beta = _rand((c,), 2) * 0.1
+    xf = x.astype(jnp.float32).reshape(b, n, c)
+    out = group_norm_silu_apply(
+        x, jnp.sum(xf, axis=1), jnp.sum(xf * xf, axis=1), gamma, beta,
+        num_groups=g,
+    )
+    ref = group_norm_silu_reference(x, gamma, beta, num_groups=g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_resblock_epilogue_path_matches_unfused(monkeypatch):
+    """DSML_GN_EPILOGUE=interpret drives the fused conv+stats kernel through
+    ResBlock; params and outputs must match the unfused path (the fused conv
+    accumulates in fp32 before the emb add, so tolerance covers one rounding
+    step at fp32)."""
+    from dsml_thesis_tpu.models.unet import ResBlock
+
+    blk = ResBlock(out_channels=64)
+    x = _rand((2, 8, 8, 32), 0)
+    emb = _rand((2, 24), 1)
+
+    monkeypatch.delenv("DSML_GN_EPILOGUE", raising=False)
+    params = blk.init(jax.random.PRNGKey(0), x, emb)["params"]
+    base = blk.apply({"params": params}, x, emb)
+
+    monkeypatch.setenv("DSML_GN_EPILOGUE", "interpret")
+    params_f = blk.init(jax.random.PRNGKey(0), x, emb)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_f))
+    for a, b_ in zip(jax.tree_util.tree_leaves(params),
+                     jax.tree_util.tree_leaves(params_f)):
+        assert a.shape == b_.shape and a.dtype == b_.dtype
+    out = blk.apply({"params": params}, x, emb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-4,
+                               rtol=1e-4)
+
+    # gradients flow through the fused path (custom VJP via the jnp spec)
+    def loss(p):
+        return jnp.sum(blk.apply({"params": p}, x, emb) ** 2)
+
+    g = jax.grad(loss)(params)
+    def loss_base(p):
+        monkeypatch.delenv("DSML_GN_EPILOGUE", raising=False)
+        return jnp.sum(blk.apply({"params": p}, x, emb) ** 2)
+    gb = jax.grad(loss_base)(params)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g),
+                     jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3,
+                                   rtol=5e-3)
+
+
+def test_epilogue_off_under_mesh(monkeypatch):
+    """The fused pallas_call is opaque to GSPMD: under a >1-device attention
+    mesh the gate must return None so the unfused (partitionable) path runs."""
+    from dsml_thesis_tpu.models.unet import _gn_epilogue_mode
+    from dsml_thesis_tpu.ops.attention import attention_mesh
+    from dsml_thesis_tpu.parallel import make_mesh
+
+    monkeypatch.setenv("DSML_GN_EPILOGUE", "interpret")
+    assert _gn_epilogue_mode() == "interpret"
+    with attention_mesh(make_mesh(n_data=8)):
+        assert _gn_epilogue_mode() is None
