@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from ..ops.attention import multi_head_attention
 from .quantize import VectorQuantizer
+from ..ops.conv_gn import conv3x3_stats
 from .unet import GroupNormSiLU, upsample_nearest
 
 
@@ -32,10 +33,28 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from .unet import _Conv3x3Params, _gn_epilogue_mode
+
         out_ch = self.out_channels or x.shape[-1]
         h = GroupNormSiLU(eps=1e-6, name="norm1")(x)
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = GroupNormSiLU(eps=1e-6, name="norm2")(h)
+        epi = _gn_epilogue_mode()
+        if epi is not None:
+            # conv1's epilogue emits norm2's statistics while the output is
+            # still in VMEM (ops/conv_gn.py; same param tree as nn.Conv —
+            # large spatial shapes fall back inside conv3x3_stats)
+            k, bconv = _Conv3x3Params(out_ch, name="conv1")(h.shape[-1])
+            bias_vec = jnp.broadcast_to(
+                bconv[None, :].astype(jnp.float32), (h.shape[0], out_ch)
+            )
+            h, ch_sum, ch_sq = conv3x3_stats(
+                h, k.astype(self.dtype), bias_vec,
+                interpret=epi == "interpret",
+            )
+            h = GroupNormSiLU(eps=1e-6, name="norm2")(h, stats=(ch_sum, ch_sq))
+        else:
+            h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                        name="conv1")(h)
+            h = GroupNormSiLU(eps=1e-6, name="norm2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != out_ch:

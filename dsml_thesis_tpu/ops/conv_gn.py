@@ -35,6 +35,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def conv_gn_fits(hh: int, ww: int, cin: int, cout: int, itemsize: int,
+                 has_skip: bool = False) -> bool:
+    """Whole-image VMEM fit for the epilogue kernel (one batch element per
+    grid step): input (+padded VMEM copy, +double buffer, +one live shifted
+    patch), resident weights, fp32 accumulator, output (+double buffer).
+    Shapes that do not fit (e.g. the 256px VQGAN top level) fall back to the
+    unfused path instead of dying in a Mosaic VMEM error at compile time."""
+    xb = hh * ww * cin * itemsize
+    xpad = (hh + 2) * (ww + 2) * cin * itemsize
+    wb = 9 * cin * cout * itemsize
+    acc = hh * ww * cout * 4
+    yb = hh * ww * cout * itemsize
+    total = (3 * xb + xpad + 2 * wb + acc + 3 * yb
+             + (3 * yb if has_skip else 0) + (1 << 22))
+    return total <= 100 * (1 << 20)
+
+
 def _conv_kernel(x_ref, w_ref, bias_ref, *rest, hh, ww, cin, cout, has_skip):
     """One batch element: 3x3 SAME conv as 9 shifted [H*W, Cin] @ [Cin, Cout]
     MXU contractions accumulated in fp32, plus per-channel sum / sum-of-
@@ -76,12 +93,13 @@ def conv3x3_stats_pallas(x, w, bias, skip=None, interpret: bool = False):
     cout = w.shape[-1]
     itemsize = jnp.dtype(x.dtype).itemsize
     xb = hh * ww * cin * itemsize
+    xpad = (hh + 2) * (ww + 2) * cin * itemsize
     yb = hh * ww * cout * itemsize
     wb = 9 * cin * cout * itemsize
+    # EXACTLY the conv_gn_fits working set (a fit-approved shape must never
+    # die on this limit), capped at the physical budget
     vmem_limit = min(
-        # x block (+ padded VMEM copy + double buffer) + resident weights +
-        # fp32 accumulator + y (+ double buffer) + optional skip + slack
-        4 * xb + 2 * wb + hh * ww * cout * 4 + 3 * yb
+        3 * xb + xpad + 2 * wb + hh * ww * cout * 4 + 3 * yb
         + (3 * yb if skip is not None else 0) + (1 << 22),
         110 * (1 << 20),
     )
@@ -214,6 +232,11 @@ def conv3x3_stats(x, w, bias, skip=None, use_pallas=None,
         from .attention import _on_tpu
 
         use_pallas = _on_tpu() or interpret
+    b, hh, ww, cin = x.shape
+    if use_pallas and not conv_gn_fits(hh, ww, cin, w.shape[-1],
+                                       jnp.dtype(x.dtype).itemsize,
+                                       skip is not None):
+        use_pallas = False
     if not use_pallas:
         return _conv_stats_reference(x, w, bias, skip)
     return _conv_stats_diff(x, w, bias, skip is not None, interpret, skip)

@@ -121,6 +121,45 @@ def test_resblock_epilogue_path_matches_unfused(monkeypatch):
                                    rtol=5e-3)
 
 
+def test_vqgan_resnet_block_epilogue_matches(monkeypatch):
+    """The VQGAN ResnetBlock's conv1->norm2 pair takes the same fused
+    epilogue path; params and outputs match the unfused path."""
+    from dsml_thesis_tpu.models.autoencoder import ResnetBlock
+
+    blk = ResnetBlock(out_channels=64)
+    x = _rand((2, 8, 8, 32), 0)
+
+    monkeypatch.delenv("DSML_GN_EPILOGUE", raising=False)
+    params = blk.init(jax.random.PRNGKey(0), x)["params"]
+    base = blk.apply({"params": params}, x)
+
+    monkeypatch.setenv("DSML_GN_EPILOGUE", "interpret")
+    params_f = blk.init(jax.random.PRNGKey(0), x)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_f))
+    out = blk.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_conv3x3_stats_large_shape_falls_back(monkeypatch):
+    """Shapes whose whole-image working set exceeds VMEM must dispatch to the
+    jnp spec instead of a doomed pallas_call (conv_gn_fits gate)."""
+    from dsml_thesis_tpu.ops.conv_gn import conv_gn_fits
+
+    assert conv_gn_fits(16, 16, 32, 64, 4)
+    assert not conv_gn_fits(256, 256, 128, 128, 4)
+    # dispatch path: use_pallas=True on an oversized shape still succeeds
+    b, h, w, c = 1, 256, 256, 8  # small channels keep the test light
+    x = _rand((b, h, w, 128), 0)[:, :, :, :c]
+    wk = _rand((3, 3, c, 128), 1) * 0.05
+    bias = _rand((b, 128), 2)
+    y, s1, s2 = conv3x3_stats(x, wk, bias, use_pallas=True, interpret=True)
+    yr, r1, r2 = _conv_stats_reference(x, wk, bias)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=1e-4,
+                               rtol=1e-4)
+
+
 def test_epilogue_off_under_mesh(monkeypatch):
     """The fused pallas_call is opaque to GSPMD: under a >1-device attention
     mesh the gate must return None so the unfused (partitionable) path runs."""
