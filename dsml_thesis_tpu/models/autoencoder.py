@@ -22,32 +22,41 @@ from flax import linen as nn
 
 from ..ops.attention import multi_head_attention
 from .quantize import VectorQuantizer
-from ..ops.conv_gn import conv3x3_stats
-from .unet import GroupNormSiLU, upsample_nearest
+from ..ops.conv_gn import conv3x3_stats, conv_stats
+from .unet import (
+    GroupNormSiLU,
+    _ConvParams,
+    _gn_epilogue_mode,
+    _per_batch_bias,
+    upsample_nearest,
+)
 
 
 class ResnetBlock(nn.Module):
+    """model.py:82-149. Returns `(out, stats)`: under the conv-epilogue
+    fusion (ops/conv_gn.py) and `emit_stats=True`, `stats` is the
+    per-channel (sum, sum_sq) of `out` from the fused conv2+residual kernel
+    for the next GroupNorm consumer; otherwise None. `in_stats` accepts the
+    same pair for this block's norm1."""
+
     out_channels: Optional[int] = None
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        from .unet import _Conv3x3Params, _gn_epilogue_mode
-
+    def __call__(self, x, deterministic: bool = True, in_stats=None,
+                 emit_stats: bool = False):
         out_ch = self.out_channels or x.shape[-1]
-        h = GroupNormSiLU(eps=1e-6, name="norm1")(x)
+        h = GroupNormSiLU(eps=1e-6, name="norm1")(x, stats=in_stats)
         epi = _gn_epilogue_mode()
         if epi is not None:
             # conv1's epilogue emits norm2's statistics while the output is
             # still in VMEM (ops/conv_gn.py; same param tree as nn.Conv —
             # large spatial shapes fall back inside conv3x3_stats)
-            k, bconv = _Conv3x3Params(out_ch, name="conv1")(h.shape[-1])
-            bias_vec = jnp.broadcast_to(
-                bconv[None, :].astype(jnp.float32), (h.shape[0], out_ch)
-            )
+            k, bconv = _ConvParams(out_ch, name="conv1")(h.shape[-1])
             h, ch_sum, ch_sq = conv3x3_stats(
-                h, k.astype(self.dtype), bias_vec,
+                h.astype(self.dtype), k.astype(self.dtype),
+                _per_batch_bias(bconv, h.shape[0], out_ch),
                 interpret=epi == "interpret",
             )
             h = GroupNormSiLU(eps=1e-6, name="norm2")(h, stats=(ch_sum, ch_sq))
@@ -56,28 +65,54 @@ class ResnetBlock(nn.Module):
                         name="conv1")(h)
             h = GroupNormSiLU(eps=1e-6, name="norm2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+        if epi is not None and emit_stats:
+            # fused conv2 + residual with the output's stats in the epilogue
+            if x.shape[-1] != out_ch:
+                x = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                            name="nin_shortcut")(x)
+            k2, b2 = _ConvParams(out_ch, name="conv2")(h.shape[-1])
+            out, s1, s2 = conv3x3_stats(
+                h.astype(self.dtype), k2.astype(self.dtype),
+                _per_batch_bias(b2, h.shape[0], out_ch),
+                skip=x.astype(self.dtype), interpret=epi == "interpret",
+            )
+            return out, (s1, s2)
+
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != out_ch:
             x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
-        return x + h
+        return x + h, None
 
 
 class AttnBlock(nn.Module):
-    """Single-head full self-attention over spatial tokens (model.py:150-203)."""
+    """Single-head full self-attention over spatial tokens (model.py:150-203).
+
+    Same `(out, stats)` / `in_stats` convention as ResnetBlock: the fused
+    proj_out+residual kernel emits the output's GN statistics."""
 
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, in_stats=None, emit_stats: bool = False):
         b, hh, ww, c = x.shape
-        h = GroupNormSiLU(eps=1e-6, silu=False, name="norm")(x)
+        h = GroupNormSiLU(eps=1e-6, silu=False, name="norm")(x, stats=in_stats)
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h).reshape(b, 1, hh * ww, c)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h).reshape(b, 1, hh * ww, c)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h).reshape(b, 1, hh * ww, c)
         out = multi_head_attention(q, k, v, scale=c**-0.5)
         out = out.reshape(b, hh, ww, c)
+        epi = _gn_epilogue_mode()
+        if epi is not None and emit_stats:
+            kp, bp = _ConvParams(c, 1, name="proj_out")(c)
+            out, s1, s2 = conv_stats(
+                out.astype(self.dtype), kp.astype(self.dtype),
+                _per_batch_bias(bp, b, c), skip=x.astype(self.dtype),
+                interpret=epi == "interpret",
+            )
+            return out, (s1, s2)
         out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
-        return x + out
+        return x + out, None
 
 
 class DownsampleAE(nn.Module):
@@ -120,24 +155,51 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.Conv(self.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        # `st` threads per-channel (sum, sum_sq) stats from each fused
+        # producer to the next GroupNorm (ops/conv_gn.py); emit_stats=False
+        # before Downsample (no norm consumer — don't pay for stats there)
+        epi = _gn_epilogue_mode()
+        if epi is not None:
+            k_in, b_in = _ConvParams(self.ch, name="conv_in")(x.shape[-1])
+            h, s1, s2 = conv3x3_stats(
+                x.astype(self.dtype), k_in.astype(self.dtype),
+                _per_batch_bias(b_in, x.shape[0], self.ch),
+                interpret=epi == "interpret",
+            )
+            st = (s1, s2)
+        else:
+            h = nn.Conv(self.ch, (3, 3), padding=1, dtype=self.dtype,
+                        name="conv_in")(x)
+            st = None
         curr_res = self.resolution
+        last_level = len(self.ch_mult) - 1
         for i_level, mult in enumerate(self.ch_mult):
             block_out = self.ch * mult
             for i_block in range(self.num_res_blocks):
-                h = ResnetBlock(
+                attn_here = curr_res in self.attn_resolutions
+                # the consumer after this position is a norm unless a
+                # Downsample follows directly
+                last_in_level = i_block == self.num_res_blocks - 1
+                emit = attn_here or not (last_in_level and i_level != last_level)
+                h, st = ResnetBlock(
                     block_out, self.dropout, self.dtype,
                     name=f"down_{i_level}_block_{i_block}",
-                )(h, deterministic)
-                if curr_res in self.attn_resolutions:
-                    h = AttnBlock(self.dtype, name=f"down_{i_level}_attn_{i_block}")(h)
-            if i_level != len(self.ch_mult) - 1:
+                )(h, deterministic, st, emit)
+                if attn_here:
+                    emit = not (last_in_level and i_level != last_level)
+                    h, st = AttnBlock(
+                        self.dtype, name=f"down_{i_level}_attn_{i_block}"
+                    )(h, st, emit)
+            if i_level != last_level:
                 h = DownsampleAE(self.dtype, name=f"down_{i_level}_downsample")(h)
+                st = None
                 curr_res //= 2
-        h = ResnetBlock(None, self.dropout, self.dtype, name="mid_block_1")(h, deterministic)
-        h = AttnBlock(self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(None, self.dropout, self.dtype, name="mid_block_2")(h, deterministic)
-        h = GroupNormSiLU(eps=1e-6, name="norm_out")(h)
+        h, st = ResnetBlock(None, self.dropout, self.dtype, name="mid_block_1")(
+            h, deterministic, st, True)
+        h, st = AttnBlock(self.dtype, name="mid_attn_1")(h, st, True)
+        h, st = ResnetBlock(None, self.dropout, self.dtype, name="mid_block_2")(
+            h, deterministic, st, True)
+        h = GroupNormSiLU(eps=1e-6, name="norm_out")(h, stats=st)
         z_out = 2 * self.z_channels if self.double_z else self.z_channels
         return nn.Conv(z_out, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
@@ -163,23 +225,45 @@ class Decoder(nn.Module):
         num_res = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[-1]
         curr_res = self.resolution // 2 ** (num_res - 1)
-        h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
-        h = ResnetBlock(None, self.dropout, self.dtype, name="mid_block_1")(h, deterministic)
-        h = AttnBlock(self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(None, self.dropout, self.dtype, name="mid_block_2")(h, deterministic)
+        epi = _gn_epilogue_mode()
+        if epi is not None:
+            k_in, b_in = _ConvParams(block_in, name="conv_in")(z.shape[-1])
+            h, s1, s2 = conv3x3_stats(
+                z.astype(self.dtype), k_in.astype(self.dtype),
+                _per_batch_bias(b_in, z.shape[0], block_in),
+                interpret=epi == "interpret",
+            )
+            st = (s1, s2)
+        else:
+            h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype,
+                        name="conv_in")(z)
+            st = None
+        h, st = ResnetBlock(None, self.dropout, self.dtype, name="mid_block_1")(
+            h, deterministic, st, True)
+        h, st = AttnBlock(self.dtype, name="mid_attn_1")(h, st, True)
+        h, st = ResnetBlock(None, self.dropout, self.dtype, name="mid_block_2")(
+            h, deterministic, st, True)
         for i_level in reversed(range(num_res)):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
-                h = ResnetBlock(
+                attn_here = curr_res in self.attn_resolutions
+                last_in_level = i_block == self.num_res_blocks
+                # no norm consumer when an Upsample follows directly
+                emit = attn_here or not (last_in_level and i_level != 0)
+                h, st = ResnetBlock(
                     block_out, self.dropout, self.dtype,
                     name=f"up_{i_level}_block_{i_block}",
-                )(h, deterministic)
-                if curr_res in self.attn_resolutions:
-                    h = AttnBlock(self.dtype, name=f"up_{i_level}_attn_{i_block}")(h)
+                )(h, deterministic, st, emit)
+                if attn_here:
+                    emit = not (last_in_level and i_level != 0)
+                    h, st = AttnBlock(
+                        self.dtype, name=f"up_{i_level}_attn_{i_block}"
+                    )(h, st, emit)
             if i_level != 0:
                 h = UpsampleAE(self.dtype, name=f"up_{i_level}_upsample")(h)
+                st = None
                 curr_res *= 2
-        h = GroupNormSiLU(eps=1e-6, name="norm_out")(h)
+        h = GroupNormSiLU(eps=1e-6, name="norm_out")(h, stats=st)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
         if self.tanh_out:
             h = jnp.tanh(h)

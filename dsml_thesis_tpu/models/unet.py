@@ -23,14 +23,14 @@ use_spatial_transformer, transformer_depth, context_dim, dropout, ...).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import multi_head_attention, packed_multi_head_attention
-from ..ops.conv_gn import conv3x3_stats, group_norm_silu_apply
+from ..ops.conv_gn import conv3x3_stats, conv_stats, group_norm_silu_apply
 from ..ops.groupnorm import group_norm_silu
 
 
@@ -93,27 +93,51 @@ def _gn_epilogue_mode():
     return mode
 
 
-class _Conv3x3Params(nn.Module):
-    """Param-compatible stand-in for `nn.Conv(features, (3, 3))`: identical
+class _ConvParams(nn.Module):
+    """Param-compatible stand-in for `nn.Conv(features, (K, K))`: identical
     param names (kernel, bias), shapes, and initializers, so the fused
     conv-epilogue path (ops/conv_gn.py) round-trips checkpoints with the
     unfused path."""
 
     features: int
+    ksize: int = 3
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, cin: int):
         k = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (3, 3, cin, self.features), jnp.float32,
+            "kernel", self.kernel_init,
+            (self.ksize, self.ksize, cin, self.features), jnp.float32,
         )
-        b = self.param("bias", nn.initializers.zeros, (self.features,),
-                       jnp.float32)
+        b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
         return k, b
 
 
+def _per_batch_bias(bias, batch: int, features: int):
+    """[Cout] conv bias -> the kernel's per-batch [B, Cout] fp32 bias rows."""
+    return jnp.broadcast_to(bias[None, :].astype(jnp.float32),
+                            (batch, features))
+
+
+def _concat_stats(a, b):
+    """Per-channel stats compose through a channel concat: the channel sums
+    of concat([x, y], -1) are concat of the channel sums. None if either
+    side is missing (consumer falls back to its own reduce)."""
+    if a is None or b is None:
+        return None
+    return (jnp.concatenate([a[0], b[0]], axis=-1),
+            jnp.concatenate([a[1], b[1]], axis=-1))
+
+
 class ResBlock(nn.Module):
-    """Residual block with timestep-embedding FiLM (openaimodel.py:163-276)."""
+    """Residual block with timestep-embedding FiLM (openaimodel.py:163-276).
+
+    Returns `(out, stats)`: under the conv-epilogue fusion (DSML_GN_EPILOGUE,
+    ops/conv_gn.py) `stats` is the per-channel (sum, sum_sq) of `out`,
+    emitted by the fused out_conv+residual kernel for the NEXT GroupNorm
+    consumer; otherwise None. `in_stats` accepts the same pair for this
+    block's in_norm."""
 
     out_channels: int
     dropout: float = 0.0
@@ -123,9 +147,9 @@ class ResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, deterministic: bool = True):
+    def __call__(self, x, emb, deterministic: bool = True, in_stats=None):
         ch_in = x.shape[-1]
-        h = GroupNormSiLU(name="in_norm")(x)
+        h = GroupNormSiLU(name="in_norm")(x, stats=in_stats)
         if self.up:
             h = upsample_nearest(h)
             x = upsample_nearest(x)
@@ -138,15 +162,15 @@ class ResBlock(nn.Module):
             name="emb_proj",
         )(nn.silu(emb))
 
-        epi = None if self.use_scale_shift_norm else _gn_epilogue_mode()
-        if epi is not None:
+        epi = _gn_epilogue_mode()
+        if epi is not None and not self.use_scale_shift_norm:
             # fused in_conv + emb-FiLM + out_norm statistics: the emb vector
             # is constant over space, so it folds into a per-batch conv bias;
             # the GN stats come out of the conv epilogue while the output is
             # still in VMEM (no dedicated HBM stats passes). Identical param
             # tree to the unfused path (in_conv/{kernel,bias}, out_norm/
             # {scale,bias}) — checkpoint-compatible both ways.
-            k, bconv = _Conv3x3Params(self.out_channels, name="in_conv")(
+            k, bconv = _ConvParams(self.out_channels, name="in_conv")(
                 h.shape[-1]
             )
             bias_vec = (bconv[None, :].astype(jnp.float32)
@@ -171,15 +195,32 @@ class ResBlock(nn.Module):
                 h = h + emb_out
                 h = GroupNormSiLU(name="out_norm")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+        if epi is not None:
+            # fused out_conv + residual add, with the stats of the RESULT in
+            # the epilogue — they feed the next block's norm (phase 2)
+            if ch_in != self.out_channels:
+                x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                            name="skip")(x)
+            k2, b2 = _ConvParams(
+                self.out_channels, 3, nn.initializers.zeros,
+                nn.initializers.zeros, name="out_conv",
+            )(h.shape[-1])
+            out, s1, s2 = conv3x3_stats(
+                h, k2.astype(self.dtype),
+                _per_batch_bias(b2, h.shape[0], self.out_channels),
+                skip=x, interpret=epi == "interpret",
+            )
+            return out, (s1, s2)
+
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1,
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
             dtype=self.dtype, name="out_conv",
         )(h)
-
         if ch_in != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
-        return x + h
+        return x + h, None
 
 
 class _HeadProj(nn.Module):
@@ -365,11 +406,12 @@ class SpatialTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, deterministic: bool = True):
+    def __call__(self, x, context=None, deterministic: bool = True,
+                 in_stats=None):
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
         x_in = x
-        x = GroupNormSiLU(eps=1e-6, silu=False, name="norm")(x)
+        x = GroupNormSiLU(eps=1e-6, silu=False, name="norm")(x, stats=in_stats)
         x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, inner)
         for d in range(self.depth):
@@ -378,12 +420,23 @@ class SpatialTransformer(nn.Module):
                 name=f"block_{d}",
             )(x, context, deterministic)
         x = x.reshape(b, h, w, inner)
+        epi = _gn_epilogue_mode()
+        if epi is not None:
+            # fused proj_out (1x1) + residual, stats in the epilogue for the
+            # next GroupNorm consumer (ops/conv_gn.py)
+            k, b2 = _ConvParams(c, 1, nn.initializers.zeros,
+                                nn.initializers.zeros, name="proj_out")(inner)
+            out, s1, s2 = conv_stats(
+                x, k.astype(self.dtype), _per_batch_bias(b2, b, c),
+                skip=x_in, interpret=epi == "interpret",
+            )
+            return out, (s1, s2)
         x = nn.Conv(
             c, (1, 1),
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
             dtype=self.dtype, name="proj_out",
         )(x)
-        return x + x_in
+        return x + x_in, None
 
 
 def upsample_nearest(x):
@@ -507,69 +560,92 @@ class UNetModel(nn.Module):
             if self.use_checkpoint else SpatialTransformer
         )
 
-        def res(h, e, out_ch, name, **kw):
+        # `st` threads the per-channel (sum, sum_sq) of the tensor flowing
+        # alongside it: under the conv-epilogue fusion every ResBlock /
+        # SpatialTransformer emits the stats of its OUTPUT from its final
+        # fused conv, and the next GroupNorm consumes them instead of running
+        # its own HBM reduce. None anywhere = that consumer falls back.
+        def res(h, st, e, out_ch, name, **kw):
             return res_cls(
                 out_ch, self.dropout, self.use_scale_shift_norm,
                 dtype=self.dtype, name=name, **kw,
-            )(h, e, deterministic)
+            )(h, e, deterministic, st)
 
-        def attn(h, ctx, ch, name):
+        def attn(h, st, ctx, ch, name):
             heads, dim_head = self._heads(ch)
             if not self.use_spatial_transformer:
-                return AttentionBlock(heads, self.dtype, name=name)(h)
+                return AttentionBlock(heads, self.dtype, name=name)(h), None
             return st_cls(
                 heads, dim_head, self.transformer_depth, self.dropout,
                 self.dtype, name=name,
-            )(h, ctx, deterministic)
+            )(h, ctx, deterministic, st)
 
         # --- input blocks ---
         hs = []
-        h = nn.Conv(
-            self.model_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_in"
-        )(x)
-        hs.append(h)
+        epi = _gn_epilogue_mode()
+        if epi is not None:
+            k_in, b_in = _ConvParams(self.model_channels, name="conv_in")(
+                x.shape[-1]
+            )
+            h, s1, s2 = conv3x3_stats(
+                x, k_in.astype(self.dtype),
+                _per_batch_bias(b_in, x.shape[0], self.model_channels),
+                interpret=epi == "interpret",
+            )
+            st = (s1, s2)
+        else:
+            h = nn.Conv(
+                self.model_channels, (3, 3), padding=1, dtype=self.dtype,
+                name="conv_in",
+            )(x)
+            st = None
+        hs.append((h, st))
         ch = self.model_channels
         ds = 1
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
                 ch = mult * self.model_channels
-                h = res(h, emb, ch, f"down_{level}_{i}_res")
+                h, st = res(h, st, emb, ch, f"down_{level}_{i}_res")
                 if ds in self.attention_resolutions:
-                    h = attn(h, context, ch, f"down_{level}_{i}_attn")
-                hs.append(h)
+                    h, st = attn(h, st, context, ch, f"down_{level}_{i}_attn")
+                hs.append((h, st))
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
-                    h = res(h, emb, ch, f"down_{level}_ds", down=True)
+                    h, st = res(h, st, emb, ch, f"down_{level}_ds", down=True)
                 else:
                     h = Downsample(
                         ch, self.conv_resample, self.dtype, name=f"down_{level}_ds"
                     )(h)
-                hs.append(h)
+                    st = None
+                hs.append((h, st))
                 ds *= 2
 
         # --- middle ---
-        h = res(h, emb, ch, "mid_res1")
-        h = attn(h, context, ch, "mid_attn")
-        h = res(h, emb, ch, "mid_res2")
+        h, st = res(h, st, emb, ch, "mid_res1")
+        h, st = attn(h, st, context, ch, "mid_attn")
+        h, st = res(h, st, emb, ch, "mid_res2")
 
         # --- output blocks ---
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
-                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h_skip, st_skip = hs.pop()
+                st = _concat_stats(st, st_skip)
+                h = jnp.concatenate([h, h_skip], axis=-1)
                 ch = self.model_channels * mult
-                h = res(h, emb, ch, f"up_{level}_{i}_res")
+                h, st = res(h, st, emb, ch, f"up_{level}_{i}_res")
                 if ds in self.attention_resolutions:
-                    h = attn(h, context, ch, f"up_{level}_{i}_attn")
+                    h, st = attn(h, st, context, ch, f"up_{level}_{i}_attn")
                 if level and i == self.num_res_blocks:
                     if self.resblock_updown:
-                        h = res(h, emb, ch, f"up_{level}_us", up=True)
+                        h, st = res(h, st, emb, ch, f"up_{level}_us", up=True)
                     else:
                         h = Upsample(
                             ch, self.conv_resample, self.dtype, name=f"up_{level}_us"
                         )(h)
+                        st = None
                     ds //= 2
 
-        h = GroupNormSiLU(name="out_norm")(h)
+        h = GroupNormSiLU(name="out_norm")(h, stats=st)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1,
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,

@@ -36,15 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def conv_gn_fits(hh: int, ww: int, cin: int, cout: int, itemsize: int,
-                 has_skip: bool = False) -> bool:
+                 has_skip: bool = False, ksize: int = 3) -> bool:
     """Whole-image VMEM fit for the epilogue kernel (one batch element per
     grid step): input (+padded VMEM copy, +double buffer, +one live shifted
     patch), resident weights, fp32 accumulator, output (+double buffer).
     Shapes that do not fit (e.g. the 256px VQGAN top level) fall back to the
     unfused path instead of dying in a Mosaic VMEM error at compile time."""
     xb = hh * ww * cin * itemsize
-    xpad = (hh + 2) * (ww + 2) * cin * itemsize
-    wb = 9 * cin * cout * itemsize
+    xpad = (hh + 2) * (ww + 2) * cin * itemsize if ksize == 3 else 0
+    wb = ksize * ksize * cin * cout * itemsize
     acc = hh * ww * cout * 4
     yb = hh * ww * cout * itemsize
     total = (3 * xb + xpad + 2 * wb + acc + 3 * yb
@@ -52,23 +52,29 @@ def conv_gn_fits(hh: int, ww: int, cin: int, cout: int, itemsize: int,
     return total <= 100 * (1 << 20)
 
 
-def _conv_kernel(x_ref, w_ref, bias_ref, *rest, hh, ww, cin, cout, has_skip):
-    """One batch element: 3x3 SAME conv as 9 shifted [H*W, Cin] @ [Cin, Cout]
-    MXU contractions accumulated in fp32, plus per-channel sum / sum-of-
-    squares of the (cast) output computed while it is still in VMEM."""
+def _conv_kernel(x_ref, w_ref, bias_ref, *rest, hh, ww, cin, cout, has_skip,
+                 ksize):
+    """One batch element: KxK SAME conv as K*K shifted [H*W, Cin] @
+    [Cin, Cout] MXU contractions accumulated in fp32 (one unshifted matmul
+    for 1x1), plus per-channel sum / sum-of-squares of the (cast) output
+    computed while it is still in VMEM."""
     if has_skip:
         skip_ref, o_ref, s_ref = rest
     else:
         o_ref, s_ref = rest
     x = x_ref[0]  # [H, W, Cin], input dtype
-    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
     acc = jnp.zeros((hh * ww, cout), jnp.float32)
-    for di in range(3):
-        for dj in range(3):
-            patch = xp[di:di + hh, dj:dj + ww, :].reshape(hh * ww, cin)
-            acc = acc + jnp.dot(
-                patch, w_ref[di, dj], preferred_element_type=jnp.float32
-            )
+    if ksize == 1:
+        acc = acc + jnp.dot(x.reshape(hh * ww, cin), w_ref[0, 0],
+                            preferred_element_type=jnp.float32)
+    else:
+        xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
+        for di in range(3):
+            for dj in range(3):
+                patch = xp[di:di + hh, dj:dj + ww, :].reshape(hh * ww, cin)
+                acc = acc + jnp.dot(
+                    patch, w_ref[di, dj], preferred_element_type=jnp.float32
+                )
     acc = acc + bias_ref[0].astype(jnp.float32)  # [1, Cout] broadcast row
     if has_skip:
         acc = acc + skip_ref[0].reshape(hh * ww, cout).astype(jnp.float32)
@@ -80,22 +86,24 @@ def _conv_kernel(x_ref, w_ref, bias_ref, *rest, hh, ww, cin, cout, has_skip):
     s_ref[0, 1:2] = jnp.sum(yf * yf, axis=0, keepdims=True)
 
 
-def conv3x3_stats_pallas(x, w, bias, skip=None, interpret: bool = False):
-    """3x3 SAME stride-1 conv with per-batch bias and channel-stats epilogue.
+def conv_stats_pallas(x, w, bias, skip=None, interpret: bool = False):
+    """KxK (K in {1, 3}) SAME stride-1 conv with per-batch bias and
+    channel-stats epilogue.
 
-    x: [B, H, W, Cin]; w: [3, 3, Cin, Cout]; bias: [B, Cout] (the conv bias
+    x: [B, H, W, Cin]; w: [K, K, Cin, Cout]; bias: [B, Cout] (the conv bias
     plus any per-batch FiLM vector, fp32); skip: optional [B, H, W, Cout]
     added to the conv output (residual fusion).
     Returns (y [B, H, W, Cout] in x.dtype, ch_sum [B, Cout] f32,
     ch_sq [B, Cout] f32) where the stats are over the spatial axes of y.
     """
     b, hh, ww, cin = x.shape
-    cout = w.shape[-1]
+    ksize, cout = w.shape[0], w.shape[-1]
+    assert ksize in (1, 3) and w.shape[1] == ksize
     itemsize = jnp.dtype(x.dtype).itemsize
     xb = hh * ww * cin * itemsize
-    xpad = (hh + 2) * (ww + 2) * cin * itemsize
+    xpad = (hh + 2) * (ww + 2) * cin * itemsize if ksize == 3 else 0
     yb = hh * ww * cout * itemsize
-    wb = 9 * cin * cout * itemsize
+    wb = ksize * ksize * cin * cout * itemsize
     # EXACTLY the conv_gn_fits working set (a fit-approved shape must never
     # die on this limit), capped at the physical budget
     vmem_limit = min(
@@ -104,12 +112,13 @@ def conv3x3_stats_pallas(x, w, bias, skip=None, interpret: bool = False):
         110 * (1 << 20),
     )
     kernel = functools.partial(
-        _conv_kernel, hh=hh, ww=ww, cin=cin, cout=cout, has_skip=skip is not None
+        _conv_kernel, hh=hh, ww=ww, cin=cin, cout=cout,
+        has_skip=skip is not None, ksize=ksize,
     )
     in_specs = [
         pl.BlockSpec((1, hh, ww, cin), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0),
+        pl.BlockSpec((ksize, ksize, cin, cout), lambda i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
@@ -188,8 +197,8 @@ def _conv_stats_reference(x, w, bias, skip=None):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _conv_stats_diff(x, w, bias, has_skip, interpret, skip):
-    return conv3x3_stats_pallas(x, w, bias, skip=skip if has_skip else None,
-                                interpret=interpret)
+    return conv_stats_pallas(x, w, bias, skip=skip if has_skip else None,
+                             interpret=interpret)
 
 
 def _conv_stats_fwd(x, w, bias, has_skip, interpret, skip):
@@ -219,10 +228,11 @@ def _conv_stats_bwd(has_skip, interpret, res, g):
 _conv_stats_diff.defvjp(_conv_stats_fwd, _conv_stats_bwd)
 
 
-def conv3x3_stats(x, w, bias, skip=None, use_pallas=None,
-                  interpret: bool = False):
-    """Differentiable fused `conv3x3 (+per-batch bias, +optional skip)` with
-    channel-stats epilogue: returns (y, ch_sum, ch_sq).
+def conv_stats(x, w, bias, skip=None, use_pallas=None,
+               interpret: bool = False):
+    """Differentiable fused `convKxK (+per-batch bias, +optional skip)` with
+    channel-stats epilogue: returns (y, ch_sum, ch_sq). K = w.shape[0]
+    (1 or 3).
 
     Dispatch mirrors attention/groupnorm: the Pallas epilogue kernel on TPU
     (or in interpret mode for CPU tests), the jnp spec otherwise — numerics
@@ -235,8 +245,12 @@ def conv3x3_stats(x, w, bias, skip=None, use_pallas=None,
     b, hh, ww, cin = x.shape
     if use_pallas and not conv_gn_fits(hh, ww, cin, w.shape[-1],
                                        jnp.dtype(x.dtype).itemsize,
-                                       skip is not None):
+                                       skip is not None, w.shape[0]):
         use_pallas = False
     if not use_pallas:
         return _conv_stats_reference(x, w, bias, skip)
     return _conv_stats_diff(x, w, bias, skip is not None, interpret, skip)
+
+
+# existing callers use the 3x3 name; the dispatch is kernel-size generic
+conv3x3_stats = conv_stats

@@ -81,10 +81,9 @@ def test_apply_with_stats_matches_full_groupnorm():
 
 
 def test_resblock_epilogue_path_matches_unfused(monkeypatch):
-    """DSML_GN_EPILOGUE=interpret drives the fused conv+stats kernel through
-    ResBlock; params and outputs must match the unfused path (the fused conv
-    accumulates in fp32 before the emb add, so tolerance covers one rounding
-    step at fp32)."""
+    """DSML_GN_EPILOGUE=interpret drives the fused conv+stats kernels through
+    ResBlock (in_conv+emb -> out_norm stats, and out_conv+residual emitting
+    the output's stats); params and outputs must match the unfused path."""
     from dsml_thesis_tpu.models.unet import ResBlock
 
     blk = ResBlock(out_channels=64)
@@ -93,7 +92,8 @@ def test_resblock_epilogue_path_matches_unfused(monkeypatch):
 
     monkeypatch.delenv("DSML_GN_EPILOGUE", raising=False)
     params = blk.init(jax.random.PRNGKey(0), x, emb)["params"]
-    base = blk.apply({"params": params}, x, emb)
+    base, base_st = blk.apply({"params": params}, x, emb)
+    assert base_st is None
 
     monkeypatch.setenv("DSML_GN_EPILOGUE", "interpret")
     params_f = blk.init(jax.random.PRNGKey(0), x, emb)["params"]
@@ -102,18 +102,32 @@ def test_resblock_epilogue_path_matches_unfused(monkeypatch):
     for a, b_ in zip(jax.tree_util.tree_leaves(params),
                      jax.tree_util.tree_leaves(params_f)):
         assert a.shape == b_.shape and a.dtype == b_.dtype
-    out = blk.apply({"params": params}, x, emb)
+    out, st = blk.apply({"params": params}, x, emb)
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-4,
                                rtol=1e-4)
+    # emitted stats describe the block OUTPUT (residual included)
+    of = np.asarray(out, np.float32).reshape(2, -1, 64)
+    np.testing.assert_allclose(np.asarray(st[0]), of.sum(axis=1), rtol=2e-4,
+                               atol=1e-2)
+    np.testing.assert_allclose(np.asarray(st[1]), (of * of).sum(axis=1),
+                               rtol=2e-4, atol=1e-2)
+    # a consumer fed those stats matches one computing its own
+    from dsml_thesis_tpu.models.unet import GroupNormSiLU
+
+    gn = GroupNormSiLU(num_groups=8)
+    gp = gn.init(jax.random.PRNGKey(1), out)["params"]
+    np.testing.assert_allclose(
+        np.asarray(gn.apply({"params": gp}, out, stats=st)),
+        np.asarray(gn.apply({"params": gp}, out)), atol=1e-4, rtol=1e-4)
 
     # gradients flow through the fused path (custom VJP via the jnp spec)
     def loss(p):
-        return jnp.sum(blk.apply({"params": p}, x, emb) ** 2)
+        return jnp.sum(blk.apply({"params": p}, x, emb)[0] ** 2)
 
     g = jax.grad(loss)(params)
     def loss_base(p):
         monkeypatch.delenv("DSML_GN_EPILOGUE", raising=False)
-        return jnp.sum(blk.apply({"params": p}, x, emb) ** 2)
+        return jnp.sum(blk.apply({"params": p}, x, emb)[0] ** 2)
     gb = jax.grad(loss_base)(params)
     for a, b_ in zip(jax.tree_util.tree_leaves(g),
                      jax.tree_util.tree_leaves(gb)):
@@ -122,8 +136,8 @@ def test_resblock_epilogue_path_matches_unfused(monkeypatch):
 
 
 def test_vqgan_resnet_block_epilogue_matches(monkeypatch):
-    """The VQGAN ResnetBlock's conv1->norm2 pair takes the same fused
-    epilogue path; params and outputs match the unfused path."""
+    """The VQGAN ResnetBlock's fused paths (conv1->norm2 stats; emit_stats
+    conv2+nin_shortcut residual) match the unfused path, params identical."""
     from dsml_thesis_tpu.models.autoencoder import ResnetBlock
 
     blk = ResnetBlock(out_channels=64)
@@ -131,15 +145,19 @@ def test_vqgan_resnet_block_epilogue_matches(monkeypatch):
 
     monkeypatch.delenv("DSML_GN_EPILOGUE", raising=False)
     params = blk.init(jax.random.PRNGKey(0), x)["params"]
-    base = blk.apply({"params": params}, x)
+    base, _ = blk.apply({"params": params}, x)
 
     monkeypatch.setenv("DSML_GN_EPILOGUE", "interpret")
-    params_f = blk.init(jax.random.PRNGKey(0), x)["params"]
+    params_f = blk.init(jax.random.PRNGKey(0), x, True, None, True)["params"]
     assert (jax.tree_util.tree_structure(params)
             == jax.tree_util.tree_structure(params_f))
-    out = blk.apply({"params": params}, x)
+    out, st = blk.apply({"params": params}, x, True, None, True)
+    assert st is not None
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-4,
                                rtol=1e-4)
+    of = np.asarray(out, np.float32).reshape(2, -1, 64)
+    np.testing.assert_allclose(np.asarray(st[0]), of.sum(axis=1), rtol=2e-4,
+                               atol=1e-2)
 
 
 def test_conv3x3_stats_large_shape_falls_back(monkeypatch):
@@ -158,6 +176,65 @@ def test_conv3x3_stats_large_shape_falls_back(monkeypatch):
     yr, r1, r2 = _conv_stats_reference(x, wk, bias)
     np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=1e-4,
                                rtol=1e-4)
+
+
+def test_unet_epilogue_end_to_end_matches(monkeypatch):
+    """Full UNet forward with the epilogue fusion threaded through the driver
+    (stem conv, ResBlocks, SpatialTransformers, decoder concat stats, final
+    out_norm) matches the unfused model on identical params."""
+    from dsml_thesis_tpu.models.unet import UNetModel
+
+    model = UNetModel(
+        in_channels=3, model_channels=32, out_channels=3, num_res_blocks=1,
+        attention_resolutions=[1, 2], channel_mult=[1, 2], num_head_channels=8,
+        use_spatial_transformer=True, transformer_depth=1, context_dim=16,
+    )
+    x = _rand((2, 8, 8, 3), 0)
+    t = jnp.asarray([3, 7])
+    ctx = _rand((2, 4, 16), 1)
+
+    monkeypatch.delenv("DSML_GN_EPILOGUE", raising=False)
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+    base = model.apply({"params": params}, x, t, ctx)
+
+    monkeypatch.setenv("DSML_GN_EPILOGUE", "interpret")
+    params_f = model.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_f))
+    out = model.apply({"params": params}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-4,
+                               rtol=2e-4)
+
+
+def test_vqgan_encoder_decoder_epilogue_matches(monkeypatch):
+    """Encoder and Decoder forwards with stats threading (conv_in stem, mid
+    attn proj_out fusion, emit gating before Down/Upsample) match unfused."""
+    from dsml_thesis_tpu.models.autoencoder import Decoder, Encoder
+
+    kw = dict(ch=32, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[4],
+              resolution=8, z_channels=8)
+    enc = Encoder(**kw)
+    dec = Decoder(**kw)
+    x = _rand((2, 8, 8, 3), 0)
+    z = _rand((2, 4, 4, 8), 1)
+
+    monkeypatch.delenv("DSML_GN_EPILOGUE", raising=False)
+    pe = enc.init(jax.random.PRNGKey(0), x)["params"]
+    pd = dec.init(jax.random.PRNGKey(1), z)["params"]
+    be = enc.apply({"params": pe}, x)
+    bd = dec.apply({"params": pd}, z)
+
+    monkeypatch.setenv("DSML_GN_EPILOGUE", "interpret")
+    pe_f = enc.init(jax.random.PRNGKey(0), x)["params"]
+    pd_f = dec.init(jax.random.PRNGKey(1), z)["params"]
+    assert (jax.tree_util.tree_structure(pe)
+            == jax.tree_util.tree_structure(pe_f))
+    assert (jax.tree_util.tree_structure(pd)
+            == jax.tree_util.tree_structure(pd_f))
+    np.testing.assert_allclose(np.asarray(enc.apply({"params": pe}, x)),
+                               np.asarray(be), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dec.apply({"params": pd}, z)),
+                               np.asarray(bd), atol=2e-4, rtol=2e-4)
 
 
 def test_epilogue_off_under_mesh(monkeypatch):
