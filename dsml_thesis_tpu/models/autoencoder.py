@@ -102,7 +102,7 @@ class AttnBlock(nn.Module):
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h).reshape(b, 1, hh * ww, c)
         out = multi_head_attention(q, k, v, scale=c**-0.5)
         out = out.reshape(b, hh, ww, c)
-        epi = _gn_epilogue_mode()
+        epi = _gn_epilogue_mode(full=True)
         if epi is not None and emit_stats:
             kp, bp = _ConvParams(c, 1, name="proj_out")(c)
             out, s1, s2 = conv_stats(
@@ -158,7 +158,7 @@ class Encoder(nn.Module):
         # `st` threads per-channel (sum, sum_sq) stats from each fused
         # producer to the next GroupNorm (ops/conv_gn.py); emit_stats=False
         # before Downsample (no norm consumer — don't pay for stats there)
-        epi = _gn_epilogue_mode()
+        epi = _gn_epilogue_mode(full=True)
         if epi is not None:
             k_in, b_in = _ConvParams(self.ch, name="conv_in")(x.shape[-1])
             h, s1, s2 = conv3x3_stats(
@@ -177,19 +177,18 @@ class Encoder(nn.Module):
             block_out = self.ch * mult
             for i_block in range(self.num_res_blocks):
                 attn_here = curr_res in self.attn_resolutions
-                # the consumer after this position is a norm unless a
-                # Downsample follows directly
-                last_in_level = i_block == self.num_res_blocks - 1
-                emit = attn_here or not (last_in_level and i_level != last_level)
+                # a Downsample (no norm consumer) directly follows the last
+                # position of every non-final level
+                at_resample = (i_block == self.num_res_blocks - 1
+                               and i_level != last_level)
                 h, st = ResnetBlock(
                     block_out, self.dropout, self.dtype,
                     name=f"down_{i_level}_block_{i_block}",
-                )(h, deterministic, st, emit)
+                )(h, deterministic, st, attn_here or not at_resample)
                 if attn_here:
-                    emit = not (last_in_level and i_level != last_level)
                     h, st = AttnBlock(
                         self.dtype, name=f"down_{i_level}_attn_{i_block}"
-                    )(h, st, emit)
+                    )(h, st, not at_resample)
             if i_level != last_level:
                 h = DownsampleAE(self.dtype, name=f"down_{i_level}_downsample")(h)
                 st = None
@@ -225,7 +224,7 @@ class Decoder(nn.Module):
         num_res = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[-1]
         curr_res = self.resolution // 2 ** (num_res - 1)
-        epi = _gn_epilogue_mode()
+        epi = _gn_epilogue_mode(full=True)
         if epi is not None:
             k_in, b_in = _ConvParams(block_in, name="conv_in")(z.shape[-1])
             h, s1, s2 = conv3x3_stats(
@@ -247,18 +246,18 @@ class Decoder(nn.Module):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
                 attn_here = curr_res in self.attn_resolutions
-                last_in_level = i_block == self.num_res_blocks
-                # no norm consumer when an Upsample follows directly
-                emit = attn_here or not (last_in_level and i_level != 0)
+                # an Upsample (no norm consumer) directly follows the last
+                # position of every non-final level
+                at_resample = (i_block == self.num_res_blocks
+                               and i_level != 0)
                 h, st = ResnetBlock(
                     block_out, self.dropout, self.dtype,
                     name=f"up_{i_level}_block_{i_block}",
-                )(h, deterministic, st, emit)
+                )(h, deterministic, st, attn_here or not at_resample)
                 if attn_here:
-                    emit = not (last_in_level and i_level != 0)
                     h, st = AttnBlock(
                         self.dtype, name=f"up_{i_level}_attn_{i_block}"
-                    )(h, st, emit)
+                    )(h, st, not at_resample)
             if i_level != 0:
                 h = UpsampleAE(self.dtype, name=f"up_{i_level}_upsample")(h)
                 st = None

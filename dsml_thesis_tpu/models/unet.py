@@ -73,24 +73,32 @@ class GroupNormSiLU(nn.Module):
         )
 
 
-def _gn_epilogue_mode():
-    """DSML_GN_EPILOGUE: '1' fuses ResBlock in_conv+emb with the out_norm
-    statistics via the Pallas conv-epilogue kernel (A/B lever, TPU only);
-    'interpret' runs the same fused path in Pallas interpret mode (CPU
-    tests). Off under a >1-device mesh: a bare pallas_call is opaque to
+def _gn_epilogue_mode(full: bool = False):
+    """DSML_GN_EPILOGUE — conv-epilogue GN-stats fusion (ops/conv_gn.py):
+      '1'         fuse everywhere (block convs, stem convs, 1x1 proj_outs)
+      'res'       fuse only the 3x3 ResBlock/ResnetBlock convs — far fewer
+                  distinct Pallas shapes (each is a separate Mosaic remote
+                  compile, minutes each cold through the tunnel), and they
+                  carry most of the win; first-A/B lever
+      'interpret' / 'res-interpret'
+                  the same two scopes in Pallas interpret mode (CPU tests)
+    Call with full=True from the stem/proj_out sites that only run under the
+    full modes. Off under a >1-device mesh: a bare pallas_call is opaque to
     GSPMD and would force gathers."""
     import os
 
     mode = os.environ.get("DSML_GN_EPILOGUE", "0")
-    if mode not in ("1", "interpret"):
+    if mode not in ("1", "res", "interpret", "res-interpret"):
+        return None
+    if full and mode.startswith("res"):
         return None
     from ..ops.attention import _ATTN_MESH, _on_tpu
 
     if _ATTN_MESH is not None and _ATTN_MESH.size > 1:
         return None
-    if mode == "1" and not _on_tpu():
+    if not mode.endswith("interpret") and not _on_tpu():
         return None
-    return mode
+    return "interpret" if mode.endswith("interpret") else "1"
 
 
 class _ConvParams(nn.Module):
@@ -372,11 +380,12 @@ class AttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, in_stats=None):
         b, h, w, c = x.shape
         n = h * w
         hd = c // self.num_heads
-        norm = GroupNormSiLU(silu=False, name="norm")(x).reshape(b, n, c)
+        norm = GroupNormSiLU(silu=False, name="norm")(x, stats=in_stats)
+        norm = norm.reshape(b, n, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(norm)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         import os
@@ -420,7 +429,7 @@ class SpatialTransformer(nn.Module):
                 name=f"block_{d}",
             )(x, context, deterministic)
         x = x.reshape(b, h, w, inner)
-        epi = _gn_epilogue_mode()
+        epi = _gn_epilogue_mode(full=True)
         if epi is not None:
             # fused proj_out (1x1) + residual, stats in the epilogue for the
             # next GroupNorm consumer (ops/conv_gn.py)
@@ -574,7 +583,10 @@ class UNetModel(nn.Module):
         def attn(h, st, ctx, ch, name):
             heads, dim_head = self._heads(ch)
             if not self.use_spatial_transformer:
-                return AttentionBlock(heads, self.dtype, name=name)(h), None
+                # consumes incoming stats in its norm; its Dense-param
+                # proj_out is not fused (config-dead for shipped YAMLs), so
+                # the chain breaks here and the next consumer falls back
+                return AttentionBlock(heads, self.dtype, name=name)(h, st), None
             return st_cls(
                 heads, dim_head, self.transformer_depth, self.dropout,
                 self.dtype, name=name,
@@ -582,7 +594,7 @@ class UNetModel(nn.Module):
 
         # --- input blocks ---
         hs = []
-        epi = _gn_epilogue_mode()
+        epi = _gn_epilogue_mode(full=True)
         if epi is not None:
             k_in, b_in = _ConvParams(self.model_channels, name="conv_in")(
                 x.shape[-1]

@@ -238,6 +238,12 @@ def conv_stats(x, w, bias, skip=None, use_pallas=None,
     (or in interpret mode for CPU tests), the jnp spec otherwise — numerics
     match either way. Feed the stats to GroupNormSiLU(stats=...) /
     group_norm_silu_apply."""
+    if w.shape[0] not in (1, 3) or w.shape[1] != w.shape[0]:
+        # checked at dispatch so the contract is platform-independent (the
+        # jnp fallback would happily run any K the Pallas kernel can't take)
+        raise ValueError(
+            f"conv_stats supports square 1x1/3x3 kernels, got {w.shape[:2]}"
+        )
     if use_pallas is None:
         from .attention import _on_tpu
 

@@ -178,6 +178,30 @@ def test_conv3x3_stats_large_shape_falls_back(monkeypatch):
                                rtol=1e-4)
 
 
+def test_resblock_scale_shift_epilogue_out_path(monkeypatch):
+    """use_scale_shift_norm=True skips the in_conv fusion (the FiLM scale
+    cannot fold into a bias) but still takes the fused out_conv+residual
+    path; output and params must match the unfused block."""
+    from dsml_thesis_tpu.models.unet import ResBlock
+
+    blk = ResBlock(out_channels=64, use_scale_shift_norm=True)
+    x = _rand((2, 8, 8, 32), 0)
+    emb = _rand((2, 24), 1)
+
+    monkeypatch.delenv("DSML_GN_EPILOGUE", raising=False)
+    params = blk.init(jax.random.PRNGKey(0), x, emb)["params"]
+    base, _ = blk.apply({"params": params}, x, emb)
+
+    monkeypatch.setenv("DSML_GN_EPILOGUE", "interpret")
+    params_f = blk.init(jax.random.PRNGKey(0), x, emb)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_f))
+    out, st = blk.apply({"params": params}, x, emb)
+    assert st is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-4,
+                               rtol=1e-4)
+
+
 def test_unet_epilogue_end_to_end_matches(monkeypatch):
     """Full UNet forward with the epilogue fusion threaded through the driver
     (stem conv, ResBlocks, SpatialTransformers, decoder concat stats, final
@@ -198,12 +222,26 @@ def test_unet_epilogue_end_to_end_matches(monkeypatch):
     base = model.apply({"params": params}, x, t, ctx)
 
     monkeypatch.setenv("DSML_GN_EPILOGUE", "interpret")
+    from dsml_thesis_tpu.models.unet import _gn_epilogue_mode
+
+    assert _gn_epilogue_mode(full=True) == "interpret"  # gate engaged
     params_f = model.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
     assert (jax.tree_util.tree_structure(params)
             == jax.tree_util.tree_structure(params_f))
     out = model.apply({"params": params}, x, t, ctx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-4,
                                rtol=2e-4)
+
+    # 'res' scope (bounded Mosaic shape diversity: block convs only): stems
+    # and proj_outs stay unfused, block convs fuse, output still matches
+    monkeypatch.setenv("DSML_GN_EPILOGUE", "res-interpret")
+    assert _gn_epilogue_mode() == "interpret"
+    assert _gn_epilogue_mode(full=True) is None
+    out_res = model.apply({"params": params}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out_res), np.asarray(base),
+                               atol=2e-4, rtol=2e-4)
+    monkeypatch.setenv("DSML_GN_EPILOGUE", "res")
+    assert _gn_epilogue_mode() is None  # 'res' needs a real TPU
 
 
 def test_vqgan_encoder_decoder_epilogue_matches(monkeypatch):
@@ -225,6 +263,9 @@ def test_vqgan_encoder_decoder_epilogue_matches(monkeypatch):
     bd = dec.apply({"params": pd}, z)
 
     monkeypatch.setenv("DSML_GN_EPILOGUE", "interpret")
+    from dsml_thesis_tpu.models.unet import _gn_epilogue_mode
+
+    assert _gn_epilogue_mode(full=True) == "interpret"  # gate engaged
     pe_f = enc.init(jax.random.PRNGKey(0), x)["params"]
     pd_f = dec.init(jax.random.PRNGKey(1), z)["params"]
     assert (jax.tree_util.tree_structure(pe)
