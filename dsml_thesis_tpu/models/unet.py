@@ -83,8 +83,9 @@ def _gn_epilogue_mode(full: bool = False):
       'interpret' / 'res-interpret'
                   the same two scopes in Pallas interpret mode (CPU tests)
     Call with full=True from the stem/proj_out sites that only run under the
-    full modes. Off under a >1-device mesh: a bare pallas_call is opaque to
-    GSPMD and would force gathers."""
+    full modes. On a >1-device mesh conv_stats shard_maps the kernel over
+    the data axis itself (or falls back to the GSPMD-partitionable jnp
+    spec), so no mesh gate is needed here."""
     import os
 
     mode = os.environ.get("DSML_GN_EPILOGUE", "0")
@@ -92,10 +93,8 @@ def _gn_epilogue_mode(full: bool = False):
         return None
     if full and mode.startswith("res"):
         return None
-    from ..ops.attention import _ATTN_MESH, _on_tpu
+    from ..ops.attention import _on_tpu
 
-    if _ATTN_MESH is not None and _ATTN_MESH.size > 1:
-        return None
     if not mode.endswith("interpret") and not _on_tpu():
         return None
     return "interpret" if mode.endswith("interpret") else "1"

@@ -255,6 +255,39 @@ def conv_stats(x, w, bias, skip=None, use_pallas=None,
         use_pallas = False
     if not use_pallas:
         return _conv_stats_reference(x, w, bias, skip)
+
+    from .attention import _ATTN_MESH
+
+    mesh = _ATTN_MESH
+    if mesh is not None and mesh.size > 1:
+        # pallas_call is opaque to GSPMD: on a multi-device mesh, shard_map
+        # the kernel over the data axis (grid/stats are per-batch-element, so
+        # batch sharding needs zero collectives). Anything that doesn't
+        # shard cleanly runs the jnp spec, which GSPMD partitions itself.
+        from jax.sharding import PartitionSpec as P
+
+        nd = mesh.shape.get("data", 1)
+        if nd <= 1 or b % nd != 0:
+            return _conv_stats_reference(x, w, bias, skip)
+        xs = P("data", None, None, None)
+        wspec = P(None, None, None, None)
+        bspec = P("data", None)
+        outs = (xs, bspec, bspec)
+        if skip is not None:
+            run = jax.shard_map(
+                lambda xx, ww, bb, ss: _conv_stats_diff(
+                    xx, ww, bb, True, interpret, ss),
+                mesh=mesh, in_specs=(xs, wspec, bspec, xs), out_specs=outs,
+                check_vma=False,
+            )
+            return run(x, w, bias, skip)
+        run = jax.shard_map(
+            lambda xx, ww, bb: _conv_stats_diff(xx, ww, bb, False, interpret,
+                                                None),
+            mesh=mesh, in_specs=(xs, wspec, bspec), out_specs=outs,
+            check_vma=False,
+        )
+        return run(x, w, bias)
     return _conv_stats_diff(x, w, bias, skip is not None, interpret, skip)
 
 

@@ -278,14 +278,51 @@ def test_vqgan_encoder_decoder_epilogue_matches(monkeypatch):
                                np.asarray(bd), atol=2e-4, rtol=2e-4)
 
 
-def test_epilogue_off_under_mesh(monkeypatch):
-    """The fused pallas_call is opaque to GSPMD: under a >1-device attention
-    mesh the gate must return None so the unfused (partitionable) path runs."""
-    from dsml_thesis_tpu.models.unet import _gn_epilogue_mode
+def test_conv_stats_under_mesh_shard_maps(monkeypatch):
+    """On a >1-device mesh conv_stats shard_maps the kernel over the data
+    axis (per-batch grid, zero collectives) and stays correct, including
+    gradients; a batch that doesn't divide the axis falls back to the jnp
+    spec."""
     from dsml_thesis_tpu.ops.attention import attention_mesh
     from dsml_thesis_tpu.parallel import make_mesh
 
-    monkeypatch.setenv("DSML_GN_EPILOGUE", "interpret")
-    assert _gn_epilogue_mode() == "interpret"
-    with attention_mesh(make_mesh(n_data=8)):
-        assert _gn_epilogue_mode() is None
+    b, h, w, cin, cout = 8, 8, 8, 16, 32
+    x = _rand((b, h, w, cin), 0)
+    wk = _rand((3, 3, cin, cout), 1) * 0.1
+    bias = _rand((b, cout), 2)
+    skip = _rand((b, h, w, cout), 3)
+    yr, r1, r2 = _conv_stats_reference(x, wk, bias, skip)
+
+    mesh = make_mesh(n_data=8)
+    with attention_mesh(mesh):
+        y, s1, s2 = conv3x3_stats(x, wk, bias, skip=skip, use_pallas=True,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=1e-4,
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(r1), rtol=5e-5,
+                                   atol=1e-3)
+
+        # gradient parity through shard_map + custom VJP
+        def loss(x, wk):
+            yy, a, bb2 = conv3x3_stats(x, wk, bias, skip=skip,
+                                       use_pallas=True, interpret=True)
+            return jnp.sum(yy**2) + jnp.sum(a * bb2)
+
+        gm = jax.grad(loss, argnums=(0, 1))(x, wk)
+    gr = jax.grad(
+        lambda x, wk: (lambda y, a, b2: jnp.sum(y**2) + jnp.sum(a * b2))(
+            *_conv_stats_reference(x, wk, bias, skip)), argnums=(0, 1)
+    )(x, wk)
+    for a, b_ in zip(gm, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-2,
+                                   rtol=1e-3)
+
+    # odd batch: reference fallback under the mesh
+    x5 = _rand((5, h, w, cin), 4)
+    bias5 = _rand((5, cout), 5)
+    with attention_mesh(mesh):
+        y5, _, _ = conv3x3_stats(x5, wk, bias5, use_pallas=True,
+                                 interpret=True)
+    y5r, _, _ = _conv_stats_reference(x5, wk, bias5)
+    np.testing.assert_allclose(np.asarray(y5), np.asarray(y5r), atol=1e-4,
+                               rtol=1e-4)
