@@ -46,38 +46,60 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True, in_stats=None,
                  emit_stats: bool = False):
+        from .unet import _GNParams
+
         out_ch = self.out_channels or x.shape[-1]
-        h = GroupNormSiLU(eps=1e-6, name="norm1")(x, stats=in_stats)
         epi = _gn_epilogue_mode()
+        # norm1 folds INTO the conv1 kernel when the producer's stats exist
+        fold_in = epi is not None and in_stats is not None
+        if fold_in:
+            g1, b1 = _GNParams(name="norm1")(x.shape[-1])
+            h = x
+        else:
+            h = GroupNormSiLU(eps=1e-6, name="norm1")(x, stats=in_stats)
+        fold_out = epi is not None and (deterministic or self.dropout == 0.0)
+        mid_stats = None
         if epi is not None:
-            # conv1's epilogue emits norm2's statistics while the output is
-            # still in VMEM (ops/conv_gn.py; same param tree as nn.Conv —
-            # large spatial shapes fall back inside conv3x3_stats)
+            # kernel A: [norm1 in VMEM ->] conv1, norm2's statistics in the
+            # epilogue (ops/conv_gn.py; same param tree as nn.Conv — large
+            # spatial shapes fall back inside conv3x3_stats)
             k, bconv = _ConvParams(out_ch, name="conv1")(h.shape[-1])
+            gn_kw = (dict(in_stats=in_stats, gamma=g1, beta=b1, eps=1e-6)
+                     if fold_in else {})
             h, ch_sum, ch_sq = conv3x3_stats(
                 h.astype(self.dtype), k.astype(self.dtype),
                 _per_batch_bias(bconv, h.shape[0], out_ch),
-                interpret=epi == "interpret",
+                interpret=epi == "interpret", **gn_kw,
             )
-            h = GroupNormSiLU(eps=1e-6, name="norm2")(h, stats=(ch_sum, ch_sq))
+            if fold_out:
+                g2, b2n = _GNParams(name="norm2")(out_ch)
+                mid_stats = (ch_sum, ch_sq)
+            else:
+                h = GroupNormSiLU(eps=1e-6, name="norm2")(
+                    h, stats=(ch_sum, ch_sq))
         else:
             h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                         name="conv1")(h)
             h = GroupNormSiLU(eps=1e-6, name="norm2")(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        if not fold_out:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
-        if epi is not None and emit_stats:
-            # fused conv2 + residual with the output's stats in the epilogue
+        if epi is not None:
+            # kernel B: [norm2 in VMEM ->] conv2 + residual (+ the output's
+            # stats when a norm consumes them downstream)
             if x.shape[-1] != out_ch:
                 x = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
                             name="nin_shortcut")(x)
             k2, b2 = _ConvParams(out_ch, name="conv2")(h.shape[-1])
+            gn_kw = (dict(in_stats=mid_stats, gamma=g2, beta=b2n, eps=1e-6)
+                     if fold_out else {})
             out, s1, s2 = conv3x3_stats(
                 h.astype(self.dtype), k2.astype(self.dtype),
                 _per_batch_bias(b2, h.shape[0], out_ch),
                 skip=x.astype(self.dtype), interpret=epi == "interpret",
+                **gn_kw,
             )
-            return out, (s1, s2)
+            return out, ((s1, s2) if emit_stats else None)
 
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != out_ch:

@@ -127,6 +127,16 @@ def _per_batch_bias(bias, batch: int, features: int):
                             (batch, features))
 
 
+class _GNParams(nn.Module):
+    """Param-compatible stand-in for GroupNormSiLU (scale, bias) when the
+    normalize itself is folded into a conv_stats kernel."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        return (self.param("scale", nn.initializers.ones, (c,), jnp.float32),
+                self.param("bias", nn.initializers.zeros, (c,), jnp.float32))
+
+
 def _concat_stats(a, b):
     """Per-channel stats compose through a channel concat: the channel sums
     of concat([x, y], -1) are concat of the channel sums. None if either
@@ -156,7 +166,16 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True, in_stats=None):
         ch_in = x.shape[-1]
-        h = GroupNormSiLU(name="in_norm")(x, stats=in_stats)
+        epi = _gn_epilogue_mode()
+        fuse_in = epi is not None and not self.use_scale_shift_norm
+        # in_norm folds INTO the in_conv kernel (normalize in VMEM from the
+        # producer's stats) when stats exist and nothing resizes in between
+        fold_in = fuse_in and in_stats is not None and not (self.up or self.down)
+        if fold_in:
+            g1, b1 = _GNParams(name="in_norm")(ch_in)
+            h = x
+        else:
+            h = GroupNormSiLU(name="in_norm")(x, stats=in_stats)
         if self.up:
             h = upsample_nearest(h)
             x = upsample_nearest(x)
@@ -169,24 +188,29 @@ class ResBlock(nn.Module):
             name="emb_proj",
         )(nn.silu(emb))
 
-        epi = _gn_epilogue_mode()
-        if epi is not None and not self.use_scale_shift_norm:
-            # fused in_conv + emb-FiLM + out_norm statistics: the emb vector
-            # is constant over space, so it folds into a per-batch conv bias;
-            # the GN stats come out of the conv epilogue while the output is
-            # still in VMEM (no dedicated HBM stats passes). Identical param
-            # tree to the unfused path (in_conv/{kernel,bias}, out_norm/
-            # {scale,bias}) — checkpoint-compatible both ways.
+        # out_norm can fold into out_conv only when dropout is inert
+        fold_out = fuse_in and (deterministic or self.dropout == 0.0)
+        mid_stats = None
+        if fuse_in:
+            # kernel A: [in_norm applied in VMEM ->] in_conv + emb-FiLM (a
+            # per-batch bias) -> output stats in the epilogue. Identical
+            # param tree to the unfused path — checkpoint-compatible.
             k, bconv = _ConvParams(self.out_channels, name="in_conv")(
                 h.shape[-1]
             )
             bias_vec = (bconv[None, :].astype(jnp.float32)
                         + emb_out.astype(jnp.float32))
+            gn_kw = (dict(in_stats=in_stats, gamma=g1, beta=b1)
+                     if fold_in else {})
             h, ch_sum, ch_sq = conv3x3_stats(
-                h, k.astype(self.dtype), bias_vec,
-                interpret=epi == "interpret",
+                h.astype(self.dtype), k.astype(self.dtype), bias_vec,
+                interpret=epi == "interpret", **gn_kw,
             )
-            h = GroupNormSiLU(name="out_norm")(h, stats=(ch_sum, ch_sq))
+            if fold_out:
+                g2, b2n = _GNParams(name="out_norm")(self.out_channels)
+                mid_stats = (ch_sum, ch_sq)
+            else:
+                h = GroupNormSiLU(name="out_norm")(h, stats=(ch_sum, ch_sq))
         else:
             h = nn.Conv(
                 self.out_channels, (3, 3), padding=1, dtype=self.dtype,
@@ -201,11 +225,13 @@ class ResBlock(nn.Module):
             else:
                 h = h + emb_out
                 h = GroupNormSiLU(name="out_norm")(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        if not fold_out:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
         if epi is not None:
-            # fused out_conv + residual add, with the stats of the RESULT in
-            # the epilogue — they feed the next block's norm (phase 2)
+            # kernel B: [out_norm applied in VMEM ->] out_conv + residual,
+            # with the stats of the RESULT in the epilogue for the next
+            # block's norm
             if ch_in != self.out_channels:
                 x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                             name="skip")(x)
@@ -213,10 +239,13 @@ class ResBlock(nn.Module):
                 self.out_channels, 3, nn.initializers.zeros,
                 nn.initializers.zeros, name="out_conv",
             )(h.shape[-1])
+            gn_kw = (dict(in_stats=mid_stats, gamma=g2, beta=b2n)
+                     if fold_out else {})
             out, s1, s2 = conv3x3_stats(
-                h, k2.astype(self.dtype),
+                h.astype(self.dtype), k2.astype(self.dtype),
                 _per_batch_bias(b2, h.shape[0], self.out_channels),
-                skip=x, interpret=epi == "interpret",
+                skip=x.astype(self.dtype), interpret=epi == "interpret",
+                **gn_kw,
             )
             return out, (s1, s2)
 

@@ -53,16 +53,43 @@ def conv_gn_fits(hh: int, ww: int, cin: int, cout: int, itemsize: int,
 
 
 def _conv_kernel(x_ref, w_ref, bias_ref, *rest, hh, ww, cin, cout, has_skip,
-                 ksize):
+                 ksize, apply_gn, eps=1e-5, inv_count=0.0, silu_in=True):
     """One batch element: KxK SAME conv as K*K shifted [H*W, Cin] @
     [Cin, Cout] MXU contractions accumulated in fp32 (one unshifted matmul
     for 1x1), plus per-channel sum / sum-of-squares of the (cast) output
-    computed while it is still in VMEM."""
+    computed while it is still in VMEM.
+
+    With apply_gn, the INPUT is first GroupNorm(+SiLU)-normalized in VMEM
+    from precomputed channel stats (stats_ref rows 0/1, the producer's
+    epilogue output), exactly the _gn_kernel formulation (groupnorm.py:100) —
+    so norm -> conv chains cross HBM once instead of three times (normalize
+    write + conv read on top of the raw read)."""
+    if apply_gn:
+        stats_ref, ind_ref, gamma_ref, beta_ref = rest[:4]
+        rest = rest[4:]
     if has_skip:
         skip_ref, o_ref, s_ref = rest
     else:
         o_ref, s_ref = rest
     x = x_ref[0]  # [H, W, Cin], input dtype
+    if apply_gn:
+        xf = x.reshape(hh * ww, cin).astype(jnp.float32)
+        ind = ind_ref[:]  # [Cin, G] one-hot group indicator
+        g_sum = jnp.dot(stats_ref[0, 0:1], ind,
+                        preferred_element_type=jnp.float32)  # [1, G]
+        g_sq = jnp.dot(stats_ref[0, 1:2], ind,
+                       preferred_element_type=jnp.float32)
+        g_mean = g_sum * inv_count
+        g_var = jnp.maximum(g_sq * inv_count - g_mean * g_mean, 0.0)
+        g_rstd = jax.lax.rsqrt(g_var + eps)
+        c_mean = jnp.dot(g_mean, ind.T, preferred_element_type=jnp.float32)
+        c_rstd = jnp.dot(g_rstd, ind.T, preferred_element_type=jnp.float32)
+        xf = (xf - c_mean) * c_rstd * gamma_ref[:].astype(jnp.float32) \
+            + beta_ref[:].astype(jnp.float32)
+        if silu_in:
+            xf = xf * jax.nn.sigmoid(xf)
+        # cast to the conv compute dtype, like the standalone GN would store
+        x = xf.astype(x.dtype).reshape(hh, ww, cin)
     acc = jnp.zeros((hh * ww, cout), jnp.float32)
     if ksize == 1:
         acc = acc + jnp.dot(x.reshape(hh * ww, cin), w_ref[0, 0],
@@ -86,13 +113,18 @@ def _conv_kernel(x_ref, w_ref, bias_ref, *rest, hh, ww, cin, cout, has_skip,
     s_ref[0, 1:2] = jnp.sum(yf * yf, axis=0, keepdims=True)
 
 
-def conv_stats_pallas(x, w, bias, skip=None, interpret: bool = False):
+def conv_stats_pallas(x, w, bias, skip=None, in_stats=None, gamma=None,
+                      beta=None, num_groups: int = 32, eps: float = 1e-5,
+                      silu_in: bool = True, interpret: bool = False):
     """KxK (K in {1, 3}) SAME stride-1 conv with per-batch bias and
-    channel-stats epilogue.
+    channel-stats epilogue, optionally normalizing the INPUT in VMEM first.
 
     x: [B, H, W, Cin]; w: [K, K, Cin, Cout]; bias: [B, Cout] (the conv bias
     plus any per-batch FiLM vector, fp32); skip: optional [B, H, W, Cout]
-    added to the conv output (residual fusion).
+    added to the conv output (residual fusion). in_stats: optional
+    (ch_sum, ch_sq) [B, Cin] f32 pairs — the input is GroupNorm(+SiLU if
+    silu_in)-normalized from them inside the kernel (gamma/beta [Cin]), so
+    norm -> conv chains skip the standalone normalize pass entirely.
     Returns (y [B, H, W, Cout] in x.dtype, ch_sum [B, Cout] f32,
     ch_sq [B, Cout] f32) where the stats are over the spatial axes of y.
     """
@@ -105,15 +137,21 @@ def conv_stats_pallas(x, w, bias, skip=None, interpret: bool = False):
     yb = hh * ww * cout * itemsize
     wb = ksize * ksize * cin * cout * itemsize
     # EXACTLY the conv_gn_fits working set (a fit-approved shape must never
-    # die on this limit), capped at the physical budget
+    # die on this limit), capped at the physical budget; the apply-GN path
+    # adds an fp32 working copy of the input tile
     vmem_limit = min(
         3 * xb + xpad + 2 * wb + hh * ww * cout * 4 + 3 * yb
-        + (3 * yb if skip is not None else 0) + (1 << 22),
+        + (3 * yb if skip is not None else 0)
+        + (hh * ww * cin * 4 if in_stats is not None else 0) + (1 << 22),
         110 * (1 << 20),
     )
     kernel = functools.partial(
         _conv_kernel, hh=hh, ww=ww, cin=cin, cout=cout,
         has_skip=skip is not None, ksize=ksize,
+        apply_gn=in_stats is not None, eps=eps,
+        inv_count=(1.0 / (hh * ww * (cin // num_groups))
+                   if in_stats is not None else 0.0),
+        silu_in=silu_in,
     )
     in_specs = [
         pl.BlockSpec((1, hh, ww, cin), lambda i: (i, 0, 0, 0),
@@ -123,6 +161,23 @@ def conv_stats_pallas(x, w, bias, skip=None, interpret: bool = False):
         pl.BlockSpec((1, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     args = [x, w, bias]
+    if in_stats is not None:
+        group_ids = np.repeat(np.arange(num_groups), cin // num_groups)
+        ind = jnp.asarray(np.eye(num_groups, dtype=np.float32)[group_ids])
+        stats2 = jnp.stack(
+            [in_stats[0].astype(jnp.float32), in_stats[1].astype(jnp.float32)],
+            axis=1,
+        )  # [B, 2, Cin]
+        in_specs += [
+            pl.BlockSpec((1, 2, cin), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, num_groups), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [stats2, ind, gamma.reshape(1, cin).astype(jnp.float32),
+                 beta.reshape(1, cin).astype(jnp.float32)]
     if skip is not None:
         in_specs.append(
             pl.BlockSpec((1, hh, ww, cout), lambda i: (i, 0, 0, 0),
@@ -177,10 +232,16 @@ def group_norm_silu_apply(x, ch_sum, ch_sq, gamma, beta, num_groups: int = 32,
     return y.reshape(shape).astype(x.dtype)
 
 
-def _conv_stats_reference(x, w, bias, skip=None):
-    """jnp spec of the kernel (also its backward): fp32-accumulated conv +
-    per-batch bias (+skip), cast to x.dtype, channel stats of the cast
-    values."""
+def _conv_stats_reference(x, w, bias, skip=None, in_stats=None, gamma=None,
+                          beta=None, num_groups: int = 32, eps: float = 1e-5,
+                          silu_in: bool = True):
+    """jnp spec of the kernel (also its backward): optional GroupNorm(+SiLU)
+    of the input from precomputed stats, fp32-accumulated conv + per-batch
+    bias (+skip), cast to x.dtype, channel stats of the cast values."""
+    if in_stats is not None:
+        x = group_norm_silu_apply(x, in_stats[0], in_stats[1], gamma, beta,
+                                  num_groups=num_groups, eps=eps,
+                                  silu=silu_in)
     y = jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -195,49 +256,54 @@ def _conv_stats_reference(x, w, bias, skip=None):
     return y, jnp.sum(yf, axis=1), jnp.sum(yf * yf, axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _conv_stats_diff(x, w, bias, has_skip, interpret, skip):
-    return conv_stats_pallas(x, w, bias, skip=skip if has_skip else None,
-                             interpret=interpret)
+# cfg = (has_skip, has_gn, interpret, num_groups, eps, silu_in) — hashable
+# static config so the differentiable wrapper has one signature for every
+# fusion variant
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _conv_stats_diff(cfg, x, w, bias, skip, s1, s2, gamma, beta):
+    has_skip, has_gn, interpret, num_groups, eps, silu_in = cfg
+    return conv_stats_pallas(
+        x, w, bias, skip=skip if has_skip else None,
+        in_stats=(s1, s2) if has_gn else None, gamma=gamma, beta=beta,
+        num_groups=num_groups, eps=eps, silu_in=silu_in, interpret=interpret,
+    )
 
 
-def _conv_stats_fwd(x, w, bias, has_skip, interpret, skip):
-    return (_conv_stats_diff(x, w, bias, has_skip, interpret, skip),
-            (x, w, bias, skip))
+def _conv_stats_fwd(cfg, x, w, bias, skip, s1, s2, gamma, beta):
+    return (_conv_stats_diff(cfg, x, w, bias, skip, s1, s2, gamma, beta),
+            (x, w, bias, skip, s1, s2, gamma, beta))
 
 
-def _conv_stats_bwd(has_skip, interpret, res, g):
+def _conv_stats_bwd(cfg, res, g):
     """Differentiate the jnp spec (recompute-based: the fused path is a
     sampling optimization; training gradients go through the reference
-    composition, which XLA fuses well)."""
-    x, w, bias, skip = res
-    if has_skip:
-        _, vjp = jax.vjp(
-            lambda x, w, bias, skip: _conv_stats_reference(x, w, bias, skip),
-            x, w, bias, skip,
-        )
-        dx, dw, dbias, dskip = vjp(g)
-        return dx, dw, dbias, dskip
+    composition, which XLA fuses well). None primals (absent skip/GN args)
+    yield None cotangents."""
+    has_skip, has_gn, interpret, num_groups, eps, silu_in = cfg
     _, vjp = jax.vjp(
-        lambda x, w, bias: _conv_stats_reference(x, w, bias), x, w, bias
+        lambda x, w, bias, skip, s1, s2, gamma, beta: _conv_stats_reference(
+            x, w, bias, skip if has_skip else None,
+            (s1, s2) if has_gn else None, gamma, beta,
+            num_groups, eps, silu_in),
+        *res,
     )
-    dx, dw, dbias = vjp(g)
-    return dx, dw, dbias, None
+    return vjp(g)
 
 
 _conv_stats_diff.defvjp(_conv_stats_fwd, _conv_stats_bwd)
 
 
-def conv_stats(x, w, bias, skip=None, use_pallas=None,
-               interpret: bool = False):
-    """Differentiable fused `convKxK (+per-batch bias, +optional skip)` with
-    channel-stats epilogue: returns (y, ch_sum, ch_sq). K = w.shape[0]
-    (1 or 3).
+def conv_stats(x, w, bias, skip=None, in_stats=None, gamma=None, beta=None,
+               num_groups: int = 32, eps: float = 1e-5, silu_in: bool = True,
+               use_pallas=None, interpret: bool = False):
+    """Differentiable fused `[GroupNorm(+SiLU) from in_stats ->] convKxK
+    (+per-batch bias, +optional skip)` with channel-stats epilogue: returns
+    (y, ch_sum, ch_sq). K = w.shape[0] (1 or 3).
 
-    Dispatch mirrors attention/groupnorm: the Pallas epilogue kernel on TPU
-    (or in interpret mode for CPU tests), the jnp spec otherwise — numerics
-    match either way. Feed the stats to GroupNormSiLU(stats=...) /
-    group_norm_silu_apply."""
+    Dispatch mirrors attention/groupnorm: the Pallas kernel on TPU (or in
+    interpret mode for CPU tests), the jnp spec otherwise — numerics match
+    either way. Feed the output stats to the next conv_stats(in_stats=...) /
+    GroupNormSiLU(stats=...)."""
     if w.shape[0] not in (1, 3) or w.shape[1] != w.shape[0]:
         # checked at dispatch so the contract is platform-independent (the
         # jnp fallback would happily run any K the Pallas kernel can't take)
@@ -254,7 +320,12 @@ def conv_stats(x, w, bias, skip=None, use_pallas=None,
                                        skip is not None, w.shape[0]):
         use_pallas = False
     if not use_pallas:
-        return _conv_stats_reference(x, w, bias, skip)
+        return _conv_stats_reference(x, w, bias, skip, in_stats, gamma, beta,
+                                     num_groups, eps, silu_in)
+
+    has_gn = in_stats is not None
+    cfg = (skip is not None, has_gn, interpret, num_groups, eps, silu_in)
+    s1, s2 = in_stats if has_gn else (None, None)
 
     from .attention import _ATTN_MESH
 
@@ -268,27 +339,29 @@ def conv_stats(x, w, bias, skip=None, use_pallas=None,
 
         nd = mesh.shape.get("data", 1)
         if nd <= 1 or b % nd != 0:
-            return _conv_stats_reference(x, w, bias, skip)
+            return _conv_stats_reference(x, w, bias, skip, in_stats, gamma,
+                                         beta, num_groups, eps, silu_in)
         xs = P("data", None, None, None)
-        wspec = P(None, None, None, None)
         bspec = P("data", None)
-        outs = (xs, bspec, bspec)
+        # optional args ride a dict pytree so one shard_map covers every
+        # fusion variant (closing over traced arrays is not allowed inside
+        # shard_map — everything must be an explicit sharded input)
+        tensors = {"x": x, "w": w, "bias": bias}
+        specs = {"x": xs, "w": P(None, None, None, None), "bias": bspec}
         if skip is not None:
-            run = jax.shard_map(
-                lambda xx, ww, bb, ss: _conv_stats_diff(
-                    xx, ww, bb, True, interpret, ss),
-                mesh=mesh, in_specs=(xs, wspec, bspec, xs), out_specs=outs,
-                check_vma=False,
-            )
-            return run(x, w, bias, skip)
+            tensors["skip"], specs["skip"] = skip, xs
+        if has_gn:
+            tensors.update(s1=s1, s2=s2, gamma=gamma, beta=beta)
+            specs.update(s1=bspec, s2=bspec, gamma=P(None), beta=P(None))
         run = jax.shard_map(
-            lambda xx, ww, bb: _conv_stats_diff(xx, ww, bb, False, interpret,
-                                                None),
-            mesh=mesh, in_specs=(xs, wspec, bspec), out_specs=outs,
+            lambda t: _conv_stats_diff(
+                cfg, t["x"], t["w"], t["bias"], t.get("skip"),
+                t.get("s1"), t.get("s2"), t.get("gamma"), t.get("beta")),
+            mesh=mesh, in_specs=(specs,), out_specs=(xs, bspec, bspec),
             check_vma=False,
         )
-        return run(x, w, bias)
-    return _conv_stats_diff(x, w, bias, skip is not None, interpret, skip)
+        return run(tensors)
+    return _conv_stats_diff(cfg, x, w, bias, skip, s1, s2, gamma, beta)
 
 
 # existing callers use the 3x3 name; the dispatch is kernel-size generic

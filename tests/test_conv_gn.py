@@ -65,6 +65,52 @@ def test_conv3x3_stats_grad_matches_reference():
                                    rtol=1e-3)
 
 
+@pytest.mark.parametrize("silu_in", [True, False])
+def test_conv_stats_apply_gn_input_matches_reference(silu_in):
+    """The normalize-into-conv path (input GroupNorm(+SiLU) from precomputed
+    stats inside the kernel) matches the jnp spec, values and gradients."""
+    b, h, w, cin, cout, g = 2, 8, 8, 32, 64, 8
+    x = _rand((b, h, w, cin), 0)
+    wk = _rand((3, 3, cin, cout), 1) * 0.1
+    bias = _rand((b, cout), 2)
+    gamma = _rand((cin,), 3) * 0.1 + 1.0
+    beta = _rand((cin,), 4) * 0.1
+    xf = x.astype(jnp.float32).reshape(b, -1, cin)
+    st = (jnp.sum(xf, axis=1), jnp.sum(xf * xf, axis=1))
+
+    kw = dict(in_stats=st, gamma=gamma, beta=beta, num_groups=g,
+              silu_in=silu_in)
+    y, s1, s2 = conv3x3_stats(x, wk, bias, use_pallas=True, interpret=True,
+                              **kw)
+    yr, r1, r2 = _conv_stats_reference(x, wk, bias, None, st, gamma, beta, g,
+                                       1e-5, silu_in)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=1e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(r1), rtol=5e-5,
+                               atol=1e-3)
+
+    def loss_f(x, wk, gamma):
+        xf = x.astype(jnp.float32).reshape(b, -1, cin)
+        st = (jnp.sum(xf, axis=1), jnp.sum(xf * xf, axis=1))
+        y, a, b2 = conv3x3_stats(x, wk, bias, in_stats=st, gamma=gamma,
+                                 beta=beta, num_groups=g, silu_in=silu_in,
+                                 use_pallas=True, interpret=True)
+        return jnp.sum(y**2) + jnp.sum(a * b2)
+
+    def loss_r(x, wk, gamma):
+        xf = x.astype(jnp.float32).reshape(b, -1, cin)
+        st = (jnp.sum(xf, axis=1), jnp.sum(xf * xf, axis=1))
+        y, a, b2 = _conv_stats_reference(x, wk, bias, None, st, gamma, beta,
+                                         g, 1e-5, silu_in)
+        return jnp.sum(y**2) + jnp.sum(a * b2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(x, wk, gamma)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, wk, gamma)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-2,
+                                   rtol=1e-3)
+
+
 def test_apply_with_stats_matches_full_groupnorm():
     b, n, c, g = 2, 64, 32, 8
     x = _rand((b, 8, 8, c), 0)
