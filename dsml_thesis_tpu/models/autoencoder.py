@@ -220,8 +220,19 @@ class Encoder(nn.Module):
         h, st = AttnBlock(self.dtype, name="mid_attn_1")(h, st, True)
         h, st = ResnetBlock(None, self.dropout, self.dtype, name="mid_block_2")(
             h, deterministic, st, True)
-        h = GroupNormSiLU(eps=1e-6, name="norm_out")(h, stats=st)
         z_out = 2 * self.z_channels if self.double_z else self.z_channels
+        if epi is not None and st is not None:
+            from .unet import _GNParams
+
+            gO, bO = _GNParams(name="norm_out")(h.shape[-1])
+            kC, bC = _ConvParams(z_out, name="conv_out")(h.shape[-1])
+            h, _, _ = conv3x3_stats(
+                h.astype(self.dtype), kC.astype(self.dtype),
+                _per_batch_bias(bC, h.shape[0], z_out), in_stats=st,
+                gamma=gO, beta=bO, eps=1e-6, interpret=epi == "interpret",
+            )
+            return h
+        h = GroupNormSiLU(eps=1e-6, name="norm_out")(h, stats=st)
         return nn.Conv(z_out, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
 
@@ -284,8 +295,20 @@ class Decoder(nn.Module):
                 h = UpsampleAE(self.dtype, name=f"up_{i_level}_upsample")(h)
                 st = None
                 curr_res *= 2
-        h = GroupNormSiLU(eps=1e-6, name="norm_out")(h, stats=st)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        if epi is not None and st is not None:
+            from .unet import _GNParams
+
+            gO, bO = _GNParams(name="norm_out")(h.shape[-1])
+            kC, bC = _ConvParams(self.out_ch, name="conv_out")(h.shape[-1])
+            h, _, _ = conv3x3_stats(
+                h.astype(self.dtype), kC.astype(self.dtype),
+                _per_batch_bias(bC, h.shape[0], self.out_ch), in_stats=st,
+                gamma=gO, beta=bO, eps=1e-6, interpret=epi == "interpret",
+            )
+        else:
+            h = GroupNormSiLU(eps=1e-6, name="norm_out")(h, stats=st)
+            h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                        name="conv_out")(h)
         if self.tanh_out:
             h = jnp.tanh(h)
         return h

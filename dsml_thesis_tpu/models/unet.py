@@ -448,8 +448,22 @@ class SpatialTransformer(nn.Module):
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
         x_in = x
-        x = GroupNormSiLU(eps=1e-6, silu=False, name="norm")(x, stats=in_stats)
-        x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        epi_in = _gn_epilogue_mode(full=True)
+        if epi_in is not None and in_stats is not None:
+            # norm (silu=False) folds into the 1x1 proj_in kernel; the
+            # epilogue stats are unused (LayerNorms follow, not GroupNorms)
+            gN, bN = _GNParams(name="norm")(c)
+            kP, bP = _ConvParams(inner, 1, name="proj_in")(c)
+            x, _, _ = conv_stats(
+                x.astype(self.dtype), kP.astype(self.dtype),
+                _per_batch_bias(bP, b, inner), in_stats=in_stats,
+                gamma=gN, beta=bN, eps=1e-6, silu_in=False,
+                interpret=epi_in == "interpret",
+            )
+        else:
+            x = GroupNormSiLU(eps=1e-6, silu=False, name="norm")(
+                x, stats=in_stats)
+            x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, inner)
         for d in range(self.depth):
             x = BasicTransformerBlock(
@@ -685,10 +699,24 @@ class UNetModel(nn.Module):
                         st = None
                     ds //= 2
 
-        h = GroupNormSiLU(name="out_norm")(h, stats=st)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=1,
-            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-            dtype=self.dtype, name="conv_out",
-        )(h)
+        if epi is not None and st is not None:
+            # final out_norm folds into conv_out (stats output unused)
+            gO, bO = _GNParams(name="out_norm")(h.shape[-1])
+            kC, bC = _ConvParams(
+                self.out_channels, 3, nn.initializers.zeros,
+                nn.initializers.zeros, name="conv_out",
+            )(h.shape[-1])
+            h, _, _ = conv3x3_stats(
+                h.astype(self.dtype), kC.astype(self.dtype),
+                _per_batch_bias(bC, h.shape[0], self.out_channels),
+                in_stats=st, gamma=gO, beta=bO,
+                interpret=epi == "interpret",
+            )
+        else:
+            h = GroupNormSiLU(name="out_norm")(h, stats=st)
+            h = nn.Conv(
+                self.out_channels, (3, 3), padding=1,
+                kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+                dtype=self.dtype, name="conv_out",
+            )(h)
         return h.astype(in_dtype)
