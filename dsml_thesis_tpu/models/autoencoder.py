@@ -26,6 +26,7 @@ from ..ops.conv_gn import conv3x3_stats, conv_stats
 from .unet import (
     GroupNormSiLU,
     _ConvParams,
+    _GNParams,
     _gn_epilogue_mode,
     _per_batch_bias,
     upsample_nearest,
@@ -46,8 +47,6 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True, in_stats=None,
                  emit_stats: bool = False):
-        from .unet import _GNParams
-
         out_ch = self.out_channels or x.shape[-1]
         epi = _gn_epilogue_mode()
         # norm1 folds INTO the conv1 kernel when the producer's stats exist
@@ -178,8 +177,10 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         # `st` threads per-channel (sum, sum_sq) stats from each fused
-        # producer to the next GroupNorm (ops/conv_gn.py); emit_stats=False
-        # before Downsample (no norm consumer — don't pay for stats there)
+        # producer to the next GroupNorm (ops/conv_gn.py). emit_stats only
+        # gates THREADING (whether the pair is returned and consumed) — the
+        # kernel's epilogue reduces run either way, they are in-VMEM and
+        # cheap; before a Down/Upsample the stats are simply discarded
         epi = _gn_epilogue_mode(full=True)
         if epi is not None:
             k_in, b_in = _ConvParams(self.ch, name="conv_in")(x.shape[-1])
@@ -222,8 +223,6 @@ class Encoder(nn.Module):
             h, deterministic, st, True)
         z_out = 2 * self.z_channels if self.double_z else self.z_channels
         if epi is not None and st is not None:
-            from .unet import _GNParams
-
             gO, bO = _GNParams(name="norm_out")(h.shape[-1])
             kC, bC = _ConvParams(z_out, name="conv_out")(h.shape[-1])
             h, _, _ = conv3x3_stats(
@@ -296,8 +295,6 @@ class Decoder(nn.Module):
                 st = None
                 curr_res *= 2
         if epi is not None and st is not None:
-            from .unet import _GNParams
-
             gO, bO = _GNParams(name="norm_out")(h.shape[-1])
             kC, bC = _ConvParams(self.out_ch, name="conv_out")(h.shape[-1])
             h, _, _ = conv3x3_stats(

@@ -36,10 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def conv_gn_fits(hh: int, ww: int, cin: int, cout: int, itemsize: int,
-                 has_skip: bool = False, ksize: int = 3) -> bool:
+                 has_skip: bool = False, ksize: int = 3,
+                 has_gn: bool = False) -> bool:
     """Whole-image VMEM fit for the epilogue kernel (one batch element per
     grid step): input (+padded VMEM copy, +double buffer, +one live shifted
-    patch), resident weights, fp32 accumulator, output (+double buffer).
+    patch), resident weights, fp32 accumulator, output (+double buffer),
+    plus the fp32 normalize working copy when the input GN is folded in.
     Shapes that do not fit (e.g. the 256px VQGAN top level) fall back to the
     unfused path instead of dying in a Mosaic VMEM error at compile time."""
     xb = hh * ww * cin * itemsize
@@ -48,7 +50,8 @@ def conv_gn_fits(hh: int, ww: int, cin: int, cout: int, itemsize: int,
     acc = hh * ww * cout * 4
     yb = hh * ww * cout * itemsize
     total = (3 * xb + xpad + 2 * wb + acc + 3 * yb
-             + (3 * yb if has_skip else 0) + (1 << 22))
+             + (3 * yb if has_skip else 0)
+             + (hh * ww * cin * 4 if has_gn else 0) + (1 << 22))
     return total <= 100 * (1 << 20)
 
 
@@ -315,9 +318,17 @@ def conv_stats(x, w, bias, skip=None, in_stats=None, gamma=None, beta=None,
 
         use_pallas = _on_tpu() or interpret
     b, hh, ww, cin = x.shape
-    if use_pallas and not conv_gn_fits(hh, ww, cin, w.shape[-1],
-                                       jnp.dtype(x.dtype).itemsize,
-                                       skip is not None, w.shape[0]):
+    if use_pallas and (
+        # tiny output widths (the 3-channel final convs) would run the MXU
+        # at ~2% lane utilization AND add new Mosaic shape classes for one
+        # conv per forward — the jnp fallback below still normalizes from
+        # the precomputed stats, which is where the saving lives
+        w.shape[-1] < 32
+        or not conv_gn_fits(hh, ww, cin, w.shape[-1],
+                            jnp.dtype(x.dtype).itemsize,
+                            skip is not None, w.shape[0],
+                            in_stats is not None)
+    ):
         use_pallas = False
     if not use_pallas:
         return _conv_stats_reference(x, w, bias, skip, in_stats, gamma, beta,
