@@ -117,10 +117,32 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x, in_stats=None, emit_stats: bool = False):
         b, hh, ww, c = x.shape
-        h = GroupNormSiLU(eps=1e-6, silu=False, name="norm")(x, stats=in_stats)
-        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h).reshape(b, 1, hh * ww, c)
-        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h).reshape(b, 1, hh * ww, c)
-        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h).reshape(b, 1, hh * ww, c)
+        epi_in = _gn_epilogue_mode(full=True)
+        if epi_in is not None and in_stats is not None:
+            # norm folds into ONE [C, 3C] qkv matmul (the three 1x1 conv
+            # params concatenate at trace time — identical param tree), so
+            # the normalized tensor is never written to HBM at all instead
+            # of one write + three projection reads
+            gN, bN = _GNParams(name="norm")(c)
+            kq, bq = _ConvParams(c, 1, name="q")(c)
+            kk, bk = _ConvParams(c, 1, name="k")(c)
+            kv, bv = _ConvParams(c, 1, name="v")(c)
+            w_qkv = jnp.concatenate([kq, kk, kv], axis=-1)
+            b_qkv = jnp.concatenate([bq, bk, bv])
+            qkv, _, _ = conv_stats(
+                x.astype(self.dtype), w_qkv.astype(self.dtype),
+                _per_batch_bias(b_qkv, b, 3 * c), in_stats=in_stats,
+                gamma=gN, beta=bN, eps=1e-6, silu_in=False,
+                interpret=epi_in == "interpret",
+            )
+            q, k, v = (t.reshape(b, 1, hh * ww, c)
+                       for t in jnp.split(qkv, 3, axis=-1))
+        else:
+            h = GroupNormSiLU(eps=1e-6, silu=False, name="norm")(
+                x, stats=in_stats)
+            q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h).reshape(b, 1, hh * ww, c)
+            k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h).reshape(b, 1, hh * ww, c)
+            v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h).reshape(b, 1, hh * ww, c)
         out = multi_head_attention(q, k, v, scale=c**-0.5)
         out = out.reshape(b, hh, ww, c)
         epi = _gn_epilogue_mode(full=True)
