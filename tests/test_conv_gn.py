@@ -324,6 +324,49 @@ def test_vqgan_encoder_decoder_epilogue_matches(monkeypatch):
                                np.asarray(bd), atol=2e-4, rtol=2e-4)
 
 
+def test_tiny_train_step_with_epilogue(monkeypatch):
+    """A real optimizer step through the full LDM train path (remat'd UNet,
+    custom-VJP fused kernels, optax) with the fusion on: finite loss that
+    matches the unfused step closely."""
+    import sys
+
+    import yaml
+
+    sys.path.insert(0, "tests")
+    from test_ldm import TINY_MEAD_CFG
+
+    from dsml_thesis_tpu.config import build_model
+    from dsml_thesis_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    def one_step():
+        cfg = yaml.safe_load(TINY_MEAD_CFG)
+        ldm = build_model(cfg["model"])
+        batch = {
+            "image": jnp.ones((2, 16, 16, 3)) * 0.1,
+            "masked_image": jnp.zeros((2, 16, 16, 3)),
+            "identity": jnp.zeros((2, 16, 16, 3)),
+            "class_label": jnp.zeros((2,), jnp.int32),
+            "audio": jnp.zeros((2, 5, 32)),
+        }
+        params = ldm.init_params(jax.random.PRNGKey(0), batch)
+        tx = make_optimizer(ldm, params, base_lr=1e-3)
+        state = create_train_state(ldm, params, tx)
+        step = make_train_step(ldm, tx)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        return float(metrics["train/loss"])
+
+    monkeypatch.delenv("DSML_GN_EPILOGUE", raising=False)
+    base_loss = one_step()
+    monkeypatch.setenv("DSML_GN_EPILOGUE", "interpret")
+    fused_loss = one_step()
+    assert np.isfinite(fused_loss)
+    np.testing.assert_allclose(fused_loss, base_loss, rtol=1e-3)
+
+
 def test_conv_stats_under_mesh_shard_maps(monkeypatch):
     """On a >1-device mesh conv_stats shard_maps the kernel over the data
     axis (per-batch grid, zero collectives) and stays correct, including
