@@ -361,26 +361,21 @@ def flash_attention_packed(q, k, v, heads: int, scale=None,
     return out
 
 
-def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                      *, scale: float, defer_div: bool = True):
-    """Backward for one (batch*head, q-block): recompute P for the block, emit
-    dq for the block and accumulate dk/dv across the sequential q-block grid.
-    Zero-padded q/do rows contribute exactly zero to dk/dv, so no masking.
-    """
-    j = pl.program_id(1)
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
+def _attend_one_head_bwd(q, k, v, do, *, scale: float,
+                         defer_div: bool = True):
+    """Single-head flash backward core shared by the split-head and packed
+    bwd kernels: recompute P for the q-block, return this block's
+    (dq, dk_contrib, dv_contrib), all fp32.
 
-    # same VPU-saving reformulations as the forward kernel: scale folds into
-    # Q in the log2 domain (pre-scaled scores off the MXU, exp2 not exp) and
-    # the softmax normalization never touches the [Bq, Nk] matrix — row
-    # sums ride MXU dots against a ones vector, and 1/denom folds into
-    # per-ROW scalings of do / q / dq (all [Bq, D]-sized):
-    #   dv[j]  = sum_i (p_un[i,j]/den_i) do[i]   = p_un^T @ (do/den)
-    #   dk[j]  = sum_i ds_un[i,j]/den_i  q[i]    = ds_un^T @ (q/den)
-    #   dq[i]  = (1/den_i) * ds_un[i] @ K
+    Same VPU-saving reformulations as the forward kernel: scale folds into
+    Q in the log2 domain (pre-scaled scores off the MXU, exp2 not exp) and
+    the softmax normalization never touches the [Bq, Nk] matrix — row
+    sums ride MXU dots against a ones vector, and 1/denom folds into
+    per-ROW scalings of do / q / dq (all [Bq, D]-sized):
+      dv[j]  = sum_i (p_un[i,j]/den_i) do[i]   = p_un^T @ (do/den)
+      dk[j]  = sum_i ds_un[i,j]/den_i  q[i]    = ds_un^T @ (q/den)
+      dq[i]  = (1/den_i) * ds_un[i] @ K
+    """
     c2 = jnp.asarray(scale * 1.4426950408889634, q.dtype)  # log2(e)
     s = jax.lax.dot_general(
         q * c2, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -406,6 +401,35 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         row = jnp.sum(dp * p_un, axis=-1, keepdims=True)
     ds_un = p_un * (dp - row)   # defer_div: = den * ds; else: = ds
 
+    do_s = do * inv_den if defer_div else do
+    q_s = (q.astype(jnp.float32) * inv_den if defer_div
+           else q.astype(jnp.float32))
+    dv = jax.lax.dot_general(
+        p_un, do_s, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk = scale * jax.lax.dot_general(
+        ds_un, q_s, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq = jnp.dot(ds_un, k.astype(jnp.float32),
+                 preferred_element_type=jnp.float32)
+    dq = (scale * inv_den * dq) if defer_div else (scale * dq)
+    return dq, dk, dv
+
+
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                      *, scale: float, defer_div: bool = True):
+    """Backward for one (batch*head, q-block): recompute P for the block, emit
+    dq for the block and accumulate dk/dv across the sequential q-block grid.
+    Zero-padded q/do rows contribute exactly zero to dk/dv, so no masking.
+    """
+    j = pl.program_id(1)
+    dq, dk, dv = _attend_one_head_bwd(
+        q_ref[0], k_ref[0], v_ref[0], do_ref[0].astype(jnp.float32),
+        scale=scale, defer_div=defer_div,
+    )
+
     @pl.when(j == 0)
     def _():
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
@@ -414,21 +438,46 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     # dk/dv out buffers are fp32 regardless of model dtype: a bf16
     # read-modify-write across the sequential q-block grid would re-round
     # the running sum every step (cast to param dtype happens once, outside)
-    do_s = do * inv_den if defer_div else do
-    q_s = (q.astype(jnp.float32) * inv_den if defer_div
-           else q.astype(jnp.float32))
-    dv_ref[0] += jax.lax.dot_general(
-        p_un, do_s, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dk_ref[0] += scale * jax.lax.dot_general(
-        ds_un, q_s, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dq = jnp.dot(ds_un, k.astype(jnp.float32),
-                 preferred_element_type=jnp.float32)
-    dq_ref[0] = ((scale * inv_den * dq) if defer_div
-                 else (scale * dq)).astype(dq_ref.dtype)
+    dv_ref[0] += dv
+    dk_ref[0] += dk
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_kernel_packed(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
+                             dv_ref, *, scale: float, heads: int,
+                             defer_div: bool = True):
+    """Packed-layout backward for one (batch, q-block) program: the [N, H*D]
+    activations feed the kernel directly, so training pays NO head-split
+    transposes around the backward either (see _flash_kernel_packed for the
+    forward rationale). Heads run sequentially with static lane slices;
+    per-head dk/dv contributions are concatenated so the grid-sequential
+    fp32 accumulation is one full-width read-modify-write, not H lane-sliced
+    ones."""
+    j = pl.program_id(1)
+    q = q_ref[0]                       # [Bq, H*D]
+    k = k_ref[0]                       # [Nk, H*D]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    d = q.shape[-1] // heads
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        dq_h, dk_h, dv_h = _attend_one_head_bwd(
+            q[:, sl], k[:, sl], v[:, sl], do[:, sl],
+            scale=scale, defer_div=defer_div,
+        )
+        dqs.append(dq_h)
+        dks.append(dk_h)
+        dvs.append(dv_h)
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += jnp.concatenate(dks, axis=-1)
+    dv_ref[0] += jnp.concatenate(dvs, axis=-1)
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
 
 
 def flash_attention_bwd(q, k, v, do, scale=None, block_q: int = 256,
@@ -488,6 +537,71 @@ def flash_attention_bwd(q, k, v, do, scale=None, block_q: int = 256,
             shape4(dv.astype(v.dtype), nk))
 
 
+def flash_attention_bwd_packed(q, k, v, do, heads: int, scale=None,
+                               block_q: int = 256, interpret: bool = False):
+    """Packed-layout flash backward: q/k/v/do [B, N, H*D] -> (dq, dk, dv) in
+    the same packed layout, no [B,H,N,D] transpose in HBM on either side."""
+    b, nq, hd = q.shape
+    d = hd // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    nk = k.shape[1]
+    block_q = min(block_q, nq)
+    pad_q = (-nq) % block_q
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, pad_q), (0, 0)))
+    nq_p = nq + pad_q
+
+    itemsize = jnp.dtype(q.dtype).itemsize
+    # resident: packed K/V (+ double buffers) + fp32 dk/dv accumulators +
+    # q/do/dq blocks + the per-head fp32 [block_q, nk] temporaries (s/p_un,
+    # dp, ds_un — ~3 live per unrolled head iteration, dead at its end;
+    # budget 6 for scheduling overlap, the SAME count _fit_block_q_packed_bwd
+    # approves with)
+    vmem_limit = min(
+        4 * nk * hd * itemsize + 2 * nk * hd * 4 + 6 * (block_q * nk * 4)
+        + 6 * block_q * hd * 4 + (1 << 21),
+        110 * (1 << 20),
+    )
+    import os
+
+    bwd_defer = os.environ.get("DSML_FLASH_BWD_DEFER", "1") != "0"
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel_packed, scale=scale, heads=heads,
+                          defer_div=bwd_defer),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nq_p, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, nk, hd), jnp.float32),  # fp32 accumulators
+            jax.ShapeDtypeStruct((b, nk, hd), jnp.float32),
+        ),
+        grid=(b, nq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(q, k, v, do)
+    if pad_q:
+        dq = dq[:, :nq]
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_attention_diff(q, k, v, scale, block_q=256, interpret=False):
     return flash_attention(q, k, v, scale=scale, block_q=block_q,
@@ -522,19 +636,29 @@ def _packed_fwd(q, k, v, heads, scale, block_q, interpret):
 
 
 def _packed_bwd(heads, scale, block_q, interpret, res, g):
-    # bwd reuses the BHND flash backward through head-split transposes: the
-    # packed layout is a forward/sampling optimization (no HBM transpose in
-    # the hot inference path); training pays the two transposes it always
-    # paid. A packed bwd kernel is the follow-up if training profiles
-    # demand it.
     q, k, v = res
+    nq, nk = q.shape[1], k.shape[1]
+    import os
+
+    # packed bwd kernel: training keeps the [B,N,H*D] layout through the
+    # backward too — no head-split transposes in HBM. Its working set is
+    # bigger than the forward's (fp32 dk/dv accumulators + 3 live score
+    # temporaries per head), so it re-fits its own block_q; if even the
+    # smallest block can't fit, fall back to the split-head bwd through
+    # transposes (correct, just pays the copies).
+    if os.environ.get("DSML_FLASH_PACKED_BWD", "1") != "0":
+        bq = _fit_block_q_packed_bwd(nq, nk, q.shape[-1], block_q)
+        if bq is not None:
+            return flash_attention_bwd_packed(
+                q, k, v, g, heads, scale=scale, block_q=bq,
+                interpret=interpret,
+            )
 
     def split(t, n):
         b = t.shape[0]
         d = t.shape[-1] // heads
         return t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
 
-    nq, nk = q.shape[1], k.shape[1]
     dq, dk, dv = flash_attention_bwd(
         split(q, nq), split(k, nk), split(v, nk), split(g, nq),
         scale=scale, block_q=block_q, interpret=interpret,
@@ -585,6 +709,41 @@ def _fit_block_q_packed(nq: int, nk: int, hd: int, requested: int):
     return None
 
 
+def _fit_block_q_packed_bwd(nq: int, nk: int, hd: int, requested: int):
+    """VMEM fit for the packed BACKWARD kernel: packed K/V (+ double
+    buffers) + fp32 dk/dv accumulators at packed width + 6 fp32 [bq, nk]
+    per-head temporaries (s/p_un, dp, ds_un live per unrolled head
+    iteration, x2 overlap) + q/do/dq blocks. Mirrors the budget
+    flash_attention_bwd_packed compiles with, so a fit-approved shape
+    cannot die in a VMEM-limit error."""
+    bq = min(requested, nq)
+    while bq >= 8:
+        kv_resident = 4 * nk * hd * 4 + 2 * nk * hd * 4
+        scores = 6 * (bq * nk * 4)
+        blocks = 6 * bq * hd * 4
+        if kv_resident + scores + blocks + (1 << 21) <= _VMEM_BUDGET:
+            return bq
+        bq //= 2
+    return None
+
+
+def _packed_partition_spec(mesh, b: int, heads: int):
+    """Largest [B, N, H*D] partitioning for the packed layout: batch over
+    `data`, the packed head axis over `model` (lane shards land on head
+    boundaries whenever model divides the head count, since head h owns the
+    contiguous lane range [h*d, (h+1)*d)). None when nothing divides — the
+    caller falls back to the split-head dispatch."""
+    from jax.sharding import PartitionSpec as P
+
+    nd = mesh.shape.get("data", 1)
+    nm = mesh.shape.get("model", 1)
+    spec_b = "data" if nd > 1 and b % nd == 0 else None
+    spec_h = "model" if nm > 1 and heads % nm == 0 else None
+    if spec_b is None and spec_h is None:
+        return None
+    return P(spec_b, None, spec_h)
+
+
 def packed_multi_head_attention(q, k, v, heads: int, scale=None,
                                 use_pallas=None, interpret=False):
     """Attention on the packed activation layout: q [B, Nq, H*D],
@@ -593,10 +752,13 @@ def packed_multi_head_attention(q, k, v, heads: int, scale=None,
     Dispatch twin of multi_head_attention for callers that keep activations
     packed (models/unet.py DSML_ATTN_PACKED=1): the flash path runs
     _flash_kernel_packed with NO head-split transpose in HBM on either side.
+    On a multi-device mesh the kernel shard_maps over the mesh — batch over
+    `data`, the packed head axis over `model` (lane shards land on head
+    boundaries when model divides the head count) — each device running the
+    same single-device packed program on its shard with zero collectives.
     Anything the packed kernel cannot take (tiny KV, VMEM overflow, CPU,
-    flash disabled, a multi-device mesh — head-sharding the packed dim is
-    future work) falls back to the standard split-head dispatch, so the
-    packed entry is always safe to call."""
+    flash disabled, a mesh nothing divides over) falls back to the standard
+    split-head dispatch, so the packed entry is always safe to call."""
     d = q.shape[-1] // heads
     if scale is None:
         scale = 1.0 / math.sqrt(d)
@@ -608,14 +770,37 @@ def packed_multi_head_attention(q, k, v, heads: int, scale=None,
         use_pallas = (
             enabled and _on_tpu() and q.shape[1] >= 256 and k.shape[1] >= 256
         )
-    if use_pallas and not (_ATTN_MESH is not None and _ATTN_MESH.size > 1):
-        block_q = _fit_block_q_packed(
-            q.shape[1], k.shape[1], q.shape[2],
-            int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024")),
-        )
-        if block_q is not None:
-            return _packed_attention_diff(q, k, v, heads, scale, block_q,
-                                          interpret)
+    if use_pallas:
+        mesh = _ATTN_MESH
+        requested_bq = int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024"))
+        if mesh is not None and mesh.size > 1:
+            spec = _packed_partition_spec(mesh, q.shape[0], heads)
+            if spec is not None:
+                nm = mesh.shape.get("model", 1)
+                heads_local = heads // nm if spec[2] == "model" else heads
+                # fit on the PER-DEVICE shapes the kernel will actually see
+                block_q = _fit_block_q_packed(
+                    q.shape[1], k.shape[1], heads_local * d, requested_bq
+                )
+                if block_q is not None:
+                    run = jax.shard_map(
+                        lambda qq, kk, vv: _packed_attention_diff(
+                            qq, kk, vv, heads_local, scale, block_q,
+                            interpret),
+                        mesh=mesh, in_specs=(spec, spec, spec),
+                        out_specs=spec, check_vma=False,
+                    )
+                    return run(q, k, v)
+            # nothing divides (or no VMEM fit): the split-head dispatch
+            # handles the mesh (its own shard_map, or the XLA path GSPMD
+            # partitions on its own)
+        else:
+            block_q = _fit_block_q_packed(
+                q.shape[1], k.shape[1], q.shape[2], requested_bq
+            )
+            if block_q is not None:
+                return _packed_attention_diff(q, k, v, heads, scale, block_q,
+                                              interpret)
 
     def split(t):
         b, n = t.shape[0], t.shape[1]

@@ -409,17 +409,15 @@ def test_packed_dispatch_fallbacks():
 
     mesh = make_mesh(n_data=2, n_model=4)
     with attention_mesh(mesh):
-        # mesh set: the packed kernel defers to the split-head dispatch
-        # (whose shard_map path partitions over the mesh)
+        # mesh set, tiny KV: still the split-head jnp path
         out_m = packed_multi_head_attention(q, kv, kv, heads)
     np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref(q, kv, kv)),
                                atol=2e-5, rtol=2e-5)
 
-    # the mesh gate must also be reached when the packed kernel WOULD run
-    # (use_pallas=True, N large enough): the packed entry has no shard_map
-    # path of its own, so it must hand off to the split-head dispatch, which
-    # shard_maps the flash kernel over the mesh — not run a bare pallas_call
-    # that GSPMD would all-gather around
+    # when the packed kernel runs under a mesh it shard_maps ITSELF: batch
+    # over data, the packed head axis over model (2x4 divides b=2? no —
+    # b % 2 == 0 and heads % 4 == 0, so both axes shard) — not a bare
+    # pallas_call that GSPMD would all-gather around
     qb = jnp.asarray(rs.randn(2, 256, heads * d).astype(np.float32))
     kb = jnp.asarray(rs.randn(2, 256, heads * d).astype(np.float32))
     vb = jnp.asarray(rs.randn(2, 256, heads * d).astype(np.float32))
@@ -428,6 +426,95 @@ def test_packed_dispatch_fallbacks():
                                               use_pallas=True, interpret=True)
     np.testing.assert_allclose(np.asarray(out_big), np.asarray(ref(qb, kb, vb)),
                                atol=2e-5, rtol=2e-5)
+
+    # mesh nothing divides over (data=8 with b=2, model=1): falls back to
+    # the split-head dispatch, which itself falls back to the XLA path
+    mesh_nd = make_mesh(n_data=8, n_model=1)
+    with attention_mesh(mesh_nd):
+        out_nd = packed_multi_head_attention(qb, kb, vb, heads,
+                                             use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_nd), np.asarray(ref(qb, kb, vb)),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_packed_flash_bwd_kernel_matches_reference(monkeypatch):
+    """The packed-layout BACKWARD kernel ([B, N, H*D] dq/dk/dv, heads
+    sequential, full-width fp32 dk/dv accumulation) matches jax.grad of the
+    split-head reference — directly, through the packed custom VJP, and
+    through the shard_map mesh path (data- and head-sharded)."""
+    from dsml_thesis_tpu.ops.attention import (
+        attention_mesh,
+        flash_attention_bwd_packed,
+        packed_multi_head_attention,
+    )
+    from dsml_thesis_tpu.parallel import make_mesh
+
+    rs = np.random.RandomState(2)
+    heads, d, b, n = 5, 32, 2, 300  # odd head count, ragged N (pad path)
+    q = jnp.asarray(rs.randn(b, n, heads * d).astype(np.float32))
+    k = jnp.asarray(rs.randn(b, n, heads * d).astype(np.float32))
+    v = jnp.asarray(rs.randn(b, n, heads * d).astype(np.float32))
+
+    def ref(q, k, v):
+        split = lambda t: t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+        o = attention_reference(split(q), split(k), split(v))
+        return o.transpose(0, 2, 1, 3).reshape(b, n, heads * d)
+
+    gr = jax.grad(lambda q, k, v: jnp.sum(ref(q, k, v) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+
+    # direct kernel call: do = d(sum o^2)/do = 2*o
+    out = ref(q, k, v)
+    grads = flash_attention_bwd_packed(q, k, v, 2 * out, heads,
+                                       block_q=128, interpret=True)
+    for g, r in zip(grads, gr):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
+
+    def loss_packed(q, k, v):
+        o = packed_multi_head_attention(q, k, v, heads, use_pallas=True,
+                                        interpret=True)
+        return jnp.sum(o ** 2)
+
+    # through the custom VJP with the packed bwd kernel forced OFF: the
+    # split-head fallback must stay correct
+    monkeypatch.setenv("DSML_FLASH_PACKED_BWD", "0")
+    gp_off = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.delenv("DSML_FLASH_PACKED_BWD")
+    gp_on = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    for g_on, g_off, r in zip(gp_on, gp_off, gr):
+        np.testing.assert_allclose(np.asarray(g_on), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(g_off), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
+
+    # mesh path: n=256 (divides block), data-sharded batch and (second
+    # mesh) model-sharded heads — forward AND grad through shard_map
+    nb = 256
+    qb = jnp.asarray(rs.randn(2, nb, heads * d).astype(np.float32))
+    kb = jnp.asarray(rs.randn(2, nb, heads * d).astype(np.float32))
+    vb = jnp.asarray(rs.randn(2, nb, heads * d).astype(np.float32))
+
+    def refb(q, k, v):
+        split = lambda t: t.reshape(2, nb, heads, d).transpose(0, 2, 1, 3)
+        o = attention_reference(split(q), split(k), split(v))
+        return o.transpose(0, 2, 1, 3).reshape(2, nb, heads * d)
+
+    grb = jax.grad(lambda q, k, v: jnp.sum(refb(q, k, v) ** 2),
+                   argnums=(0, 1, 2))(qb, kb, vb)
+    for nd, nm in [(2, 1), (1, 5)]:  # data-only; model divides heads=5
+        mesh = make_mesh(n_data=nd, n_model=nm)
+        with attention_mesh(mesh):
+            out_m = packed_multi_head_attention(qb, kb, vb, heads,
+                                                use_pallas=True,
+                                                interpret=True)
+            gm = jax.grad(loss_packed, argnums=(0, 1, 2))(qb, kb, vb)
+        np.testing.assert_allclose(np.asarray(out_m),
+                                   np.asarray(refb(qb, kb, vb)),
+                                   atol=2e-5, rtol=2e-5)
+        for g, r in zip(gm, grb):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=2e-4, rtol=2e-4)
 
 
 def test_cross_attention_packed_variant_matches(monkeypatch):
