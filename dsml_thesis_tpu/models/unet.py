@@ -281,6 +281,22 @@ class _HeadProj(nn.Module):
         return jnp.einsum("bnc,chd->bhnd", x.astype(self.dtype), k3)
 
 
+class _ProjParams(nn.Module):
+    """Bare projection kernel with the SAME param tree as
+    `nn.Dense(features, use_bias=False)` — used by the fused-qkv path to
+    concatenate several projections into one matmul at trace time while the
+    checkpoint layout stays byte-identical."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features), jnp.float32,
+        )
+
+
 class _HeadMerge(nn.Module):
     """Output projection from [B, H, N, D]: same param tree as
     `nn.Dense(q_dim)` (kernel [H*D, q_dim] + bias) but contracted per head,
@@ -333,9 +349,28 @@ class CrossAttention(nn.Module):
             out = _HeadMerge(q_dim, self.heads, self.dim_head, self.dtype,
                              name="to_out")(out)
             return nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        is_self = context is x
+        if os.environ.get("DSML_ATTN_FUSED_QKV", "0") == "1":
+            # fuse the projections into one matmul at trace time (params
+            # concatenate; tree unchanged): self-attention reads x ONCE for
+            # a [C, 3*inner] dot instead of three [C, inner] dots (and the
+            # wider contraction uses the MXU lanes better at the flagship's
+            # skinny C=160); cross-attention fuses k/v over the context.
+            # A/B lever — same numerics, different XLA data movement.
+            wq = _ProjParams(inner, name="to_q")(q_dim)
+            wk = _ProjParams(inner, name="to_k")(context.shape[-1])
+            wv = _ProjParams(inner, name="to_v")(context.shape[-1])
+            if is_self:
+                w = jnp.concatenate([wq, wk, wv], axis=-1).astype(self.dtype)
+                q, k, v = jnp.split(x.astype(self.dtype) @ w, 3, axis=-1)
+            else:
+                q = x.astype(self.dtype) @ wq.astype(self.dtype)
+                wkv = jnp.concatenate([wk, wv], axis=-1).astype(self.dtype)
+                k, v = jnp.split(context.astype(self.dtype) @ wkv, 2, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
 
         if os.environ.get("DSML_ATTN_PACKED", "0") == "1":
             # packed-layout kernel: the [B,N,H*D] projections feed the flash

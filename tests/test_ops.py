@@ -517,6 +517,47 @@ def test_packed_flash_bwd_kernel_matches_reference(monkeypatch):
                                        atol=2e-4, rtol=2e-4)
 
 
+def test_cross_attention_fused_qkv_matches(monkeypatch):
+    """DSML_ATTN_FUSED_QKV=1 concatenates the to_q/to_k/to_v kernels into one
+    projection matmul at trace time (k/v only for cross-attention) — param
+    tree and numerics identical to the base path."""
+    from dsml_thesis_tpu.models.unet import CrossAttention
+
+    attn = CrossAttention(heads=4, dim_head=8)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 24).astype(np.float32))
+    ctx = jnp.asarray(np.random.RandomState(1).randn(2, 5, 24).astype(np.float32))
+
+    monkeypatch.delenv("DSML_ATTN_FUSED_QKV", raising=False)
+    params = attn.init(jax.random.PRNGKey(0), x, ctx)["params"]
+    base_self = attn.apply({"params": params}, x)
+    base_cross = attn.apply({"params": params}, x, ctx)
+
+    monkeypatch.setenv("DSML_ATTN_FUSED_QKV", "1")
+    params_f = attn.init(jax.random.PRNGKey(0), x, ctx)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_f))
+    for (_, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(params_f),
+    ):
+        assert a.shape == b.shape
+    out_self = attn.apply({"params": params}, x)
+    out_cross = attn.apply({"params": params}, x, ctx)
+    np.testing.assert_allclose(np.asarray(out_self), np.asarray(base_self),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_cross), np.asarray(base_cross),
+                               rtol=1e-5, atol=1e-5)
+
+    # composes with the packed kernel path (both levers on)
+    monkeypatch.setenv("DSML_ATTN_PACKED", "1")
+    out_self_p = attn.apply({"params": params}, x)
+    out_cross_p = attn.apply({"params": params}, x, ctx)
+    np.testing.assert_allclose(np.asarray(out_self_p), np.asarray(base_self),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_cross_p), np.asarray(base_cross),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_cross_attention_packed_variant_matches(monkeypatch):
     """DSML_ATTN_PACKED=1 uses the identical param tree and numerics as the
     split-head CrossAttention path (on CPU both route to the jnp reference;
