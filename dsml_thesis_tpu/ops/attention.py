@@ -83,17 +83,25 @@ def scoped_attention_mesh(fn, mesh):
     return wrapped
 
 
-def _attention_partition_spec(mesh, b: int, h: int):
-    """Largest [B, H, N, D] partitioning the mesh and shape allow: batch over
+def _mesh_axis_split(mesh, b: int, h: int):
+    """Shared divisibility gating for both attention layouts: batch over
     `data`, heads over `model` (head-parallel attention needs no
-    communication). None when nothing divides — the caller falls back to the
-    XLA path, which GSPMD can partition on its own."""
-    from jax.sharding import PartitionSpec as P
-
+    communication). Returns (spec_b, spec_h) axis names (None = replicated);
+    (None, None) means nothing divides and the caller must fall back."""
     nd = mesh.shape.get("data", 1)
     nm = mesh.shape.get("model", 1)
     spec_b = "data" if nd > 1 and b % nd == 0 else None
     spec_h = "model" if nm > 1 and h % nm == 0 else None
+    return spec_b, spec_h
+
+
+def _attention_partition_spec(mesh, b: int, h: int):
+    """Largest [B, H, N, D] partitioning the mesh and shape allow. None when
+    nothing divides — the caller falls back to the XLA path, which GSPMD can
+    partition on its own."""
+    from jax.sharding import PartitionSpec as P
+
+    spec_b, spec_h = _mesh_axis_split(mesh, b, h)
     if spec_b is None and spec_h is None:
         return None
     return P(spec_b, spec_h, None, None)
@@ -121,6 +129,36 @@ def _flash_flags(nk: int):
     nb_env = os.environ.get("DSML_FLASH_NORM_BOUND", "auto")
     norm_bound = (nk >= 2048) if nb_env == "auto" else nb_env == "1"
     return defer_div, pv_transpose, norm_bound
+
+
+def _packed_fwd_bytes(bq: int, nk: int, hd: int) -> int:
+    """Working-set bytes of one packed FORWARD program, sized conservatively
+    in fp32. Single source of truth for the vmem_limit pallas_call compiles
+    with AND the _fit_block_q_packed approval, so a fit-approved shape
+    cannot die in a Mosaic VMEM-limit error: packed K/V (+ pipeline double
+    buffers), 4 live fp32 [bq, nk] score matrices (heads run sequentially
+    but the unrolled loop overlaps), q/out blocks + the per-head output
+    list and its concat result."""
+    kv_resident = 4 * nk * hd * 4
+    scores = 4 * (bq * nk * 4)
+    blocks = 6 * bq * hd * 4
+    return kv_resident + scores + blocks + (1 << 21)
+
+
+def _packed_bwd_bytes(bq: int, nk: int, hd: int) -> int:
+    """Working-set bytes of one packed BACKWARD program (fp32 sizing), the
+    single source for both the compile-time vmem_limit and the fit check:
+    packed K/V (+ double buffers) + fp32 dk/dv output accumulators + the
+    per-head dk/dv contribution buffers that stay live across the whole
+    unrolled head loop AND their full-width concat results + 6 fp32
+    [bq, nk] score temporaries (s/p_un, dp, ds_un per head iteration, x2
+    overlap) + q/do/dq blocks."""
+    kv_resident = 4 * nk * hd * 4
+    accum = 2 * nk * hd * 4            # dk/dv output accumulators
+    head_contribs = 4 * nk * hd * 4    # per-head dk/dv lists + concat results
+    scores = 6 * (bq * nk * 4)
+    blocks = 6 * bq * hd * 4
+    return kv_resident + accum + head_contribs + scores + blocks + (1 << 21)
 
 
 def attention_reference(q, k, v, scale=None):
@@ -326,17 +364,9 @@ def flash_attention_packed(q, k, v, heads: int, scale=None,
     nq_p = nq + pad_q
 
     grid = (b, nq_p // block_q)
-    itemsize = jnp.dtype(q.dtype).itemsize
-    # resident: packed K + V (+ double buffers) + q/out blocks + fp32
-    # [block_q, nk] score matrices. Heads run sequentially but Mosaic may
-    # keep several per-head score buffers live to overlap the unrolled head
-    # loop — budget 4x, the SAME count _fit_block_q_packed approves with, so
-    # a fit-approved shape cannot die in a VMEM-limit compile error.
-    vmem_limit = min(
-        4 * nk * hd * itemsize + 4 * (block_q * nk * 4)
-        + 4 * block_q * hd * itemsize + (1 << 21),
-        110 * (1 << 20),
-    )
+    # _packed_fwd_bytes is the SAME formula _fit_block_q_packed approves
+    # with, so a fit-approved shape cannot die in a VMEM-limit compile error
+    vmem_limit = min(_packed_fwd_bytes(block_q, nk, hd), 110 * (1 << 20))
     out = pl.pallas_call(
         functools.partial(_flash_kernel_packed, scale=scale, heads=heads,
                           defer_div=defer_div, pv_transpose=pv_transpose,
@@ -553,17 +583,9 @@ def flash_attention_bwd_packed(q, k, v, do, heads: int, scale=None,
         do = jnp.pad(do, ((0, 0), (0, pad_q), (0, 0)))
     nq_p = nq + pad_q
 
-    itemsize = jnp.dtype(q.dtype).itemsize
-    # resident: packed K/V (+ double buffers) + fp32 dk/dv accumulators +
-    # q/do/dq blocks + the per-head fp32 [block_q, nk] temporaries (s/p_un,
-    # dp, ds_un — ~3 live per unrolled head iteration, dead at its end;
-    # budget 6 for scheduling overlap, the SAME count _fit_block_q_packed_bwd
-    # approves with)
-    vmem_limit = min(
-        4 * nk * hd * itemsize + 2 * nk * hd * 4 + 6 * (block_q * nk * 4)
-        + 6 * block_q * hd * 4 + (1 << 21),
-        110 * (1 << 20),
-    )
+    # _packed_bwd_bytes is the SAME formula _fit_block_q_packed_bwd approves
+    # with, so a fit-approved shape cannot die in a VMEM-limit compile error
+    vmem_limit = min(_packed_bwd_bytes(block_q, nk, hd), 110 * (1 << 20))
     import os
 
     bwd_defer = os.environ.get("DSML_FLASH_BWD_DEFER", "1") != "0"
@@ -695,33 +717,24 @@ def _fit_block_q(nq: int, nk: int, d: int, requested: int):
 
 
 def _fit_block_q_packed(nq: int, nk: int, hd: int, requested: int):
-    """VMEM fit for the packed kernel: K/V resident at the full packed width
-    (shared across the sequential head loop), one live fp32 score matrix
-    (x2 for scheduling overlap), q/out blocks at packed width."""
+    """VMEM fit for the packed forward kernel — approves with the SAME
+    _packed_fwd_bytes formula flash_attention_packed compiles its
+    vmem_limit from."""
     bq = min(requested, nq)
     while bq >= 8:
-        kv_resident = 4 * nk * hd * 4
-        scores = 4 * (bq * nk * 4)
-        blocks = 4 * bq * hd * 4
-        if kv_resident + scores + blocks + (1 << 21) <= _VMEM_BUDGET:
+        if _packed_fwd_bytes(bq, nk, hd) <= _VMEM_BUDGET:
             return bq
         bq //= 2
     return None
 
 
 def _fit_block_q_packed_bwd(nq: int, nk: int, hd: int, requested: int):
-    """VMEM fit for the packed BACKWARD kernel: packed K/V (+ double
-    buffers) + fp32 dk/dv accumulators at packed width + 6 fp32 [bq, nk]
-    per-head temporaries (s/p_un, dp, ds_un live per unrolled head
-    iteration, x2 overlap) + q/do/dq blocks. Mirrors the budget
-    flash_attention_bwd_packed compiles with, so a fit-approved shape
-    cannot die in a VMEM-limit error."""
+    """VMEM fit for the packed BACKWARD kernel — approves with the SAME
+    _packed_bwd_bytes formula flash_attention_bwd_packed compiles its
+    vmem_limit from."""
     bq = min(requested, nq)
     while bq >= 8:
-        kv_resident = 4 * nk * hd * 4 + 2 * nk * hd * 4
-        scores = 6 * (bq * nk * 4)
-        blocks = 6 * bq * hd * 4
-        if kv_resident + scores + blocks + (1 << 21) <= _VMEM_BUDGET:
+        if _packed_bwd_bytes(bq, nk, hd) <= _VMEM_BUDGET:
             return bq
         bq //= 2
     return None
@@ -732,13 +745,12 @@ def _packed_partition_spec(mesh, b: int, heads: int):
     `data`, the packed head axis over `model` (lane shards land on head
     boundaries whenever model divides the head count, since head h owns the
     contiguous lane range [h*d, (h+1)*d)). None when nothing divides — the
-    caller falls back to the split-head dispatch."""
+    caller falls back to the split-head dispatch. Same gating as
+    _attention_partition_spec (shared _mesh_axis_split), only the axis
+    arrangement differs."""
     from jax.sharding import PartitionSpec as P
 
-    nd = mesh.shape.get("data", 1)
-    nm = mesh.shape.get("model", 1)
-    spec_b = "data" if nd > 1 and b % nd == 0 else None
-    spec_h = "model" if nm > 1 and heads % nm == 0 else None
+    spec_b, spec_h = _mesh_axis_split(mesh, b, heads)
     if spec_b is None and spec_h is None:
         return None
     return P(spec_b, None, spec_h)

@@ -328,11 +328,12 @@ def test_tiny_train_step_with_epilogue(monkeypatch):
     """A real optimizer step through the full LDM train path (remat'd UNet,
     custom-VJP fused kernels, optax) with the fusion on: finite loss that
     matches the unfused step closely."""
+    import os
     import sys
 
     import yaml
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from test_ldm import TINY_MEAD_CFG
 
     from dsml_thesis_tpu.config import build_model

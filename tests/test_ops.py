@@ -517,6 +517,45 @@ def test_packed_flash_bwd_kernel_matches_reference(monkeypatch):
                                        atol=2e-4, rtol=2e-4)
 
 
+def test_flash_bwd_defer_div_kill_switch(monkeypatch):
+    """DSML_FLASH_BWD_DEFER=0 (the documented kill switch) must keep BOTH
+    backward kernels — split-head and packed — on the non-deferred
+    normalization path and stay grad-exact vs jax.grad of the reference."""
+    from dsml_thesis_tpu.ops.attention import (
+        flash_attention_bwd,
+        flash_attention_bwd_packed,
+    )
+
+    monkeypatch.setenv("DSML_FLASH_BWD_DEFER", "0")
+    rs = np.random.RandomState(3)
+    heads, d, b, n = 3, 16, 2, 128
+    qp = jnp.asarray(rs.randn(b, n, heads * d).astype(np.float32))
+    kp = jnp.asarray(rs.randn(b, n, heads * d).astype(np.float32))
+    vp = jnp.asarray(rs.randn(b, n, heads * d).astype(np.float32))
+    split = lambda t: t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+
+    def ref_packed(q, k, v):
+        o = attention_reference(split(q), split(k), split(v))
+        return o.transpose(0, 2, 1, 3).reshape(b, n, heads * d)
+
+    out = ref_packed(qp, kp, vp)
+    gr = jax.grad(lambda q, k, v: jnp.sum(ref_packed(q, k, v) ** 2),
+                  argnums=(0, 1, 2))(qp, kp, vp)
+
+    grads_p = flash_attention_bwd_packed(qp, kp, vp, 2 * out, heads,
+                                         block_q=64, interpret=True)
+    for g, r in zip(grads_p, gr):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
+
+    grads_s = flash_attention_bwd(split(qp), split(kp), split(vp),
+                                  split(2 * out), block_q=64, interpret=True)
+    merge = lambda t: t.transpose(0, 2, 1, 3).reshape(b, n, heads * d)
+    for g, r in zip(map(merge, grads_s), gr):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
+
+
 def test_cross_attention_fused_qkv_matches(monkeypatch):
     """DSML_ATTN_FUSED_QKV=1 concatenates the to_q/to_k/to_v kernels into one
     projection matmul at trace time (k/v only for cross-attention) — param
