@@ -40,7 +40,29 @@ HUMAN_LABELS = {
 
 def load_image(path: str, size: Optional[int], random_crop: bool = False,
                rng: Optional[np.random.RandomState] = None) -> np.ndarray:
-    """Resize smallest side to `size`, center/random crop, scale to [-1, 1]."""
+    """Resize smallest side to `size`, center/random crop, scale to [-1, 1].
+
+    DSML_NATIVE_IMAGE=1 routes through native/imagepipe.cc (fused
+    decode+resize+crop+normalize, GIL released — see data/native_image.py);
+    the crop offsets are still drawn HERE with the same rng calls, from the
+    library's header-only resized-dims probe, so augmentation streams are
+    byte-identical to the PIL path. Any native failure falls back to PIL
+    for that file, reusing the already-drawn offsets.
+    """
+    crop = None  # (x0, y0) in resized coords, shared by both backends
+    if size is not None and size > 0:
+        from .native_image import enabled, load_image_native, probe_resized
+
+        if enabled():
+            if random_crop and rng is not None:
+                wh = probe_resized(path, size)
+                if wh is not None:
+                    w, h = wh
+                    crop = (rng.randint(0, w - size + 1),
+                            rng.randint(0, h - size + 1))
+            arr = load_image_native(path, size, crop)
+            if arr is not None:
+                return arr
     img = Image.open(path)
     if img.mode != "RGB":
         img = img.convert("RGB")
@@ -50,7 +72,9 @@ def load_image(path: str, size: Optional[int], random_crop: bool = False,
         img = img.resize((max(size, round(w * scale)), max(size, round(h * scale))),
                          Image.BICUBIC)
         w, h = img.size
-        if random_crop and rng is not None:
+        if crop is not None:
+            x0, y0 = crop  # drawn above from the (identical) probe dims
+        elif random_crop and rng is not None:
             x0 = rng.randint(0, w - size + 1)
             y0 = rng.randint(0, h - size + 1)
         else:
