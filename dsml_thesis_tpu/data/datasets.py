@@ -84,6 +84,30 @@ def load_image(path: str, size: Optional[int], random_crop: bool = False,
     return (arr / 127.5 - 1.0).astype(np.float32)
 
 
+def load_images(paths, size: Optional[int]) -> np.ndarray:
+    """Stack of center-cropped frames [N, size, size, 3] in [-1, 1].
+
+    With DSML_NATIVE_IMAGE=1 the whole stack decodes through ONE call into
+    the native library's internal thread pool (see native_image.py) —
+    the batch counterpart of load_image for single-threaded CLI loops
+    (compute_latents, image_metrics, streaming_pipeline); failed rows are
+    refilled per file through the PIL fallback."""
+    paths = list(paths)
+    if size is not None and size > 0 and paths:
+        from .native_image import enabled, load_image_batch
+
+        if enabled():
+            threads = int(os.environ.get("DSML_NATIVE_IMAGE_THREADS",
+                                         str(min(16, os.cpu_count() or 8))))
+            out = load_image_batch(paths, size, threads=threads)
+            if out is not None:
+                imgs, status = out
+                for i in np.nonzero(status != 0)[0]:
+                    imgs[i] = load_image(paths[i], size)
+                return imgs
+    return np.stack([load_image(p, size) for p in paths])
+
+
 def _load_pickle(path: str):
     if os.path.getsize(path) > 0:
         with open(path, "rb") as f:

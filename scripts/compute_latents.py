@@ -42,7 +42,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from dsml_thesis_tpu.config import build_model, load_config
-    from dsml_thesis_tpu.data import load_image
+    from dsml_thesis_tpu.data import load_images
     from dsml_thesis_tpu.diffusion import (
         ddim_invert,
         ddim_reverse_from,
@@ -86,7 +86,7 @@ def main():
     all_x0, all_lat, all_rec, all_fp = [], [], [], []
     for s in range(0, len(paths), args.batch):
         chunk = paths[s:s + args.batch]
-        imgs = np.stack([load_image(p, args.size) for p in chunk])
+        imgs = load_images(chunk, args.size)
         labels = np.array(
             [int(os.path.basename(p).split("_")[0]) for p in chunk], np.int32
         )

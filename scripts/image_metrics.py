@@ -27,12 +27,12 @@ def load_frames(path, size=None):
     if path.endswith(".pkl"):
         with open(path, "rb") as f:
             return np.asarray(pickle.load(f)["video"], np.float32)
-    from dsml_thesis_tpu.data import load_image
+    from dsml_thesis_tpu.data import load_images
 
     files = sorted(
         glob.glob(os.path.join(path, "*.jpg")) + glob.glob(os.path.join(path, "*.png"))
     )
-    return np.stack([load_image(p, size) for p in files])
+    return load_images(files, size)
 
 
 def main():

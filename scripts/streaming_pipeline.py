@@ -82,11 +82,11 @@ def main():
             if args.metrics:
                 clip_dir = ds._clip_dir(ex["subj"], ex["human_label"], ex["lvl"],
                                         ex["nbr"])
-                from dsml_thesis_tpu.data import load_image
+                from dsml_thesis_tpu.data import load_images
 
                 frames = sorted(os.listdir(clip_dir))[:F]
-                gt_frames = np.stack(
-                    [load_image(os.path.join(clip_dir, f), args.size) for f in frames]
+                gt_frames = load_images(
+                    [os.path.join(clip_dir, f) for f in frames], args.size
                 )
             if masked.shape[0] < F:
                 masked = np.concatenate(

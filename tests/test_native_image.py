@@ -138,6 +138,22 @@ def test_batch_api_and_status(tmp_path):
                                       crop_xy=np.zeros((2, 2), np.int32))
 
 
+def test_load_images_helper_backends_agree(tmp_path, monkeypatch):
+    """data.load_images (the CLI batch entry) matches the PIL loop and
+    refills undecodable rows through the fallback."""
+    good = [_save(tmp_path, f"h{i}.jpg", _mk_rgb(160, 120, seed=i), quality=95)
+            for i in range(3)]
+    bmp = str(tmp_path / "h.bmp")  # native can't decode; PIL refills
+    Image.fromarray(_mk_rgb(100, 90, seed=9)).save(bmp)
+    paths = good + [bmp]
+    monkeypatch.setenv("DSML_NATIVE_IMAGE", "0")
+    pil = datasets.load_images(paths, 64)
+    monkeypatch.setenv("DSML_NATIVE_IMAGE", "1")
+    nat = datasets.load_images(paths, 64)
+    assert nat.shape == (4, 64, 64, 3)
+    assert np.abs(pil - nat).max() <= TOL
+
+
 def test_batch_random_crops_match_single(tmp_path):
     p = _save(tmp_path, "c.png", _mk_rgb(300, 200, seed=8))
     w, h = native_image.probe_resized(p, 96)
