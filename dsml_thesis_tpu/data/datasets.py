@@ -63,6 +63,12 @@ def load_image(path: str, size: Optional[int], random_crop: bool = False,
             arr = load_image_native(path, size, crop)
             if arr is not None:
                 return arr
+    return _load_image_pil(path, size, random_crop, rng, crop)
+
+
+def _load_image_pil(path, size, random_crop=False, rng=None, crop=None):
+    """The PIL backend — also the direct refill target for files the native
+    library rejected (retrying the native decode would just fail again)."""
     img = Image.open(path)
     if img.mode != "RGB":
         img = img.convert("RGB")
@@ -73,7 +79,7 @@ def load_image(path: str, size: Optional[int], random_crop: bool = False,
                          Image.BICUBIC)
         w, h = img.size
         if crop is not None:
-            x0, y0 = crop  # drawn above from the (identical) probe dims
+            x0, y0 = crop  # drawn by the caller from the (identical) probe dims
         elif random_crop and rng is not None:
             x0 = rng.randint(0, w - size + 1)
             y0 = rng.randint(0, h - size + 1)
@@ -103,7 +109,7 @@ def load_images(paths, size: Optional[int]) -> np.ndarray:
             if out is not None:
                 imgs, status = out
                 for i in np.nonzero(status != 0)[0]:
-                    imgs[i] = load_image(paths[i], size)
+                    imgs[i] = _load_image_pil(paths[i], size)
                 return imgs
     return np.stack([load_image(p, size) for p in paths])
 

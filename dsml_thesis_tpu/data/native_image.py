@@ -8,60 +8,44 @@ parallelism. TPU-native counterpart of the reference's torch DataLoader
 worker processes (face_reenactment/main.py:733 `num_workers`).
 
 Opt-in via DSML_NATIVE_IMAGE=1 (datasets.load_image dispatches here): the
-resample arithmetic keeps fp32 between passes where PIL quantizes to uint8
-fixed point, so pixels can differ by ~1-2/255 — the oracle dataset-parity
-tests therefore pin the PIL path. Builds the .so on first use if the
-toolchain is available; every entry returns None on any failure so callers
-fall back to PIL per file.
+resample matches PIL's two-pass design including the uint8 quantization of
+the horizontal intermediate; the only remaining divergence is PIL's
+fixed-point filter weights vs fp64 here, ≤1-2/255 per pixel — the oracle
+dataset-parity tests therefore pin the PIL path. Builds the .so on first
+use (thread-safe, see native_lib.py); every entry returns None on any
+failure so callers fall back to PIL per file.
 """
 from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libimagepipe.so")
-_lib = None
-_tried = False
+from ..native_lib import load_native_lib
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.ip_load_image.restype = ctypes.c_int
+    lib.ip_load_image.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
+    ]
+    lib.ip_probe_resized.restype = ctypes.c_int
+    lib.ip_probe_resized.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, i32p, i32p,
+    ]
+    lib.ip_load_batch.restype = ctypes.c_int
+    lib.ip_load_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        i32p, f32p, ctypes.c_int, i32p,
+    ]
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _tried
-    if _tried:
-        return _lib
-    _tried = True
-    try:
-        # a no-op when the .so is fresh, a rebuild when imagepipe.cc changed
-        subprocess.run(["make", "-C", _NATIVE_DIR, "libimagepipe.so"],
-                       check=True, capture_output=True, timeout=120)
-    except Exception:
-        if not os.path.exists(_LIB_PATH):
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-        f32p = ctypes.POINTER(ctypes.c_float)
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        lib.ip_load_image.restype = ctypes.c_int
-        lib.ip_load_image.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
-        ]
-        lib.ip_probe_resized.restype = ctypes.c_int
-        lib.ip_probe_resized.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, i32p, i32p,
-        ]
-        lib.ip_load_batch.restype = ctypes.c_int
-        lib.ip_load_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            i32p, f32p, ctypes.c_int, i32p,
-        ]
-        _lib = lib
-    except (OSError, AttributeError):
-        _lib = None
-    return _lib
+    return load_native_lib("libimagepipe.so", _declare)
 
 
 def available() -> bool:

@@ -1,56 +1,35 @@
 """ctypes bindings for the native batched edit-distance kernel.
 
-Builds native/libeditdist.so on first use if the toolchain is available
-(make/g++ are in the image); falls back to None so callers use the pure-Python
+Builds native/libeditdist.so on first use through the shared thread-safe
+loader (native_lib.py); falls back to None so callers use the pure-Python
 DP (metrics/lipread.py).
 """
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 from typing import Optional, Sequence
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libeditdist.so")
-_lib = None
-_tried = False
+from ..native_lib import load_native_lib
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    lib.edit_distance_i32.restype = ctypes.c_int64
+    lib.edit_distance_i32.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.edit_distance_batch_i32.restype = None
+    lib.edit_distance_batch_i32.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+    ]
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _tried
-    if _tried:
-        return _lib
-    _tried = True
-    try:
-        # always invoke make: a no-op when the .so is fresh, a rebuild when
-        # editdist.cc changed (the gitignored .so otherwise goes stale)
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True, timeout=120)
-    except Exception:
-        if not os.path.exists(_LIB_PATH):
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-        lib.edit_distance_i32.restype = ctypes.c_int64
-        lib.edit_distance_i32.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-        ]
-        lib.edit_distance_batch_i32.restype = None
-        lib.edit_distance_batch_i32.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
-        ]
-        _lib = lib
-    except (OSError, AttributeError):
-        # unloadable .so, or a stale one missing the expected symbols —
-        # fall back to the pure-Python DP either way
-        _lib = None
-    return _lib
+    return load_native_lib("libeditdist.so", _declare)
 
 
 def edit_distance_batch(refs: Sequence[Sequence],

@@ -55,7 +55,7 @@ struct Buf {
   std::vector<uint8_t> data;
 };
 
-bool read_file(const char* path, Buf* buf) {
+bool read_file(const char* path, Buf* buf, size_t max_bytes = 0) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   std::fseek(f, 0, SEEK_END);
@@ -65,7 +65,9 @@ bool read_file(const char* path, Buf* buf) {
     return false;
   }
   std::fseek(f, 0, SEEK_SET);
-  buf->data.resize(static_cast<size_t>(n));
+  size_t want = static_cast<size_t>(n);
+  if (max_bytes && want > max_bytes) want = max_bytes;  // header-only probe
+  buf->data.resize(want);
   size_t got = std::fread(buf->data.data(), 1, buf->data.size(), f);
   std::fclose(f);
   return got == buf->data.size();
@@ -172,6 +174,13 @@ int png_decode(const Buf& b, std::vector<uint8_t>* out, int* w, int* h) {
   if (!png_image_begin_read_from_memory(&image, b.data.data(),
                                         b.data.size())) {
     return IP_EFORMAT;
+  }
+  if (image.format & PNG_FORMAT_FLAG_LINEAR) {
+    // 16-bit PNG: libpng would scale 16->8 here, but PIL opens these as
+    // mode I;16 and convert("RGB") CLAMPS at 255 — wildly different
+    // pixels. Refuse so the caller's PIL fallback keeps backend parity.
+    png_image_free(&image);
+    return IP_ECOLOR;
   }
   image.format = PNG_FORMAT_RGBA;
   *w = static_cast<int>(image.width);
@@ -342,13 +351,22 @@ int resample_window(const uint8_t* src, int w, int h, int size,
 
 int load_one(const char* path, int size, int x0, int y0, float* out) {
   if (size <= 0) return IP_EARGS;
-  Buf b;
-  if (!read_file(path, &b)) return IP_EOPEN;
-  std::vector<uint8_t> rgb;
-  int w = 0, h = 0;
-  int rc = decode_any(b, &rgb, &w, &h);
-  if (rc != IP_OK) return rc;
-  return resample_window(rgb.data(), w, h, size, x0, y0, out);
+  // exceptions (std::bad_alloc from a header claiming absurd dims, ...)
+  // must not cross the extern "C" / std::thread boundary: escaping a
+  // thread worker is a guaranteed std::terminate, and unwinding through
+  // ctypes' libffi frames aborts the Python process — either way the
+  // documented "falls back to PIL" contract breaks.
+  try {
+    Buf b;
+    if (!read_file(path, &b)) return IP_EOPEN;
+    std::vector<uint8_t> rgb;
+    int w = 0, h = 0;
+    int rc = decode_any(b, &rgb, &w, &h);
+    if (rc != IP_OK) return rc;
+    return resample_window(rgb.data(), w, h, size, x0, y0, out);
+  } catch (...) {
+    return IP_ENOMEM;
+  }
 }
 
 }  // namespace
@@ -367,13 +385,23 @@ int ip_load_image(const char* path, int size, int x0, int y0, float* out) {
 // before calling ip_load_image. Returns 0 or negative error.
 int ip_probe_resized(const char* path, int size, int* ow, int* oh) {
   if (size <= 0) return IP_EARGS;
-  Buf b;
-  if (!read_file(path, &b)) return IP_EOPEN;
-  int w = 0, h = 0;
-  int rc = probe_any(b, &w, &h);
-  if (rc != IP_OK) return rc;
-  resized_dims(w, h, size, ow, oh);
-  return IP_OK;
+  try {
+    // dims live in the first few KB; don't slurp the whole file twice per
+    // training sample (probe + decode). Rare JPEGs bury SOF behind a huge
+    // EXIF blob — retry with the full file before giving up.
+    for (size_t cap : {size_t(1) << 16, size_t(0)}) {
+      Buf b;
+      if (!read_file(path, &b, cap)) return IP_EOPEN;
+      int w = 0, h = 0;
+      if (probe_any(b, &w, &h) == IP_OK) {
+        resized_dims(w, h, size, ow, oh);
+        return IP_OK;
+      }
+    }
+    return IP_EFORMAT;
+  } catch (...) {
+    return IP_ENOMEM;
+  }
 }
 
 // Batch entry with an internal thread pool. crop_xy: NULL for center crops,
@@ -399,9 +427,13 @@ int ip_load_batch(const char** paths, int n, int size, const int* crop_xy,
     }
   };
   std::vector<std::thread> pool;
-  pool.reserve(threads - 1);
-  for (int t = 1; t < threads; ++t) pool.emplace_back(worker);
-  worker();
+  try {
+    for (int t = 1; t < threads; ++t) pool.emplace_back(worker);
+  } catch (...) {
+    // thread-spawn exhaustion: proceed with however many started — the
+    // shared atomic queue means the inline worker below drains the rest
+  }
+  worker();  // catches its own per-image exceptions (load_one)
   for (auto& th : pool) th.join();
   return failures.load();
 }

@@ -31,7 +31,10 @@ def synth_images(n: int, w: int, h: int, quality: int) -> list:
     tmp = tempfile.mkdtemp(prefix="decode_bench_")
     paths = []
     base = (rs.rand(h, w, 3) * 255).astype(np.uint8)
-    base = np.asarray(Image.fromarray(base).resize((w, h), Image.BILINEAR))
+    # real photos are smooth; raw noise JPEGs decode unrepresentatively
+    # (same-size resize is a PIL no-op, so go down 2x and back up)
+    small = Image.fromarray(base).resize((w // 2, h // 2), Image.BILINEAR)
+    base = np.asarray(small.resize((w, h), Image.BILINEAR))
     for i in range(n):
         # cheap per-image variation (roll) so the decoder can't share work
         arr = np.roll(base, shift=i * 7, axis=1)

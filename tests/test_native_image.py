@@ -33,8 +33,12 @@ def _save(tmp_path, name, arr, **kw):
 def _mk_rgb(w, h, seed=0):
     rs = np.random.RandomState(seed)
     a = (rs.rand(h, w, 3) * 255).astype(np.uint8)
-    # smooth: keeps jpeg loss (and thus decoder-version deltas) small
-    return np.asarray(Image.fromarray(a).resize((w, h), Image.BILINEAR))
+    # genuinely smooth (same-size resize is a PIL no-op — go down 2x and
+    # back up): raw noise maximizes cross-libjpeg decode deltas and would
+    # make the 2-LSB parity tolerance flaky across libjpeg builds
+    small = Image.fromarray(a).resize((max(1, w // 2), max(1, h // 2)),
+                                      Image.BILINEAR)
+    return np.asarray(small.resize((w, h), Image.BILINEAR))
 
 
 def _both(monkeypatch, path, size, **kw):
@@ -119,6 +123,39 @@ def test_fallback_to_pil_for_undecodable(tmp_path, monkeypatch):
     Image.fromarray(arr).save(p)
     pil, nat = _both(monkeypatch, p, 64)
     np.testing.assert_array_equal(pil, nat)  # same backend both times
+
+
+def test_16bit_png_refused_falls_back(tmp_path, monkeypatch):
+    """16-bit PNGs decode differently in the two stacks (PIL clamps I;16 ->
+    RGB at 255, libpng would rescale 16->8): the native library must refuse
+    them so both env settings produce the identical PIL result."""
+    arr16 = (np.linspace(0, 65535, 80 * 60).reshape(60, 80)).astype(np.uint16)
+    p = str(tmp_path / "deep.png")
+    Image.fromarray(arr16, mode="I;16").save(p)
+    assert native_image.load_image_native(p, 32) is None  # refused
+    pil, nat = _both(monkeypatch, p, 32)
+    np.testing.assert_array_equal(pil, nat)  # same (PIL) backend both times
+
+
+def test_absurd_header_returns_error_not_crash(tmp_path):
+    """A file whose header claims huge dimensions must come back as a
+    failed status (exceptions cannot cross the ctypes boundary)."""
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IEND", b""))
+    p = str(tmp_path / "bomb.png")
+    with open(p, "wb") as f:
+        f.write(data)
+    assert native_image.load_image_native(p, 64) is None  # error, no abort
+    out = native_image.load_image_batch([p], 64, threads=2)
+    assert out is not None and out[1][0] < 0
 
 
 def test_batch_api_and_status(tmp_path):
