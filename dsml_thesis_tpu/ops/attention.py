@@ -779,9 +779,17 @@ def packed_multi_head_attention(q, k, v, heads: int, scale=None,
     if use_pallas is None:
         enabled = (_FLASH_OVERRIDE if _FLASH_OVERRIDE is not None
                    else os.environ.get("DSML_FLASH_ATTN", "1") != "0")
-        use_pallas = (
-            enabled and _on_tpu() and q.shape[1] >= 256 and k.shape[1] >= 256
-        )
+        if os.environ.get("DSML_FLASH_INTERPRET", "0") == "1":
+            # test hook: run the REAL kernel dispatch (custom VJPs, fit
+            # checks, shard_map) in Pallas interpret mode on any backend
+            # and at any size, so CPU tests drive the production path
+            # end-to-end through full models
+            use_pallas, interpret = enabled, True
+        else:
+            use_pallas = (
+                enabled and _on_tpu()
+                and q.shape[1] >= 256 and k.shape[1] >= 256
+            )
     if use_pallas:
         mesh = _ATTN_MESH
         requested_bq = int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024"))
@@ -841,9 +849,13 @@ def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
     if use_pallas is None:
         enabled = (_FLASH_OVERRIDE if _FLASH_OVERRIDE is not None
                    else os.environ.get("DSML_FLASH_ATTN", "1") != "0")
-        use_pallas = (
-            enabled and _on_tpu() and q.shape[2] >= 256 and k.shape[2] >= 256
-        )
+        if os.environ.get("DSML_FLASH_INTERPRET", "0") == "1":
+            use_pallas, interpret = enabled, True  # test hook, see packed
+        else:
+            use_pallas = (
+                enabled and _on_tpu()
+                and q.shape[2] >= 256 and k.shape[2] >= 256
+            )
     if use_pallas:
         # v5e A/B on the flagship bench (frames/s/chip): 128 -> 5.50,
         # 256 -> 5.99, 512 -> 6.08, 1024 -> 6.13 — bigger q-blocks win

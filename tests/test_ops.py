@@ -556,6 +556,54 @@ def test_flash_bwd_defer_div_kill_switch(monkeypatch):
                                    atol=2e-4, rtol=2e-4)
 
 
+def test_tiny_train_step_with_packed_flash(monkeypatch):
+    """A real optimizer step through the full LDM train path with
+    DSML_ATTN_PACKED=1 and the kernels forced through Pallas interpret mode
+    (DSML_FLASH_INTERPRET=1): the packed forward AND the packed backward
+    kernel run inside remat + optax exactly as on chip, and the loss
+    matches the XLA-attention step closely."""
+    import os
+    import sys
+
+    import yaml
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_ldm import TINY_MEAD_CFG
+
+    from dsml_thesis_tpu.config import build_model
+    from dsml_thesis_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    def one_step():
+        cfg = yaml.safe_load(TINY_MEAD_CFG)
+        ldm = build_model(cfg["model"])
+        batch = {
+            "image": jnp.ones((2, 16, 16, 3)) * 0.1,
+            "masked_image": jnp.zeros((2, 16, 16, 3)),
+            "identity": jnp.zeros((2, 16, 16, 3)),
+            "class_label": jnp.zeros((2,), jnp.int32),
+            "audio": jnp.zeros((2, 5, 32)),
+        }
+        params = ldm.init_params(jax.random.PRNGKey(0), batch)
+        tx = make_optimizer(ldm, params, base_lr=1e-3)
+        state = create_train_state(ldm, params, tx)
+        step = make_train_step(ldm, tx)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        return float(metrics["train/loss"])
+
+    for var in ("DSML_ATTN_PACKED", "DSML_FLASH_INTERPRET"):
+        monkeypatch.delenv(var, raising=False)
+    base_loss = one_step()
+    monkeypatch.setenv("DSML_ATTN_PACKED", "1")
+    monkeypatch.setenv("DSML_FLASH_INTERPRET", "1")
+    packed_loss = one_step()
+    assert np.isfinite(packed_loss)
+    np.testing.assert_allclose(packed_loss, base_loss, rtol=1e-3)
+
+
 def test_cross_attention_fused_qkv_matches(monkeypatch):
     """DSML_ATTN_FUSED_QKV=1 concatenates the to_q/to_k/to_v kernels into one
     projection matmul at trace time (k/v only for cross-attention) — param
