@@ -23,15 +23,17 @@ import jax
 import jax.numpy as jnp
 
 
-def parse_trace(outdir, top=15):
-    """Aggregate per-op device durations from the newest trace.json.gz."""
-    traces = sorted(
-        glob.glob(os.path.join(outdir, "**", "*trace.json.gz"), recursive=True),
-        key=os.path.getmtime,
-    )
-    if not traces:
-        return None
-    with gzip.open(traces[-1], "rt") as f:
+#: parent scopes in the trace nest the leaf ops (their duration double-counts
+#: every leaf they contain) — exclude them from totals and shares.
+_PARENT_PREFIXES = ("while", "jit_", "jit(", "body", "condition", "cond")
+
+
+def _is_parent(name):
+    return name.startswith(_PARENT_PREFIXES)
+
+
+def _device_events(path):
+    with gzip.open(path, "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
     # identify device pids: process_name metadata mentioning TPU / device
@@ -41,14 +43,65 @@ def parse_trace(outdir, top=15):
             name = e.get("args", {}).get("name", "")
             if any(s in name for s in ("TPU", "/device:", "Device")):
                 dev_pids.add(e["pid"])
+    return [e for e in events
+            if e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e]
+
+
+def newest_trace(outdir):
+    traces = sorted(
+        glob.glob(os.path.join(outdir, "**", "*trace.json.gz"), recursive=True),
+        key=os.path.getmtime,
+    )
+    return traces[-1] if traces else None
+
+
+def parse_trace(outdir, top=15):
+    """Aggregate per-op LEAF device durations from the newest trace.json.gz."""
+    path = newest_trace(outdir)
+    if path is None:
+        return None
     durs = defaultdict(float)
     total = 0.0
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e:
-            durs[e.get("name", "?")] += e["dur"]
-            total += e["dur"]
+    for e in _device_events(path):
+        name = e.get("name", "?")
+        if _is_parent(name):
+            continue
+        durs[name] += e["dur"]
+        total += e["dur"]
     ranked = sorted(durs.items(), key=lambda kv: -kv[1])[:top]
     return total, ranked
+
+
+def detail_trace(outdir, prefix, top=10):
+    """Within ops matching `prefix`, aggregate by operand shape+layout (from
+    the HLO metadata XLA embeds in the trace) — attributes e.g. the `copy`
+    bucket to the actual tensors being relaid out, instead of one opaque
+    family row. Returns (family_total, leaf_total, rows)."""
+    path = newest_trace(outdir)
+    if path is None:
+        return None
+    by_shape = defaultdict(float)
+    counts = defaultdict(int)
+    example = {}
+    fam_total = 0.0
+    leaf_total = 0.0
+    for e in _device_events(path):
+        name = e.get("name", "?")
+        if _is_parent(name):
+            continue
+        leaf_total += e["dur"]
+        if not name.startswith(prefix):
+            continue
+        fam_total += e["dur"]
+        args = e.get("args", {})
+        key = args.get("shape_with_layout") or args.get("long_name", "?")[:160]
+        by_shape[key] += e["dur"]
+        counts[key] += 1
+        if key not in example:
+            example[key] = args.get("long_name", "")[:240]
+    rows = [(k, v, counts[k], example[k])
+            for k, v in sorted(by_shape.items(), key=lambda kv: -kv[1])[:top]]
+    return fam_total, leaf_total, rows
 
 
 def main():
@@ -63,7 +116,16 @@ def main():
     ap.add_argument("--config", default=None,
                     help="override the model yaml (e.g. the reference-faithful "
                          "mead-256-ldm-f4-fullattn.yaml)")
+    ap.add_argument("--parse-only", action="store_true",
+                    help="re-parse the newest trace in --outdir without "
+                         "running the benchmark (no TPU needed)")
+    ap.add_argument("--detail", default=None, metavar="PREFIX",
+                    help="also break one op family (e.g. 'copy', "
+                         "'convert_reduce') down by tensor shape+layout")
     args = ap.parse_args()
+    if args.parse_only:
+        report(args)
+        return
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -107,15 +169,29 @@ def main():
     with jax.profiler.trace(args.outdir):
         jax.block_until_ready(synth(params, jax.random.PRNGKey(11)))
 
+    report(args)
+
+
+def report(args):
     res = parse_trace(args.outdir, args.top)
     if res is None:
         print("no trace written", file=sys.stderr)
         sys.exit(1)
     total, ranked = res
-    print(f"total device-op time: {total/1e6:.3f} s "
-          f"(B={B} F={F} S={args.steps} res={args.res})")
+    print(f"total device LEAF-op time: {total/1e6:.3f} s "
+          f"(parent while/jit scopes excluded; trace: "
+          f"{newest_trace(args.outdir)})")
     for name, dur in ranked:
         print(f"{dur/1e6:8.3f}s  {100*dur/total:5.1f}%  {name[:110]}")
+    if args.detail:
+        det = detail_trace(args.outdir, args.detail, args.top)
+        fam_total, leaf_total, rows = det
+        print(f"\n# '{args.detail}*' by shape+layout: {fam_total/1e6:.3f} s "
+              f"= {100*fam_total/max(leaf_total, 1e-9):.1f}% of leaf time")
+        for key, dur, n, ex in rows:
+            print(f"{dur/1e6:8.3f}s x{n:6d}  {key[:120]}")
+            if ex:
+                print(f"          {ex}")
 
 
 if __name__ == "__main__":
