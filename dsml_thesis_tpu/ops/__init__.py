@@ -2,6 +2,7 @@ from .attention import (
     attention_reference,
     flash_attention,
     flash_attention_bwd,
+    flash_attention_streaming,
     multi_head_attention,
 )
 from .groupnorm import (

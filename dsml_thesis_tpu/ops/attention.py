@@ -341,6 +341,175 @@ def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = F
     return out.reshape(b, h, nq, d)
 
 
+def _flash_kernel_streaming(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
+                            scale: float, nk: int, block_k: int):
+    """One (batch*head, q-block, k-block) program: online-softmax streaming
+    attention for sequences whose whole K/V does NOT fit in VMEM.
+
+    The k-block axis is the innermost grid dimension, so the fp32 running
+    row-max (m_ref) and the fp32 accumulator (acc_ref) scratch persist
+    across the K/V stream of one q-block. The softmax denominator rides the
+    accumulator as a ones column appended to V (the streaming form of the
+    resident kernel's defer-div), so each k-step is one [Bq, Bk] matmul +
+    one [Bq, Bk]@[Bk, D+1] matmul + the rescale — no separate row-sum pass.
+
+    Masking uses a large FINITE negative (-1e30) instead of -inf: a k-block
+    that is entirely padding then yields m_new == m_prev == -1e30, alpha =
+    exp2(0) = 1 and p rows that are explicitly zeroed — no (-inf) - (-inf)
+    NaNs, and padded keys contribute exactly nothing to the denominator.
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [Bq, D]
+    k = k_ref[0]  # [Bk, D]
+    v = v_ref[0]  # [Bk, D]
+    d = q.shape[-1]
+    # exp2 scale folding, exactly as the resident kernel (_attend_one_head)
+    c = jnp.asarray(scale * 1.4426950408889634, q.dtype)
+    s = jax.lax.dot_general(
+        q * c, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Bq, Bk] fp32, log2 domain
+    valid = (j * block_k
+             + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)) < nk
+    s = jnp.where(valid, s, jnp.float32(-1e30))
+    m_prev = m_ref[...]                                   # [Bq, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.where(valid, jnp.exp2(s - m_new), jnp.float32(0.0))
+    v1 = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1)
+    acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
+        p.astype(v.dtype), v1, preferred_element_type=jnp.float32)
+    m_ref[...] = m_new
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        acc = acc_ref[...]
+        denom = jnp.maximum(acc[:, d:d + 1], jnp.float32(1e-30))
+        o_ref[0] = (acc[:, :d] / denom).astype(o_ref.dtype)
+
+
+def _fit_blocks_streaming(nq: int, nk: int, d: int, requested_bq: int,
+                          requested_bk: int):
+    """(block_q, block_k) whose streaming working set fits the VMEM budget:
+    K/V blocks (+ pipeline double buffers), the q and output blocks, one
+    live fp32 score matrix (x2 overlap), and the fp32 m/acc scratch (acc's
+    D+1 columns lane-pad to a multiple of 128). Unlike the resident kernel
+    this always succeeds for sane D — the set scales with the BLOCK sizes,
+    not with Nk — but return None rather than shrinking below 8."""
+    bq = min(requested_bq, nq)
+    while bq >= 8:
+        bk = min(requested_bk, nk)
+        while bk >= 128:
+            kv = 4 * bk * d * 4
+            blocks = 4 * bq * d * 4
+            scores = 2 * bq * bk * 4
+            scratch = bq * (128 * ((d + 1 + 127) // 128) + 1) * 4
+            if kv + blocks + scores + scratch + (1 << 21) <= _VMEM_BUDGET:
+                return bq, bk
+            bk //= 2
+        bq //= 2
+    return None
+
+
+def flash_attention_streaming(q, k, v, scale=None, block_q: int = 512,
+                              block_k: int = 1024, interpret: bool = False):
+    """Streaming Pallas attention for long sequences. q: [B, H, Nq, D],
+    k/v: [B, H, Nk, D] -> [B, H, Nq, D].
+
+    Unlike flash_attention (which keeps one head's whole K/V resident in
+    VMEM and is therefore capped near Nk ~ 4-8k), this kernel streams K/V
+    in blocks with online-softmax rescaling, so HBM footprint is O(N) and
+    VMEM footprint is O(block_q * block_k) — arbitrary sequence lengths.
+    The flagship never needs it (Nk <= 4096); it exists so the dispatch has
+    an honest native path beyond the resident kernel's reach instead of
+    falling back to XLA's O(Nk^2)-scores attention."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    bh = b * h
+    q3 = q.reshape(bh, nq, d)
+    k3 = k.reshape(bh, nk, d)
+    v3 = v.reshape(bh, nk, d)
+
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+    pad_q = (-nq) % block_q
+    if pad_q:
+        q3 = jnp.pad(q3, ((0, 0), (0, pad_q), (0, 0)))
+    pad_k = (-nk) % block_k
+    if pad_k:  # padded keys are masked inside the kernel
+        k3 = jnp.pad(k3, ((0, 0), (0, pad_k), (0, 0)))
+        v3 = jnp.pad(v3, ((0, 0), (0, pad_k), (0, 0)))
+    nq_p, nk_p = nq + pad_q, nk + pad_k
+
+    grid = (bh, nq_p // block_q, nk_p // block_k)
+    vmem_limit = min(
+        4 * block_k * d * jnp.dtype(q.dtype).itemsize
+        + 4 * block_q * d * 4 + 2 * block_q * block_k * 4
+        + block_q * (128 * ((d + 1 + 127) // 128) + 1) * 4 + (1 << 21),
+        110 * (1 << 20),
+    )
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_streaming, scale=scale, nk=nk,
+                          block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_p, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d + 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(q3, k3, v3)
+    if pad_q:
+        out = out[:, :nq]
+    return out.reshape(b, h, nq, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _streaming_attention_diff(q, k, v, scale, block_q, block_k, interpret):
+    return flash_attention_streaming(q, k, v, scale, block_q, block_k,
+                                     interpret)
+
+
+def _streaming_fwd(q, k, v, scale, block_q, block_k, interpret):
+    return flash_attention_streaming(q, k, v, scale, block_q, block_k,
+                                     interpret), (q, k, v)
+
+
+def _streaming_bwd(scale, block_q, block_k, interpret, res, g):
+    # Backward falls back to the XLA attention VJP: the streaming kernel
+    # serves long-sequence INFERENCE; training at these lengths would need a
+    # streamed backward (two-pass dk/dv + dq accumulation) that no supported
+    # workload exercises. This keeps today's gradient semantics (and memory
+    # behavior) for anyone who differentiates an over-VMEM shape.
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv: attention_reference(qq, kk, vv, scale=scale),
+        q, k, v)
+    return vjp(g)
+
+
+_streaming_attention_diff.defvjp(_streaming_fwd, _streaming_bwd)
+
+
 def flash_attention_packed(q, k, v, heads: int, scale=None,
                            block_q: int = 256, interpret: bool = False):
     """Pallas fused attention on the packed activation layout.
@@ -838,10 +1007,12 @@ def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
     runs the SAME differentiable wrapper (custom VJP, env block size) in
     Pallas interpret mode, so CPU checks exercise the production path.
 
-    The kernel keeps the whole K/V for one head in VMEM, so its reach is
-    bounded: the q-block is shrunk until the working set fits the VMEM
-    budget, and shapes that cannot fit at any block size (huge Nk) fall back
-    to the XLA path instead of dying in a Mosaic OOM at compile time."""
+    The resident kernel keeps the whole K/V for one head in VMEM, so its
+    reach is bounded: the q-block is shrunk until the working set fits the
+    VMEM budget, and shapes that cannot fit at any block size (huge Nk)
+    route to the STREAMING kernel (online-softmax over K/V blocks, O(N) HBM
+    footprint, DSML_FLASH_STREAMING=auto|1|0) rather than dying in a Mosaic
+    OOM at compile time; with streaming disabled they fall back to XLA."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     import os
@@ -860,11 +1031,24 @@ def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
         # v5e A/B on the flagship bench (frames/s/chip): 128 -> 5.50,
         # 256 -> 5.99, 512 -> 6.08, 1024 -> 6.13 — bigger q-blocks win
         # monotonically (fewer grid steps; N=1024 runs as one program)
-        block_q = _fit_block_q(
-            q.shape[2], k.shape[2], q.shape[3],
-            int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024")),
-        )
+        requested_bq = int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024"))
+        stream_env = os.environ.get("DSML_FLASH_STREAMING", "auto")
+        block_q = (None if stream_env == "1" else _fit_block_q(
+            q.shape[2], k.shape[2], q.shape[3], requested_bq))
+        run_one = None
         if block_q is not None:
+            run_one = lambda qq, kk, vv: _flash_attention_diff(
+                qq, kk, vv, scale, block_q, interpret)
+        elif stream_env != "0":
+            # whole-K/V exceeds VMEM at any q-block: stream K/V with online
+            # softmax instead of falling back to XLA's O(Nk^2)-scores path
+            fit = _fit_blocks_streaming(
+                q.shape[2], k.shape[2], q.shape[3], requested_bq,
+                int(os.environ.get("DSML_FLASH_BLOCK_K", "1024")))
+            if fit is not None:
+                run_one = lambda qq, kk, vv: _streaming_attention_diff(
+                    qq, kk, vv, scale, fit[0], fit[1], interpret)
+        if run_one is not None:
             mesh = _ATTN_MESH
             if mesh is not None and mesh.size > 1:
                 spec = _attention_partition_spec(mesh, q.shape[0], q.shape[1])
@@ -873,11 +1057,9 @@ def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
                     # GSPMD gathers — the XLA path partitions instead
                     return attention_reference(q, k, v, scale=scale)
                 run = jax.shard_map(
-                    lambda qq, kk, vv: _flash_attention_diff(
-                        qq, kk, vv, scale, block_q, interpret),
-                    mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-                    check_vma=False,
+                    run_one, mesh=mesh, in_specs=(spec, spec, spec),
+                    out_specs=spec, check_vma=False,
                 )
                 return run(q, k, v)
-            return _flash_attention_diff(q, k, v, scale, block_q, interpret)
+            return run_one(q, k, v)
     return attention_reference(q, k, v, scale=scale)
