@@ -150,15 +150,20 @@ def _packed_bwd_bytes(bq: int, nk: int, hd: int) -> int:
     single source for both the compile-time vmem_limit and the fit check:
     packed K/V (+ double buffers) + fp32 dk/dv output accumulators + the
     per-head dk/dv contribution buffers that stay live across the whole
-    unrolled head loop AND their full-width concat results + 6 fp32
-    [bq, nk] score temporaries (s/p_un, dp, ds_un per head iteration, x2
-    overlap) + q/do/dq blocks."""
+    unrolled head loop AND their full-width concat results + 12 fp32
+    [bq, nk] score temporaries + q/do/dq blocks. The score count is
+    empirical: Mosaic's scheduler overlaps head iterations of the unrolled
+    loop, so at 10 heads the measured stack peak was ~9.3 live [bq, nk]
+    matrices (61.95M total vs the 46M a 6-matrix model predicted — on-chip
+    probe, round 3e); 12 covers that with margin."""
     kv_resident = 4 * nk * hd * 4
     accum = 2 * nk * hd * 4            # dk/dv output accumulators
     head_contribs = 4 * nk * hd * 4    # per-head dk/dv lists + concat results
-    scores = 6 * (bq * nk * 4)
+    kv_f32 = 2 * nk * hd * 4           # per-head fp32 k/v casts for the dots
+    scores = 12 * (bq * nk * 4)
     blocks = 6 * bq * hd * 4
-    return kv_resident + accum + head_contribs + scores + blocks + (1 << 21)
+    return (kv_resident + accum + head_contribs + kv_f32 + scores + blocks
+            + (1 << 21))
 
 
 def attention_reference(q, k, v, scale=None):
