@@ -259,6 +259,34 @@ def test_flash_dispatch_vmem_guard():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_packed_fit_matches_onchip_calibration():
+    """Lock the packed kernels' VMEM-fit decisions at the flagship shapes to
+    the on-chip calibration (round 3e): the bwd formula was measured against
+    Mosaic's actual stack peaks (61.95M at [bq1024, nk1024, hd320]; 78.84M
+    at [bq128, nk4096, hd320]), so these block choices are known to compile
+    AND to be approved. A formula regression that re-approves a bigger block
+    would reintroduce the scoped-VMEM compile OOM this calibrated."""
+    from dsml_thesis_tpu.ops.attention import (
+        _fit_block_q_packed,
+        _fit_block_q_packed_bwd,
+        _packed_bwd_bytes,
+    )
+
+    # forward: full q-block at both flagship attention levels
+    assert _fit_block_q_packed(1024, 1024, 320, 1024) == 1024
+    assert _fit_block_q_packed(4096, 4096, 320, 1024) == 1024
+    assert _fit_block_q_packed(256, 256, 640, 1024) == 256
+    # backward: 1024-level keeps the full block, 4096-level must shrink
+    # (bq=256 predicts over budget; bq=128's predicted 87M covers the
+    # measured 78.84M peak)
+    assert _fit_block_q_packed_bwd(1024, 1024, 320, 1024) == 1024
+    assert _fit_block_q_packed_bwd(4096, 4096, 320, 1024) == 128
+    assert _fit_block_q_packed_bwd(256, 256, 640, 1024) == 256
+    # the compile-time vmem_limit must clear the measured Mosaic stack peaks
+    assert _packed_bwd_bytes(1024, 1024, 320) >= int(61.95 * (1 << 20))
+    assert _packed_bwd_bytes(128, 4096, 320) >= int(78.84 * (1 << 20))
+
+
 def test_flash_kernel_variants_match_reference(monkeypatch):
     """defer-div (ones-column denominator) and PV-transposed variants are
     numerically the same softmax attention (interpret mode)."""
