@@ -161,9 +161,13 @@ def conv_stats_pallas(x, w, bias, skip=None, in_stats=None, gamma=None,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((ksize, ksize, cin, cout), lambda i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        # bias rides as [B, 1, Cout]: Mosaic requires the trailing two block
+        # dims to be 8/128-divisible or equal to the array dims, and a
+        # (1, Cout) block on a [B, Cout] array violates the sublane rule
+        pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    args = [x, w, bias]
+    args = [x, w, bias.reshape(b, 1, cout)]
     if in_stats is not None:
         group_ids = np.repeat(np.arange(num_groups), cin // num_groups)
         ind = jnp.asarray(np.eye(num_groups, dtype=np.float32)[group_ids])
