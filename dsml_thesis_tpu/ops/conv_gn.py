@@ -35,24 +35,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _conv_gn_bytes(hh: int, ww: int, cin: int, cout: int, itemsize: int,
+                   has_skip: bool = False, ksize: int = 3,
+                   has_gn: bool = False) -> int:
+    """Working-set bytes of one epilogue-kernel program (one batch element
+    per grid step): input (+padded VMEM copy, +double buffer, +one live
+    shifted patch), resident weights, fp32 accumulator, output (+double
+    buffer), plus the fp32 normalize working copy when the input GN is
+    folded in.
+
+    Channel dims are LANE dims in VMEM and tile in units of 128 — a
+    3-channel stem input physically occupies 128 lanes per element. The
+    pre-padding model approved the 256px VQGAN stem at ~85M while Mosaic
+    measured 143.84M (on-chip OOM, round 3f); with lane padding the model
+    says 156M and the shape correctly routes to the jnp fallback. Single
+    source of truth for conv_gn_fits AND the compile-time vmem_limit, so a
+    fit-approved shape can never die on the limit."""
+    cin_l = -(-cin // 128) * 128   # lane padding (trailing dim)
+    cout_l = -(-cout // 128) * 128
+    cin_s = -(-cin // 8) * 8       # sublane padding (weights' 3rd dim)
+    xb = hh * ww * cin_l * itemsize
+    xpad = (hh + 2) * (ww + 2) * cin_l * itemsize if ksize == 3 else 0
+    wb = ksize * ksize * cin_s * cout_l * itemsize
+    acc = hh * ww * cout_l * 4
+    yb = hh * ww * cout_l * itemsize
+    return (3 * xb + xpad + 2 * wb + acc + 3 * yb
+            + (3 * yb if has_skip else 0)
+            + (hh * ww * cin_l * 4 if has_gn else 0) + (1 << 22))
+
+
 def conv_gn_fits(hh: int, ww: int, cin: int, cout: int, itemsize: int,
                  has_skip: bool = False, ksize: int = 3,
                  has_gn: bool = False) -> bool:
-    """Whole-image VMEM fit for the epilogue kernel (one batch element per
-    grid step): input (+padded VMEM copy, +double buffer, +one live shifted
-    patch), resident weights, fp32 accumulator, output (+double buffer),
-    plus the fp32 normalize working copy when the input GN is folded in.
-    Shapes that do not fit (e.g. the 256px VQGAN top level) fall back to the
-    unfused path instead of dying in a Mosaic VMEM error at compile time."""
-    xb = hh * ww * cin * itemsize
-    xpad = (hh + 2) * (ww + 2) * cin * itemsize if ksize == 3 else 0
-    wb = ksize * ksize * cin * cout * itemsize
-    acc = hh * ww * cout * 4
-    yb = hh * ww * cout * itemsize
-    total = (3 * xb + xpad + 2 * wb + acc + 3 * yb
-             + (3 * yb if has_skip else 0)
-             + (hh * ww * cin * 4 if has_gn else 0) + (1 << 22))
-    return total <= 100 * (1 << 20)
+    """Whole-image VMEM fit for the epilogue kernel. Shapes that do not fit
+    (e.g. the 256px VQGAN stem) fall back to the unfused path instead of
+    dying in a Mosaic VMEM error at compile time."""
+    return _conv_gn_bytes(hh, ww, cin, cout, itemsize, has_skip, ksize,
+                          has_gn) <= 100 * (1 << 20)
 
 
 def _conv_kernel(x_ref, w_ref, bias_ref, *rest, hh, ww, cin, cout, has_skip,
@@ -135,17 +154,11 @@ def conv_stats_pallas(x, w, bias, skip=None, in_stats=None, gamma=None,
     ksize, cout = w.shape[0], w.shape[-1]
     assert ksize in (1, 3) and w.shape[1] == ksize
     itemsize = jnp.dtype(x.dtype).itemsize
-    xb = hh * ww * cin * itemsize
-    xpad = (hh + 2) * (ww + 2) * cin * itemsize if ksize == 3 else 0
-    yb = hh * ww * cout * itemsize
-    wb = ksize * ksize * cin * cout * itemsize
     # EXACTLY the conv_gn_fits working set (a fit-approved shape must never
-    # die on this limit), capped at the physical budget; the apply-GN path
-    # adds an fp32 working copy of the input tile
+    # die on this limit), capped at the physical budget
     vmem_limit = min(
-        3 * xb + xpad + 2 * wb + hh * ww * cout * 4 + 3 * yb
-        + (3 * yb if skip is not None else 0)
-        + (hh * ww * cin * 4 if in_stats is not None else 0) + (1 << 22),
+        _conv_gn_bytes(hh, ww, cin, cout, itemsize, skip is not None, ksize,
+                       in_stats is not None),
         110 * (1 << 20),
     )
     kernel = functools.partial(

@@ -213,6 +213,13 @@ def test_conv3x3_stats_large_shape_falls_back(monkeypatch):
 
     assert conv_gn_fits(16, 16, 32, 64, 4)
     assert not conv_gn_fits(256, 256, 128, 128, 4)
+    # on-chip calibration (round 3f): the 256px VQGAN stem conv (cin=3,
+    # bf16) OOM'd at a measured 143.84M — the 3 input channels lane-pad to
+    # 128 in VMEM, so the byte model must count them as 128 and reject
+    assert not conv_gn_fits(256, 256, 3, 128, 2)
+    # the flagship UNet's interior blocks (64px latent level, 160ch) must
+    # keep fitting under the padded model or the epilogue lever dies entirely
+    assert conv_gn_fits(64, 64, 160, 160, 2, has_skip=True, has_gn=True)
     # dispatch path: use_pallas=True on an oversized shape still succeeds
     b, h, w, c = 1, 256, 256, 8  # small channels keep the test light
     x = _rand((b, h, w, 128), 0)[:, :, :, :c]
