@@ -350,7 +350,15 @@ class CrossAttention(nn.Module):
                              name="to_out")(out)
             return nn.Dropout(self.dropout)(out, deterministic=deterministic)
         is_self = context is x
-        if os.environ.get("DSML_ATTN_FUSED_QKV", "0") == "1":
+        fused_qkv = os.environ.get("DSML_ATTN_FUSED_QKV", "0") == "1"
+        # Packed default ON: +5.3% inference / +23% training on-chip
+        # (PROFILE.md round-3e). The fused-qkv branch stays on split-head
+        # dispatch regardless — handing the packed kernel jnp.split views of
+        # one fused projection measured −18% (same A/B table); the combination
+        # defeats the kernel's no-transpose premise.
+        packed = (not fused_qkv
+                  and os.environ.get("DSML_ATTN_PACKED", "1") == "1")
+        if fused_qkv:
             # fuse the projections into one matmul at trace time (params
             # concatenate; tree unchanged): self-attention reads x ONCE for
             # a [C, 3*inner] dot instead of three [C, inner] dots (and the
@@ -372,7 +380,7 @@ class CrossAttention(nn.Module):
             k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
             v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
 
-        if os.environ.get("DSML_ATTN_PACKED", "0") == "1":
+        if packed:
             # packed-layout kernel: the [B,N,H*D] projections feed the flash
             # kernel directly, no head-split transposes in HBM (same params
             # as the base path; dispatch falls back to split-head for
@@ -453,7 +461,12 @@ class AttentionBlock(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         import os
 
-        if os.environ.get("DSML_ATTN_PACKED", "0") == "1":
+        # explicit opt-in only (default stays split-head here, unlike
+        # CrossAttention): this block's q/k/v are jnp.split views of one
+        # fused qkv projection — the layout pattern that measured −18% with
+        # the packed kernel at the CrossAttention site (PROFILE.md round-3e)
+        # — and no shipped config puts this block on the bench path to A/B it
+        if os.environ.get("DSML_ATTN_PACKED", "") == "1":
             out = packed_multi_head_attention(q, k, v, self.num_heads,
                                               scale=hd**-0.5)
         else:

@@ -622,8 +622,9 @@ def test_tiny_train_step_with_packed_flash(monkeypatch):
         state, metrics = step(state, batch, jax.random.PRNGKey(1))
         return float(metrics["train/loss"])
 
-    for var in ("DSML_ATTN_PACKED", "DSML_FLASH_INTERPRET"):
-        monkeypatch.delenv(var, raising=False)
+    # packed defaults ON now — pin the base side to the split-head path
+    monkeypatch.setenv("DSML_ATTN_PACKED", "0")
+    monkeypatch.delenv("DSML_FLASH_INTERPRET", raising=False)
     base_loss = one_step()
     monkeypatch.setenv("DSML_ATTN_PACKED", "1")
     monkeypatch.setenv("DSML_FLASH_INTERPRET", "1")
@@ -663,7 +664,9 @@ def test_cross_attention_fused_qkv_matches(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_cross), np.asarray(base_cross),
                                rtol=1e-5, atol=1e-5)
 
-    # composes with the packed kernel path (both levers on)
+    # both levers on: fused wins the conflict (the fused branch pins
+    # split-head dispatch — packed+fused measured −18% on chip) and the
+    # numerics stay identical either way
     monkeypatch.setenv("DSML_ATTN_PACKED", "1")
     out_self_p = attn.apply({"params": params}, x)
     out_cross_p = attn.apply({"params": params}, x, ctx)
@@ -683,7 +686,7 @@ def test_cross_attention_packed_variant_matches(monkeypatch):
     x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 24).astype(np.float32))
     ctx = jnp.asarray(np.random.RandomState(1).randn(2, 5, 24).astype(np.float32))
 
-    monkeypatch.delenv("DSML_ATTN_PACKED", raising=False)
+    monkeypatch.setenv("DSML_ATTN_PACKED", "0")  # pin base: default is ON
     params = attn.init(jax.random.PRNGKey(0), x, ctx)["params"]
     base_self = attn.apply({"params": params}, x)
     base_cross = attn.apply({"params": params}, x, ctx)
