@@ -39,8 +39,8 @@ def main():
     ap.add_argument("--isolate-flash", action="store_true")
     ap.add_argument("--ab-env", default=None, metavar="KEY=VALUE",
                     help="env var applied ONLY to the flagship (B) run — "
-                         "gates opt-in approximations, e.g. "
-                         "DSML_GN_SUBSAMPLE=2, against reference numerics")
+                         "gates opt-in levers, e.g. DSML_ATTN_PACKED=1 or "
+                         "DSML_GN_EPILOGUE=res, against reference numerics")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
