@@ -41,6 +41,14 @@ def main():
                     help="env var applied ONLY to the flagship (B) run — "
                          "gates opt-in levers, e.g. DSML_ATTN_PACKED=1 or "
                          "DSML_GN_EPILOGUE=res, against reference numerics")
+    ap.add_argument("--csim", action="store_true",
+                    help="also report ΔCSIM between the two runs' frames "
+                         "(BASELINE.json budget: ≤0.01) through an "
+                         "iresnet18 identity backbone")
+    ap.add_argument("--csim-weights", default=None,
+                    help="torch iresnet18 ckpt for --csim; without it a "
+                         "random-init backbone is used (conservative: an "
+                         "untrained net amplifies input differences)")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -132,6 +140,41 @@ def main():
             psnr(to_unit_range(mid), to_unit_range(ref)))), 2)
         result["psnr_bf16_given_flash_db"] = round(float(jnp.mean(
             psnr(to_unit_range(flag), to_unit_range(mid)))), 2)
+    if args.csim:
+        # BASELINE.json's ΔCSIM ≤ 0.01 budget: identity-embedding cosine
+        # between the reference-numerics and flagship-numerics frames. With
+        # --csim-weights the real converted backbone scores; random-init is
+        # the conservative fallback (an untrained net amplifies pixel
+        # differences rather than smoothing them).
+        from dsml_thesis_tpu.metrics import cosine_similarity
+        from dsml_thesis_tpu.models.arcface import (_BLOCKS, convert_iresnet,
+                                                    iresnet)
+
+        model = iresnet("iresnet18")
+        if args.csim_weights:
+            import torch
+
+            sd = torch.load(args.csim_weights, map_location="cpu",
+                            weights_only=False)
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            p_bb, st_bb = convert_iresnet(sd, _BLOCKS["iresnet18"])
+            variables = {"params": p_bb, "batch_stats": st_bb}
+        else:
+            variables = model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 112, 112, 3)))
+
+        def embed(frames):
+            x = to_unit_range(frames).reshape((-1,) + frames.shape[-3:])
+            x = jax.image.resize(x, (x.shape[0], 112, 112, 3), "bilinear")
+            return jax.jit(lambda v, t: model.apply(v, t))(
+                variables, x * 2.0 - 1.0)
+
+        cs = cosine_similarity(embed(flag), embed(ref))
+        result["csim_flag_vs_ref"] = round(float(jnp.mean(cs)), 4)
+        result["csim_delta"] = round(float(1.0 - jnp.mean(cs)), 4)
+        result["csim_backbone"] = (args.csim_weights
+                                   or "random-init iresnet18")
     print(json.dumps(result))
 
 
