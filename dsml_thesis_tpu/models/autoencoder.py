@@ -145,13 +145,12 @@ class AttnBlock(nn.Module):
             v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h).reshape(b, 1, hh * ww, c)
         out = multi_head_attention(q, k, v, scale=c**-0.5)
         out = out.reshape(b, hh, ww, c)
-        epi = _gn_epilogue_mode(full=True)
-        if epi is not None and emit_stats:
+        if epi_in is not None and emit_stats:
             kp, bp = _ConvParams(c, 1, name="proj_out")(c)
             out, s1, s2 = conv_stats(
                 out.astype(self.dtype), kp.astype(self.dtype),
                 _per_batch_bias(bp, b, c), skip=x.astype(self.dtype),
-                interpret=epi == "interpret",
+                interpret=epi_in == "interpret",
             )
             return out, (s1, s2)
         out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)

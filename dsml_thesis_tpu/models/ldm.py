@@ -158,12 +158,12 @@ class LatentDiffusion:
                 z = z.sample(rng) if rng is not None else z.mode()
             return z
 
-        if self._split_params() is not None:
+        sp = self._split_params()
+        if sp is not None:
             # patch-distributed VQ encode (reference ddpm.py:826-864): encode
             # overlapping pixel patches, blend the latent patches (df = vqf)
             from ..diffusion import tiling
 
-            sp = self._split_params()
             z = tiling.tiled_apply(lambda v, L: enc(v), x, sp,
                                    df=int(sp["vqf"]))
         else:
@@ -196,12 +196,12 @@ class LatentDiffusion:
         dec = lambda v: self.first_stage.apply(
             {"params": frozen}, v, method="decode", **kwargs
         )
-        if self._split_params() is not None:
+        sp = self._split_params()
+        if sp is not None:
             # patch-distributed decode (reference ddpm.py:707-755): decode
             # overlapping latent patches, blend the pixel patches (uf = vqf)
             from ..diffusion import tiling
 
-            sp = self._split_params()
             return tiling.tiled_apply(lambda v, L: dec(v), z, sp,
                                       uf=int(sp["vqf"]))
         return dec(z)

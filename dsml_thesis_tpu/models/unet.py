@@ -461,12 +461,15 @@ class AttentionBlock(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         import os
 
-        # explicit opt-in only (default stays split-head here, unlike
-        # CrossAttention): this block's q/k/v are jnp.split views of one
-        # fused qkv projection — the layout pattern that measured −18% with
-        # the packed kernel at the CrossAttention site (PROFILE.md round-3e)
-        # — and no shipped config puts this block on the bench path to A/B it
-        if os.environ.get("DSML_ATTN_PACKED", "") == "1":
+        # explicit opt-in only, under its OWN env var (default stays
+        # split-head here, unlike CrossAttention): this block's q/k/v are
+        # jnp.split views of one fused qkv projection — the layout pattern
+        # that measured −18% with the packed kernel at the CrossAttention
+        # site (PROFILE.md round-3e) — and no shipped config puts this block
+        # on the bench path to A/B it. It must NOT key off DSML_ATTN_PACKED:
+        # '1' is that flag's documented default, so exporting it explicitly
+        # would silently flip this block onto the known-losing path.
+        if os.environ.get("DSML_ATTN_PACKED_QKVBLOCK", "") == "1":
             out = packed_multi_head_attention(q, k, v, self.num_heads,
                                               scale=hd**-0.5)
         else:

@@ -144,9 +144,12 @@ def make_kl_ae_eval_step(model: AutoencoderKL, loss: KLAutoencoderLoss) -> Calla
     discriminator losses, no updates. val/rec_loss is the perceptual-weighted
     NLL the reference monitors."""
 
-    def step(state: KLAETrainState, batch: Dict):
+    def step(state: KLAETrainState, batch: Dict, idx: jnp.ndarray):
         x = batch["image"]
-        sub = jax.random.fold_in(state.rng, jnp.int32(1))
+        # fresh posterior noise per val batch (the reference's Lightning
+        # validation_step draws new noise each call); folding only a
+        # constant here would correlate every batch's draw
+        sub = jax.random.fold_in(state.rng, idx)
         mp, lp = _split_logvar(state.ae_params, state.loss_params)
         rec, posterior = model.apply({"params": mp}, x, key=sub)
         g_total, g_log = loss.generator_loss(

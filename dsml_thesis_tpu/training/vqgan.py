@@ -128,7 +128,11 @@ def make_vqgan_eval_step(model: VQModel, loss: VQGANLoss) -> Callable:
     no updates; rec_loss is the perceptual-weighted reconstruction NLL the
     reference monitors (val/rec_loss in the checkpoint filenames)."""
 
-    def step(state: VQGANTrainState, batch: Dict):
+    def step(state: VQGANTrainState, batch: Dict, idx: jnp.ndarray):
+        # idx: validation batch index — unused here (the VQ eval pass is
+        # deterministic) but kept so both eval steps share one call shape;
+        # the KL variant folds it into its posterior-noise key
+        del idx
         x = batch["image"]
         rec, qloss, _ = model.apply({"params": state.ae_params}, x)
         g_total, g_log = loss.generator_loss(

@@ -55,6 +55,7 @@ def build_vqgan(model_cfg: Dict, require_perceptual_weights: bool = False):
         disc_weight=lp.get("disc_weight", 1.0),
         disc_factor=lp.get("disc_factor", 1.0),
         disc_num_layers=lp.get("disc_num_layers", 3),
+        disc_in_channels=lp.get("disc_in_channels", 3),
         disc_ndf=lp.get("disc_ndf", 64),
         disc_loss=lp.get("disc_loss", "hinge"),
         perceptual_weight=lp["perceptual_weight"],
@@ -84,6 +85,7 @@ def build_kl_ae(model_cfg: Dict, require_perceptual_weights: bool = False):
         disc_weight=lp.get("disc_weight", 1.0),
         disc_factor=lp.get("disc_factor", 1.0),
         disc_num_layers=lp.get("disc_num_layers", 3),
+        disc_in_channels=lp.get("disc_in_channels", 3),
         disc_ndf=lp.get("disc_ndf", 64),
         disc_loss=lp.get("disc_loss", "hinge"),
         perceptual_weight=lp["perceptual_weight"],
@@ -248,7 +250,7 @@ class VQGANTrainer:
             if max_batches is not None and i >= max_batches:
                 break
             sb = shard_batch(self.mesh, {"image": np.asarray(batch["image"])})
-            m = self._eval_step(self._state, sb)
+            m = self._eval_step(self._state, sb, jnp.int32(i))
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1

@@ -15,13 +15,14 @@
 //   bicubic resize (PIL antialiased convolution resampling, a = -0.5),
 //   crop size x size at (x0, y0) (center when x0 < 0), u8 quantize,
 //   x / 127.5 - 1.
-// pyround = round-half-even (Python round()). The ONLY numerical
-// divergence from PIL is the resample arithmetic: PIL quantizes the
-// horizontal pass to uint8 fixed point before the vertical pass; this
-// implementation keeps fp32 between passes (strictly higher precision),
-// so pixels can differ by ~1-2 LSB. The fusion win: only the crop
-// window's columns/rows are ever resampled — PIL resizes the full frame
-// and then crops.
+// pyround = round-half-even (Python round()). Like PIL, the horizontal
+// pass quantizes to uint8 fixed point before the vertical pass (see
+// resample_window) — keeping fp32 between passes would be higher
+// precision but break the ~2-LSB PIL-parity bound the tests pin.
+// Residual ~1-2 LSB deltas come from fp32-vs-PIL's int32 fixed-point
+// filter arithmetic, not from a precision upgrade. The fusion win: only
+// the crop window's columns/rows are ever resampled — PIL resizes the
+// full frame and then crops.
 //
 // Build: `make` in this directory (links -ljpeg -lpng).
 

@@ -164,11 +164,12 @@ def main():
             variables = model.init(jax.random.PRNGKey(0),
                                    jnp.zeros((1, 112, 112, 3)))
 
+        apply_jit = jax.jit(model.apply)  # one trace/compile for both embeds
+
         def embed(frames):
             x = to_unit_range(frames).reshape((-1,) + frames.shape[-3:])
             x = jax.image.resize(x, (x.shape[0], 112, 112, 3), "bilinear")
-            return jax.jit(lambda v, t: model.apply(v, t))(
-                variables, x * 2.0 - 1.0)
+            return apply_jit(variables, x * 2.0 - 1.0)
 
         cs = cosine_similarity(embed(flag), embed(ref))
         result["csim_flag_vs_ref"] = round(float(jnp.mean(cs)), 4)

@@ -150,3 +150,50 @@ def test_kl_generator_loss_formula_matches_reference():
                                float(ref_log["val/kl_loss"]), rtol=2e-5)
     np.testing.assert_allclose(float(log["nll_loss"]),
                                float(ref_log["val/nll_loss"]), rtol=2e-5)
+
+
+def test_builders_forward_disc_in_channels():
+    """lossconfig.params.disc_in_channels must reach the discriminator
+    (reference LPIPSWithDiscriminator/VQLPIPSWithDiscriminator forward it to
+    NLayerDiscriminator's input_nc); a grayscale config would otherwise get
+    a silently wrong 3-channel discriminator."""
+    from dsml_thesis_tpu.training.vqgan_trainer import build_kl_ae, build_vqgan
+
+    cfg = _config()["model"]
+    cfg["params"]["lossconfig"]["params"]["disc_in_channels"] = 1
+    _, kl_loss = build_kl_ae(cfg)
+    assert kl_loss.disc_in_channels == 1
+
+    vq_cfg = {
+        "params": {
+            "embed_dim": 3, "n_embed": 16,
+            "ddconfig": dict(cfg["params"]["ddconfig"], double_z=False),
+            "lossconfig": {"params": {"disc_start": 0,
+                                      "disc_in_channels": 1}},
+        }
+    }
+    _, vq_loss = build_vqgan(vq_cfg)
+    assert vq_loss.disc_in_channels == 1
+
+
+def test_kl_eval_noise_varies_per_batch():
+    """The eval step folds the validation batch index into the posterior
+    noise key (the reference's Lightning validation_step draws fresh noise
+    per batch): the same batch at two indices must produce different
+    rec losses, and the same index must reproduce."""
+    from dsml_thesis_tpu.training.kl_ae import (
+        create_kl_ae_state, make_kl_ae_eval_step)
+    from dsml_thesis_tpu.training.vqgan_trainer import build_kl_ae
+
+    model, loss = build_kl_ae(_config()["model"])
+    state, _, _ = create_kl_ae_state(model, loss, jax.random.PRNGKey(0),
+                                     (2, 16, 16, 3), lr=1e-4)
+    step = make_kl_ae_eval_step(model, loss)
+    batch = {"image": jnp.asarray(
+        np.random.RandomState(0).randn(2, 16, 16, 3).astype(np.float32))}
+    m0 = step(state, batch, jnp.int32(0))
+    m1 = step(state, batch, jnp.int32(1))
+    m0b = step(state, batch, jnp.int32(0))
+    assert float(m0["val/rec_loss"]) != float(m1["val/rec_loss"])
+    np.testing.assert_allclose(float(m0["val/rec_loss"]),
+                               float(m0b["val/rec_loss"]))

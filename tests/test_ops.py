@@ -789,3 +789,43 @@ def test_streaming_dispatch_and_grad(monkeypatch):
     for a, b in ((gq, rq), (gk, rk), (gv, rv)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_attention_block_packed_needs_own_optin(monkeypatch):
+    """The legacy AttentionBlock (no-transformer UNets) must NOT flip onto
+    the packed kernel under DSML_ATTN_PACKED=1 — '1' is that flag's
+    documented default, and this block's q/k/v are jnp.split views of one
+    fused qkv projection (the layout that measured −18% at the
+    CrossAttention site, PROFILE.md round-3e). Packed dispatch here takes
+    its own opt-in, DSML_ATTN_PACKED_QKVBLOCK=1, with identical numerics."""
+    from dsml_thesis_tpu.models import unet as unet_mod
+
+    block = unet_mod.AttentionBlock(num_heads=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 4, 4, 64).astype(np.float32))
+    for var in ("DSML_ATTN_PACKED", "DSML_ATTN_PACKED_QKVBLOCK"):
+        monkeypatch.delenv(var, raising=False)
+    params = block.init(jax.random.PRNGKey(0), x)["params"]
+    base = block.apply({"params": params}, x)
+
+    calls = []
+    real_packed = unet_mod.packed_multi_head_attention
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real_packed(*args, **kwargs)
+
+    monkeypatch.setattr(unet_mod, "packed_multi_head_attention", spy)
+
+    # exporting the documented default must be a no-op for this block
+    monkeypatch.setenv("DSML_ATTN_PACKED", "1")
+    out = block.apply({"params": params}, x)
+    assert not calls, "DSML_ATTN_PACKED=1 must not switch AttentionBlock"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+
+    # the dedicated opt-in flips it, numerics unchanged
+    monkeypatch.setenv("DSML_ATTN_PACKED_QKVBLOCK", "1")
+    out_p = block.apply({"params": params}, x)
+    assert calls, "DSML_ATTN_PACKED_QKVBLOCK=1 must route to the packed kernel"
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
