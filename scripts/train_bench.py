@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny CPU smoke (4 steps, 32px)")
+    ap.add_argument("--profile", metavar="OUTDIR", default=None,
+                    help="wrap the timed steps in jax.profiler.trace and "
+                         "print the leaf-op attribution (profile_bench "
+                         "parser) — the training-side device profile")
     args = ap.parse_args()
 
     if args.cpu or args.tiny:
@@ -86,16 +90,40 @@ def main():
     jax.device_get(metrics)
     print(f"# compile+warmup {time.time() - t0:.1f}s")
 
+    if args.profile:
+        import contextlib
+
+        trace_cm = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+
+        trace_cm = contextlib.nullcontext()
+
     t0 = time.time()
-    for i in range(args.steps):
-        state, metrics = step_fn(state, batch, jax.random.fold_in(key, 100 + i))
-    loss = float(jax.device_get(metrics.get("train/loss", list(metrics.values())[0])))
+    with trace_cm:
+        for i in range(args.steps):
+            state, metrics = step_fn(state, batch,
+                                     jax.random.fold_in(key, 100 + i))
+        loss = float(jax.device_get(
+            metrics.get("train/loss", list(metrics.values())[0])))
     dt = time.time() - t0
     img_s = args.batch * args.steps / dt
     print(f"# {args.steps} steps in {dt:.2f}s, loss {loss:.4f}")
     print({"metric": "train_img_per_sec_per_chip",
            "value": round(img_s, 1), "unit": "img/s/chip",
            "ms_per_step": round(1000 * dt / args.steps, 1)})
+
+    if args.profile:
+        from profile_bench import newest_trace, parse_trace
+
+        res = parse_trace(args.profile, top=15)
+        if res:
+            total, ranked = res
+            print(f"# device LEAF-op time over {args.steps} steps: "
+                  f"{total / 1e6:.3f} s ({total / 1e6 / args.steps * 1000:.1f} "
+                  f"ms/step; trace: {newest_trace(args.profile)})")
+            for name, dur in ranked:
+                print(f"  {dur / 1e6:8.3f}s {100 * dur / total:5.1f}%  {name}")
 
 
 if __name__ == "__main__":
