@@ -38,6 +38,7 @@ def progressive_video_sample(
     uncond_contexts: Optional[jnp.ndarray] = None,  # [B, F, L, D]
     guidance_scale: float = 1.0,
     x_T: Optional[jnp.ndarray] = None,  # [B, F, h, w, c] injected init noise
+    pair_apply_fn: Optional[ApplyFn] = None,
 ) -> jnp.ndarray:
     """Generate all frames; returns latents [B, F, h, w, c].
 
@@ -53,6 +54,12 @@ def progressive_video_sample(
     lat_shape = z_id0.shape
 
     use_cfg = uncond_contexts is not None and guidance_scale != 1.0
+    # CFG batch-pair prefix dedup (exact — both halves share x_t/t/concat;
+    # see models/unet.py cfg_pairs). Opt-in until the on-chip A/B.
+    import os as _os
+
+    dedup = (pair_apply_fn is not None
+             and _os.environ.get("DSML_CFG_DEDUP", "0") == "1")
 
     # Opt-in bf16 DDIM step math + scan carry (A/B lever; fidelity-gated via
     # scripts/fidelity_gate.py — the default keeps the eps-combine and x_prev
@@ -74,7 +81,18 @@ def progressive_video_sample(
         m_lat, ctx, uctx, kf, xT_f = per_frame
         concat = jnp.concatenate([m_lat, z_id], axis=-1)  # [B, h, w, 2c]
 
-        if use_cfg:
+        if use_cfg and dedup:
+            # CFG pair dedup: both halves share x, t, and the concat latents
+            # (cc_in above is literally [concat; concat]) — hand the UNet the
+            # B-batch inputs plus the 2B context pair and let it compute the
+            # pre-cross-attention prefix once (models/unet.py cfg_pairs)
+            ctx_in = jnp.concatenate([uctx, ctx], axis=0)
+
+            def eps_fn(x, t):
+                out = pair_apply_fn(x, t, ctx_in, concat)
+                e_u, e_c = jnp.split(out, 2, axis=0)
+                return e_u + guidance_scale * (e_c - e_u)
+        elif use_cfg:
             ctx_in = jnp.concatenate([uctx, ctx], axis=0)
             cc_in = jnp.concatenate([concat, concat], axis=0)
 
@@ -173,9 +191,13 @@ def make_video_pipeline(ldm, ddim: DDIMSchedule, audio_window: int,
         apply_fn = lambda x, t, c, cc: ldm.apply_model(
             params, x, t, {"crossattn": c, "concat": cc}
         )
+        pair_fn = lambda x, t, c, cc: ldm.apply_model(
+            params, x, t, {"crossattn": c, "concat": cc}, cfg_pairs=True
+        )
         frames = progressive_video_sample(
             ddim, apply_fn, m_lat, ctxs, z_id0, key,
             uncond_contexts=uctxs, guidance_scale=guidance_scale,
+            pair_apply_fn=pair_fn,
         )
         if not decode:
             return frames

@@ -304,7 +304,8 @@ class LatentDiffusion:
     # ---------- model application ----------
 
     def apply_model(self, params: Dict, x_t: jnp.ndarray, t: jnp.ndarray,
-                    cond: Dict[str, Optional[jnp.ndarray]]) -> jnp.ndarray:
+                    cond: Dict[str, Optional[jnp.ndarray]],
+                    cfg_pairs: bool = False) -> jnp.ndarray:
         """DiffusionWrapper routing (reference ddpm.py:1397-1423): channel-
         concat the concat streams, cross-attend to the context tokens.
 
@@ -319,9 +320,21 @@ class LatentDiffusion:
         if cond.get("concat") is not None:
             x_in = jnp.concatenate([x_t, cond["concat"]], axis=-1)
         ctx = cond.get("crossattn")
-        unet = lambda xi, ti, ci: self.unet.apply(
-            {"params": params["unet"]}, xi, ti, ci
+        unet = lambda xi, ti, ci, **kw: self.unet.apply(
+            {"params": params["unet"]}, xi, ti, ci, **kw
         )
+        if cfg_pairs:
+            # CFG batch-pair dedup (DSML_CFG_DEDUP): x_t / t / cond["concat"]
+            # arrive at B, cond["crossattn"] is the [uncond; cond] pair at
+            # 2B; the UNet computes the pre-cross-attention prefix once and
+            # tiles at the divergence (models/unet.py cfg_pairs). Valid
+            # because CFG replaces only crossattn streams — the concat
+            # channels are shared by construction (null_conditioning).
+            if self.split_input_params is not None:
+                raise NotImplementedError(
+                    "cfg_pairs dedup not supported with split_input_params"
+                )
+            return unet(x_in, t, ctx, cfg_pairs=True)
         if self.split_input_params is not None:
             from ..diffusion import tiling
 

@@ -623,9 +623,23 @@ class UNetModel(nn.Module):
         return heads, dim_head
 
     @nn.compact
-    def __call__(self, x, timesteps, context=None, y=None, deterministic: bool = True):
+    def __call__(self, x, timesteps, context=None, y=None, deterministic: bool = True,
+                 cfg_pairs: bool = False):
         if self.use_spatial_transformer:
             assert self.context_dim is not None
+        if cfg_pairs:
+            # CFG batch-pair dedup: x/timesteps arrive at B while context is
+            # the [uncond; cond] pair at 2B. The two CFG streams share x_t,
+            # t, and every concat-conditioning channel (the framework's CFG
+            # replaces only crossattn streams, reference ddim2cond.py:
+            # 160-197), so everything BEFORE the first cross-attention is
+            # bitwise-identical across the pair — compute it once and tile
+            # to 2B at the first context consumption instead of running the
+            # whole prefix twice. Exact: per-sample ops are batch-
+            # independent, so tiling equals recomputing.
+            assert y is None, "cfg_pairs with label_emb would diverge at emb"
+            assert deterministic, "cfg_pairs requires deterministic (no dropout)"
+            assert context is not None and context.shape[0] == 2 * x.shape[0]
         in_dtype = x.dtype
         x = x.astype(self.dtype)
         if context is not None:
@@ -685,6 +699,16 @@ class UNetModel(nn.Module):
                 self.dtype, name=name,
             )(h, ctx, deterministic, st)
 
+        _tile = lambda a: jnp.concatenate([a, a], axis=0)
+        diverged = not cfg_pairs  # stock mode: already at the full batch
+
+        def _diverge(h, st, emb, hs):
+            """Tile the shared CFG prefix (running h, its stats, the time
+            embedding, and every stored skip) to the 2B pair batch."""
+            hs_t = [jax.tree.map(_tile, e) for e in hs]  # None st stay None
+            st_t = jax.tree.map(_tile, st)
+            return _tile(h), st_t, _tile(emb), hs_t
+
         # --- input blocks ---
         hs = []
         epi = _gn_epilogue_mode(full=True)
@@ -712,6 +736,9 @@ class UNetModel(nn.Module):
                 ch = mult * self.model_channels
                 h, st = res(h, st, emb, ch, f"down_{level}_{i}_res")
                 if ds in self.attention_resolutions:
+                    if not diverged and self.use_spatial_transformer:
+                        h, st, emb, hs = _diverge(h, st, emb, hs)
+                        diverged = True
                     h, st = attn(h, st, context, ch, f"down_{level}_{i}_attn")
                 hs.append((h, st))
             if level != len(self.channel_mult) - 1:
@@ -727,6 +754,10 @@ class UNetModel(nn.Module):
 
         # --- middle ---
         h, st = res(h, st, emb, ch, "mid_res1")
+        if not diverged and self.use_spatial_transformer:
+            # no attention in the input blocks: the pair diverges here
+            h, st, emb, hs = _diverge(h, st, emb, hs)
+            diverged = True
         h, st = attn(h, st, context, ch, "mid_attn")
         h, st = res(h, st, emb, ch, "mid_res2")
 
@@ -770,4 +801,8 @@ class UNetModel(nn.Module):
                 kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
                 dtype=self.dtype, name="conv_out",
             )(h)
+        if not diverged:
+            # context was never consumed (use_spatial_transformer=False):
+            # both CFG halves are the full forward — tile the output
+            h = _tile(h)
         return h.astype(in_dtype)

@@ -127,3 +127,72 @@ def test_full_pipeline_matches_manual_assembly():
     ref = jnp.clip(jax.vmap(dec, in_axes=1, out_axes=1)(frames), -1, 1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_cfg_dedup_matches_stock_pipeline(monkeypatch):
+    """DSML_CFG_DEDUP=1 (UNet computes the shared pre-cross-attention prefix
+    once per CFG pair, models/unet.py cfg_pairs) produces the same frames as
+    the stock batch-doubled CFG: the two halves share x_t, t, and the concat
+    latents, so tiling at the divergence is exact."""
+    import sys
+    import yaml
+
+    sys.path.insert(0, "tests")
+    from test_ldm import TINY_MEAD_CFG
+
+    from dsml_thesis_tpu.config import build_model
+    from dsml_thesis_tpu.diffusion import make_video_pipeline
+
+    cfg = yaml.safe_load(TINY_MEAD_CFG)
+    ldm = build_model(cfg["model"])
+    B, F, w = 2, 3, 2
+    init_batch = {
+        "image": jnp.zeros((B, 16, 16, 3)),
+        "masked_image": jnp.zeros((B, 16, 16, 3)),
+        "identity": jnp.zeros((B, 16, 16, 3)),
+        "class_label": jnp.array([1, 5]),
+        "audio": jnp.zeros((B, 5, 32)),
+    }
+    params = ldm.init_params(jax.random.PRNGKey(0), init_batch)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    masked = jax.random.normal(ks[0], (B, F, 16, 16, 3)) * 0.3
+    audio = jax.random.normal(ks[1], (B, F + w, 32))
+    identity = jax.random.normal(ks[2], (B, 16, 16, 3)) * 0.3
+    labels = jnp.array([1, 5], jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    ddim = make_ddim_schedule(ldm.schedule, 4, eta=0.0)
+    pipe = make_video_pipeline(ldm, ddim, w, guidance_scale=2.0)
+
+    monkeypatch.delenv("DSML_CFG_DEDUP", raising=False)
+    base = jax.jit(pipe)(params, masked, audio, identity, labels, key)
+    monkeypatch.setenv("DSML_CFG_DEDUP", "1")
+    pipe_d = make_video_pipeline(ldm, ddim, w, guidance_scale=2.0)
+    dedup = jax.jit(pipe_d)(params, masked, audio, identity, labels, key)
+    np.testing.assert_allclose(np.asarray(dedup), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_unet_cfg_pairs_matches_batch_doubling():
+    """UNetModel(cfg_pairs=True) == the stock call on the tiled pair, for a
+    UNet whose first attention sits one level down (a real shared prefix)."""
+    from dsml_thesis_tpu.models.unet import UNetModel
+
+    unet = UNetModel(
+        in_channels=6, model_channels=32, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_heads=2,
+        context_dim=8, transformer_depth=1,
+    )
+    B = 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, 8, 8, 6))
+    t = jnp.array([3, 7], jnp.int32)
+    ctx_pair = jax.random.normal(jax.random.PRNGKey(1), (2 * B, 4, 8))
+    params = unet.init(jax.random.PRNGKey(2), x, t, ctx_pair[:B])["params"]
+
+    stock = unet.apply({"params": params},
+                       jnp.concatenate([x, x], 0),
+                       jnp.concatenate([t, t], 0), ctx_pair)
+    paired = unet.apply({"params": params}, x, t, ctx_pair, cfg_pairs=True)
+    assert paired.shape == stock.shape
+    np.testing.assert_allclose(np.asarray(paired), np.asarray(stock),
+                               atol=1e-5, rtol=1e-5)
