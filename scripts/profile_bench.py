@@ -38,11 +38,26 @@ def _device_events(path):
     events = data.get("traceEvents", [])
     # identify device pids: process_name metadata mentioning TPU / device
     dev_pids = set()
+    op_tids = set()  # (pid, tid) of "XLA Ops" threads under a device pid
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            name = e.get("args", {}).get("name", "")
+        if e.get("ph") != "M":
+            continue
+        name = e.get("args", {}).get("name", "")
+        if e.get("name") == "process_name":
             if any(s in name for s in ("TPU", "/device:", "Device")):
                 dev_pids.add(e["pid"])
+        elif e.get("name") == "thread_name" and name == "XLA Ops":
+            op_tids.add((e["pid"], e.get("tid")))
+    # device traces carry parallel tracks ("Steps" = one span per dispatched
+    # program, "XLA Modules" = one span per program body, "XLA Ops" = the
+    # actual leaf ops). Counting all three triple-counts multi-dispatch runs
+    # (e.g. train_bench's N separate step invocations) — restrict to the op
+    # track whenever the metadata names one.
+    op_tids = {(p, t) for p, t in op_tids if p in dev_pids}
+    if op_tids:
+        return [e for e in events
+                if e.get("ph") == "X" and "dur" in e
+                and (e.get("pid"), e.get("tid")) in op_tids]
     return [e for e in events
             if e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e]
 
