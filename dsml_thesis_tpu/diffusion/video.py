@@ -55,11 +55,14 @@ def progressive_video_sample(
 
     use_cfg = uncond_contexts is not None and guidance_scale != 1.0
     # CFG batch-pair prefix dedup (exact — both halves share x_t/t/concat;
-    # see models/unet.py cfg_pairs). Opt-in until the on-chip A/B.
+    # see models/unet.py cfg_pairs). Default ON since the round-3k on-chip
+    # A/B: headline 6.968 vs 6.663 (+4.6%), dh64 7.605 vs 7.252, fullattn
+    # 3.420 vs 3.396, fidelity gate unchanged at 46.56 dB. DSML_CFG_DEDUP=0
+    # is the kill switch (reverts to the stock batch-doubled CFG).
     import os as _os
 
     dedup = (pair_apply_fn is not None
-             and _os.environ.get("DSML_CFG_DEDUP", "0") == "1")
+             and _os.environ.get("DSML_CFG_DEDUP", "1") == "1")
 
     # Opt-in bf16 DDIM step math + scan carry (A/B lever; fidelity-gated via
     # scripts/fidelity_gate.py — the default keeps the eps-combine and x_prev

@@ -164,7 +164,7 @@ def test_cfg_dedup_matches_stock_pipeline(monkeypatch):
     ddim = make_ddim_schedule(ldm.schedule, 4, eta=0.0)
     pipe = make_video_pipeline(ldm, ddim, w, guidance_scale=2.0)
 
-    monkeypatch.delenv("DSML_CFG_DEDUP", raising=False)
+    monkeypatch.setenv("DSML_CFG_DEDUP", "0")  # pin base: default is ON
     base = jax.jit(pipe)(params, masked, audio, identity, labels, key)
     monkeypatch.setenv("DSML_CFG_DEDUP", "1")
     pipe_d = make_video_pipeline(ldm, ddim, w, guidance_scale=2.0)
