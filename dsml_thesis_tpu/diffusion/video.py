@@ -59,18 +59,16 @@ def progressive_video_sample(
     # A/B: headline 6.968 vs 6.663 (+4.6%), dh64 7.605 vs 7.252, fullattn
     # 3.420 vs 3.396, fidelity gate unchanged at 46.56 dB. DSML_CFG_DEDUP=0
     # is the kill switch (reverts to the stock batch-doubled CFG).
-    import os as _os
+    import dataclasses
+    import os
 
     dedup = (pair_apply_fn is not None
-             and _os.environ.get("DSML_CFG_DEDUP", "1") == "1")
+             and os.environ.get("DSML_CFG_DEDUP", "1") == "1")
 
     # Opt-in bf16 DDIM step math + scan carry (A/B lever; fidelity-gated via
     # scripts/fidelity_gate.py — the default keeps the eps-combine and x_prev
     # algebra in fp32). The latent tensors are tiny (B*64*64*3), so this
     # targets VPU/fusion time, not bandwidth.
-    import dataclasses
-    import os
-
     bf16_step = os.environ.get("DSML_BF16_STEP", "0") == "1"
     carry_dtype = jnp.bfloat16 if bf16_step else jnp.float32
     if bf16_step:
@@ -194,8 +192,12 @@ def make_video_pipeline(ldm, ddim: DDIMSchedule, audio_window: int,
         apply_fn = lambda x, t, c, cc: ldm.apply_model(
             params, x, t, {"crossattn": c, "concat": cc}
         )
-        pair_fn = lambda x, t, c, cc: ldm.apply_model(
-            params, x, t, {"crossattn": c, "concat": cc}, cfg_pairs=True
+        # the dedup path bypasses the patch-tiled apply_model, so configs
+        # with split_input_params fall back to the stock batch-doubled CFG
+        pair_fn = None if ldm.split_input_params is not None else (
+            lambda x, t, c, cc: ldm.apply_model(
+                params, x, t, {"crossattn": c, "concat": cc}, cfg_pairs=True
+            )
         )
         frames = progressive_video_sample(
             ddim, apply_fn, m_lat, ctxs, z_id0, key,

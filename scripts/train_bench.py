@@ -90,14 +90,10 @@ def main():
     jax.device_get(metrics)
     print(f"# compile+warmup {time.time() - t0:.1f}s")
 
-    if args.profile:
-        import contextlib
+    import contextlib
 
-        trace_cm = jax.profiler.trace(args.profile)
-    else:
-        import contextlib
-
-        trace_cm = contextlib.nullcontext()
+    trace_cm = (jax.profiler.trace(args.profile) if args.profile
+                else contextlib.nullcontext())
 
     t0 = time.time()
     with trace_cm:

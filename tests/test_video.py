@@ -196,3 +196,47 @@ def test_unet_cfg_pairs_matches_batch_doubling():
     assert paired.shape == stock.shape
     np.testing.assert_allclose(np.asarray(paired), np.asarray(stock),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_cfg_dedup_falls_back_for_split_input(monkeypatch):
+    """split_input_params configs bypass the dedup (the patch-tiled
+    apply_model has no cfg_pairs path): with the dedup DEFAULT ON the video
+    pipeline must silently use the stock batch-doubled CFG, not raise."""
+    import copy
+    import sys
+    import yaml
+
+    sys.path.insert(0, "tests")
+    from test_ldm import TINY_MEAD_CFG
+
+    from dsml_thesis_tpu.config import build_model
+    from dsml_thesis_tpu.diffusion import make_video_pipeline
+
+    cfg = yaml.safe_load(TINY_MEAD_CFG)
+    cfg = copy.deepcopy(cfg)
+    cfg["model"]["params"]["split_input_params"] = {
+        "ks": [8, 8], "stride": [8, 8], "vqf": 2,
+    }
+    ldm = build_model(cfg["model"])
+    assert ldm.split_input_params is not None
+    B, F, w = 2, 2, 2
+    init_batch = {
+        "image": jnp.zeros((B, 16, 16, 3)),
+        "masked_image": jnp.zeros((B, 16, 16, 3)),
+        "identity": jnp.zeros((B, 16, 16, 3)),
+        "class_label": jnp.array([1, 5]),
+        "audio": jnp.zeros((B, 5, 32)),
+    }
+    params = ldm.init_params(jax.random.PRNGKey(0), init_batch)
+    masked = jax.random.normal(jax.random.PRNGKey(1), (B, F, 16, 16, 3)) * 0.3
+    audio = jax.random.normal(jax.random.PRNGKey(2), (B, F + w, 32))
+    identity = jnp.zeros((B, 16, 16, 3))
+    labels = jnp.array([1, 5], jnp.int32)
+
+    monkeypatch.setenv("DSML_CFG_DEDUP", "1")
+    ddim = make_ddim_schedule(ldm.schedule, 2, eta=0.0)
+    pipe = make_video_pipeline(ldm, ddim, w, guidance_scale=2.0)
+    out = jax.jit(pipe)(params, masked, audio, identity, labels,
+                        jax.random.PRNGKey(3))
+    assert out.shape == (B, F, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
