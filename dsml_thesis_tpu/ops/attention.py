@@ -14,6 +14,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -120,12 +121,17 @@ def _flash_flags(nk: int):
       (PROFILE.md), hence the nk>=2048 auto threshold.
     - norm_bound: Cauchy-Schwarz shift instead of the row-max pass; wins
       where the score matrix is big (fullattn N=4096: 3.314 -> 3.343).
-    """
-    import os
 
+    All three parse identically: "auto" (where applicable) / "1" = on /
+    anything else = off — so e.g. 'false' or '' can never silently ENABLE a
+    lever. pv_transpose only exists inside the defer-div formulation (the
+    transposed product carries the ones-column denominator), so it is
+    forced off when defer_div is disabled rather than silently ignored.
+    """
     defer_div = os.environ.get("DSML_FLASH_DEFER_DIV", "1") != "0"
     pv_env = os.environ.get("DSML_FLASH_PV_T", "auto")
-    pv_transpose = (nk >= 2048) if pv_env == "auto" else pv_env != "0"
+    pv_transpose = ((nk >= 2048) if pv_env == "auto" else pv_env == "1")
+    pv_transpose = pv_transpose and defer_div
     nb_env = os.environ.get("DSML_FLASH_NORM_BOUND", "auto")
     norm_bound = (nk >= 2048) if nb_env == "auto" else nb_env == "1"
     return defer_div, pv_transpose, norm_bound
@@ -399,23 +405,37 @@ def _flash_kernel_streaming(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
         o_ref[0] = (acc[:, :d] / denom).astype(o_ref.dtype)
 
 
+def _streaming_bytes(bq: int, bk: int, d: int) -> int:
+    """Working-set bytes of one streaming program, sized conservatively in
+    fp32 — the SINGLE source for the compile-time vmem_limit and the
+    _fit_blocks_streaming approval (the packed kernels' _packed_*_bytes
+    convention, so the two sites cannot diverge): K/V blocks + pipeline
+    double buffers, q/out blocks, SIX live [bq, bk] score-sized temporaries
+    (the fp32 scores, the masked where result, the int32 iota, the widened
+    mask, p, and p's low-precision cast — the packed-bwd on-chip probe
+    showed Mosaic keeps ~2x the naive count live across unrolled ops), and
+    the m/acc scratch with the (bq, 1) running max lane-padded to 128."""
+    kv = 4 * bk * d * 4
+    blocks = 4 * bq * d * 4
+    scores = 6 * bq * bk * 4
+    scratch = bq * 128 * 4 + bq * (128 * ((d + 1 + 127) // 128)) * 4
+    return kv + blocks + scores + scratch + (1 << 21)
+
+
 def _fit_blocks_streaming(nq: int, nk: int, d: int, requested_bq: int,
                           requested_bk: int):
-    """(block_q, block_k) whose streaming working set fits the VMEM budget:
-    K/V blocks (+ pipeline double buffers), the q and output blocks, one
-    live fp32 score matrix (x2 overlap), and the fp32 m/acc scratch (acc's
-    D+1 columns lane-pad to a multiple of 128). Unlike the resident kernel
-    this always succeeds for sane D — the set scales with the BLOCK sizes,
-    not with Nk — but return None rather than shrinking below 8."""
+    """(block_q, block_k) whose streaming working set (_streaming_bytes)
+    fits the VMEM budget. Unlike the resident kernel this always succeeds
+    for sane D — the set scales with the BLOCK sizes, not with Nk — but
+    return None rather than shrinking block_q below 8. The requested
+    block_k clamps UP to the 128 floor: a sub-128 request (say a block-q
+    tuner exporting DSML_FLASH_BLOCK_K=64) must not silently disable
+    streaming and re-expose the O(Nk^2) XLA fallback it exists to avoid."""
     bq = min(requested_bq, nq)
     while bq >= 8:
-        bk = min(requested_bk, nk)
+        bk = min(max(requested_bk, 128), nk)
         while bk >= 128:
-            kv = 4 * bk * d * 4
-            blocks = 4 * bq * d * 4
-            scores = 2 * bq * bk * 4
-            scratch = bq * (128 * ((d + 1 + 127) // 128) + 1) * 4
-            if kv + blocks + scores + scratch + (1 << 21) <= _VMEM_BUDGET:
+            if _streaming_bytes(bq, bk, d) <= _VMEM_BUDGET:
                 return bq, bk
             bk //= 2
         bq //= 2
@@ -455,12 +475,7 @@ def flash_attention_streaming(q, k, v, scale=None, block_q: int = 512,
     nq_p, nk_p = nq + pad_q, nk + pad_k
 
     grid = (bh, nq_p // block_q, nk_p // block_k)
-    vmem_limit = min(
-        4 * block_k * d * jnp.dtype(q.dtype).itemsize
-        + 4 * block_q * d * 4 + 2 * block_q * block_k * 4
-        + block_q * (128 * ((d + 1 + 127) // 128) + 1) * 4 + (1 << 21),
-        110 * (1 << 20),
-    )
+    vmem_limit = min(_streaming_bytes(block_q, block_k, d), 110 * (1 << 20))
     out = pl.pallas_call(
         functools.partial(_flash_kernel_streaming, scale=scale, nk=nk,
                           block_k=block_k),
@@ -707,8 +722,6 @@ def flash_attention_bwd(q, k, v, do, scale=None, block_q: int = 256,
         6 * nk * d * 4 + 4 * (block_q * nk * 4) + 8 * block_q * d * 4 + (1 << 21),
         110 * (1 << 20),
     )
-    import os
-
     bwd_defer = os.environ.get("DSML_FLASH_BWD_DEFER", "1") != "0"
     dq, dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_kernel, scale=scale,
@@ -760,8 +773,6 @@ def flash_attention_bwd_packed(q, k, v, do, heads: int, scale=None,
     # _packed_bwd_bytes is the SAME formula _fit_block_q_packed_bwd approves
     # with, so a fit-approved shape cannot die in a VMEM-limit compile error
     vmem_limit = min(_packed_bwd_bytes(block_q, nk, hd), 110 * (1 << 20))
-    import os
-
     bwd_defer = os.environ.get("DSML_FLASH_BWD_DEFER", "1") != "0"
     dq, dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_kernel_packed, scale=scale, heads=heads,
@@ -834,8 +845,6 @@ def _packed_fwd(q, k, v, heads, scale, block_q, interpret):
 def _packed_bwd(heads, scale, block_q, interpret, res, g):
     q, k, v = res
     nq, nk = q.shape[1], k.shape[1]
-    import os
-
     # packed bwd kernel: training keeps the [B,N,H*D] layout through the
     # backward too — no head-split transposes in HBM. Its working set is
     # bigger than the forward's (fp32 dk/dv accumulators + 3 live score
@@ -948,8 +957,6 @@ def packed_multi_head_attention(q, k, v, heads: int, scale=None,
     d = q.shape[-1] // heads
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    import os
-
     if use_pallas is None:
         enabled = (_FLASH_OVERRIDE if _FLASH_OVERRIDE is not None
                    else os.environ.get("DSML_FLASH_ATTN", "1") != "0")
@@ -1020,8 +1027,6 @@ def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
     OOM at compile time; with streaming disabled they fall back to XLA."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    import os
-
     if use_pallas is None:
         enabled = (_FLASH_OVERRIDE if _FLASH_OVERRIDE is not None
                    else os.environ.get("DSML_FLASH_ATTN", "1") != "0")

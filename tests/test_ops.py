@@ -764,21 +764,40 @@ def test_streaming_dispatch_and_grad(monkeypatch):
     from dsml_thesis_tpu.ops.attention import (
         _fit_blocks_streaming, multi_head_attention)
 
+    from dsml_thesis_tpu.ops import attention as attn_mod
+
     # fit sanity: streaming always finds blocks where the resident kernel
     # cannot (65536 kv rows at d=64), and respects the requested caps
     assert _fit_blocks_streaming(65536, 65536, 64, 1024, 1024) is not None
     bq, bk = _fit_blocks_streaming(4096, 4096, 32, 512, 512)
     assert bq <= 512 and bk <= 512
+    # a sub-128 block_k request clamps UP to the floor instead of silently
+    # disabling streaming (the O(Nk^2) XLA fallback it exists to avoid)
+    assert _fit_blocks_streaming(4096, 65536, 32, 512, 64) is not None
 
     monkeypatch.setenv("DSML_FLASH_INTERPRET", "1")
     monkeypatch.setenv("DSML_FLASH_STREAMING", "1")
-    monkeypatch.setenv("DSML_FLASH_BLOCK_Q", "32")
-    monkeypatch.setenv("DSML_FLASH_BLOCK_K", "64")
+    monkeypatch.setenv("DSML_FLASH_BLOCK_Q", "128")
+    monkeypatch.setenv("DSML_FLASH_BLOCK_K", "128")
+    # nk=320 is not a block_k multiple: the padded tail keys must be masked
     rs = np.random.RandomState(3)
-    q = jnp.asarray(rs.randn(1, 2, 64, 16).astype(np.float32))
-    k = jnp.asarray(rs.randn(1, 2, 80, 16).astype(np.float32))
-    v = jnp.asarray(rs.randn(1, 2, 80, 16).astype(np.float32))
+    q = jnp.asarray(rs.randn(1, 2, 256, 16).astype(np.float32))
+    k = jnp.asarray(rs.randn(1, 2, 320, 16).astype(np.float32))
+    v = jnp.asarray(rs.randn(1, 2, 320, 16).astype(np.float32))
+
+    # spy: the streaming custom-VJP wrapper must actually be dispatched —
+    # with too-small shapes the fit returns None and the test would
+    # vacuously compare the XLA reference against itself
+    calls = []
+    real_stream = attn_mod._streaming_attention_diff
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real_stream(*a, **kw)
+
+    monkeypatch.setattr(attn_mod, "_streaming_attention_diff", spy)
     out = multi_head_attention(q, k, v)
+    assert calls, "streaming wrapper was not dispatched (vacuous test)"
     ref = attention_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
