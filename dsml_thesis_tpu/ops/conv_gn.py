@@ -48,20 +48,26 @@ def _conv_gn_bytes(hh: int, ww: int, cin: int, cout: int, itemsize: int,
     3-channel stem input physically occupies 128 lanes per element. The
     pre-padding model approved the 256px VQGAN stem at ~85M while Mosaic
     measured 143.84M (on-chip OOM, round 3f); with lane padding the model
-    says 156M and the shape correctly routes to the jnp fallback. Single
-    source of truth for conv_gn_fits AND the compile-time vmem_limit, so a
-    fit-approved shape can never die on the limit."""
+    says 156M and the shape correctly routes to the jnp fallback. The
+    second-minor (W) dim sublane-pads to the dtype tile (8 rows fp32, 16
+    bf16) — counted too, so non-power-of-2 widths don't under-count.
+    Single source of truth for conv_gn_fits; conv_stats_pallas compiles
+    against the full physical cap so a model under-estimate can only cost
+    a missed fusion, never a fit-approved compile OOM."""
+    sub = max(8, 32 // max(itemsize, 1))  # sublane tile rows for the dtype
+    ww_s = -(-ww // sub) * sub
     cin_l = -(-cin // 128) * 128   # lane padding (trailing dim)
     cout_l = -(-cout // 128) * 128
-    cin_s = -(-cin // 8) * 8       # sublane padding (weights' 3rd dim)
-    xb = hh * ww * cin_l * itemsize
-    xpad = (hh + 2) * (ww + 2) * cin_l * itemsize if ksize == 3 else 0
+    cin_s = -(-cin // sub) * sub   # sublane padding (weights' 3rd dim)
+    xb = hh * ww_s * cin_l * itemsize
+    xpad = (hh + 2) * (-(-(ww + 2) // sub) * sub) * cin_l * itemsize \
+        if ksize == 3 else 0
     wb = ksize * ksize * cin_s * cout_l * itemsize
-    acc = hh * ww * cout_l * 4
-    yb = hh * ww * cout_l * itemsize
+    acc = hh * ww_s * cout_l * 4
+    yb = hh * ww_s * cout_l * itemsize
     return (3 * xb + xpad + 2 * wb + acc + 3 * yb
             + (3 * yb if has_skip else 0)
-            + (hh * ww * cin_l * 4 if has_gn else 0) + (1 << 22))
+            + (hh * ww_s * cin_l * 4 if has_gn else 0) + (1 << 22))
 
 
 def conv_gn_fits(hh: int, ww: int, cin: int, cout: int, itemsize: int,
@@ -154,13 +160,12 @@ def conv_stats_pallas(x, w, bias, skip=None, in_stats=None, gamma=None,
     ksize, cout = w.shape[0], w.shape[-1]
     assert ksize in (1, 3) and w.shape[1] == ksize
     itemsize = jnp.dtype(x.dtype).itemsize
-    # EXACTLY the conv_gn_fits working set (a fit-approved shape must never
-    # die on this limit), capped at the physical budget
-    vmem_limit = min(
-        _conv_gn_bytes(hh, ww, cin, cout, itemsize, skip is not None, ksize,
-                       in_stats is not None),
-        110 * (1 << 20),
-    )
+    # compile against the full physical cap, NOT the byte-model estimate:
+    # conv_gn_fits (100M gate on _conv_gn_bytes) decides WHETHER to fuse,
+    # and giving Mosaic the whole budget means a model under-estimate can
+    # never turn a fit-approved shape into a scoped-VMEM compile error —
+    # the round-3f stem failure class (estimate 85M vs measured 143.84M)
+    vmem_limit = 110 * (1 << 20)
     kernel = functools.partial(
         _conv_kernel, hh=hh, ww=ww, cin=cin, cout=cout,
         has_skip=skip is not None, ksize=ksize,
@@ -227,29 +232,22 @@ def conv_stats_pallas(x, w, bias, skip=None, in_stats=None, gamma=None,
 
 def group_norm_silu_apply(x, ch_sum, ch_sq, gamma, beta, num_groups: int = 32,
                           eps: float = 1e-5, silu: bool = True):
-    """GroupNorm(+SiLU) from precomputed per-channel statistics.
+    """GroupNorm(+SiLU) from a producer epilogue's precomputed per-channel
+    statistics. Delegates to groupnorm.group_norm_silu_from_stats — the
+    single canonical stats->normalize fold — so the fused and unfused
+    paths can never diverge numerically. jnp on purpose: XLA fuses this
+    elementwise apply into consumers.
 
-    Identical group-fold / clamp / affine math to
-    groupnorm.group_norm_silu_reference — only the stats source differs
-    (they arrive from a producer's epilogue instead of a dedicated reduce).
-    jnp on purpose: XLA fuses this elementwise apply into consumers.
+    CONTRACT (see group_norm_silu_from_stats): the stats must cover
+    exactly x's per-sample spatial extent; callers null the stats thread
+    at every spatial resize (Down/Upsample) — a pair carried across one
+    would mis-normalize silently.
     """
-    shape = x.shape
-    b, c = shape[0], shape[-1]
-    cg = c // num_groups
-    x3 = x.reshape(b, -1, c)
-    n = x3.shape[1]
-    inv_count = 1.0 / (n * cg)
-    g_mean = jnp.sum(ch_sum.reshape(b, num_groups, cg), axis=-1) * inv_count
-    g_sq = jnp.sum(ch_sq.reshape(b, num_groups, cg), axis=-1) * inv_count
-    g_rstd = jax.lax.rsqrt(jnp.maximum(g_sq - g_mean**2, 0.0) + eps)
-    c_mean = jnp.repeat(g_mean, cg, axis=-1)[:, None, :]
-    c_rstd = jnp.repeat(g_rstd, cg, axis=-1)[:, None, :]
-    y = (x3.astype(jnp.float32) - c_mean) * c_rstd * gamma.astype(jnp.float32) \
-        + beta.astype(jnp.float32)
-    if silu:
-        y = y * jax.nn.sigmoid(y)
-    return y.reshape(shape).astype(x.dtype)
+    from .groupnorm import group_norm_silu_from_stats
+
+    return group_norm_silu_from_stats(x, ch_sum, ch_sq, gamma, beta,
+                                      num_groups=num_groups, eps=eps,
+                                      silu=silu)
 
 
 def _conv_stats_reference(x, w, bias, skip=None, in_stats=None, gamma=None,

@@ -200,19 +200,26 @@ def _gn_channel_stats_pallas(x3: jnp.ndarray, interpret: bool = False):
     return out[:, 0], out[:, 1]
 
 
-def group_norm_silu_stats_fused(
-    x, gamma, beta, num_groups: int = 32, eps: float = 1e-5, silu: bool = True,
-    interpret: bool = False,
-):
-    """GroupNorm(+SiLU) with Pallas single-pass statistics and jnp
-    normalize/affine/SiLU (so XLA fuses the apply into consumers)."""
+def group_norm_silu_from_stats(x, ch_sum, ch_sq, gamma, beta,
+                               num_groups: int = 32, eps: float = 1e-5,
+                               silu: bool = True):
+    """GroupNorm(+SiLU) from precomputed per-channel (sum, sum²) [B, C]
+    f32 pairs — THE canonical stats->normalize fold (group fold,
+    E[x²]−E[x]² clamp-at-0, eps inside the rsqrt, fp32 affine). Both the
+    Pallas stats-kernel path (group_norm_silu_stats_fused below) and the
+    conv-epilogue lever (ops/conv_gn.py group_norm_silu_apply) route
+    through this ONE implementation, so an oracle-driven numerics fix
+    cannot silently diverge the fused and unfused paths.
+
+    CONTRACT: the stats must cover exactly x's per-sample spatial extent —
+    the element count is derived from x's shape, so stats threaded across
+    any spatial resize would mis-normalize silently (callers null the
+    thread at every Down/Upsample)."""
     shape = x.shape
     b, c = shape[0], shape[-1]
-    assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
     cg = c // num_groups
     x3 = x.reshape(b, -1, c)
     n = x3.shape[1]
-    ch_sum, ch_sq = _gn_channel_stats_pallas(x3, interpret=interpret)
     inv_count = 1.0 / (n * cg)
     g_mean = jnp.sum(ch_sum.reshape(b, num_groups, cg), axis=-1) * inv_count
     g_sq = jnp.sum(ch_sq.reshape(b, num_groups, cg), axis=-1) * inv_count
@@ -224,6 +231,21 @@ def group_norm_silu_stats_fused(
     if silu:
         y = y * jax.nn.sigmoid(y)
     return y.reshape(shape).astype(x.dtype)
+
+
+def group_norm_silu_stats_fused(
+    x, gamma, beta, num_groups: int = 32, eps: float = 1e-5, silu: bool = True,
+    interpret: bool = False,
+):
+    """GroupNorm(+SiLU) with Pallas single-pass statistics and jnp
+    normalize/affine/SiLU (so XLA fuses the apply into consumers)."""
+    b, c = x.shape[0], x.shape[-1]
+    assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
+    ch_sum, ch_sq = _gn_channel_stats_pallas(x.reshape(b, -1, c),
+                                             interpret=interpret)
+    return group_norm_silu_from_stats(x, ch_sum, ch_sq, gamma, beta,
+                                      num_groups=num_groups, eps=eps,
+                                      silu=silu)
 
 
 def _gn_reference_bwd(num_groups, eps, silu, interpret, res, g):
