@@ -39,6 +39,10 @@ def main():
                     help="wrap the timed steps in jax.profiler.trace and "
                          "print the leaf-op attribution (profile_bench "
                          "parser) — the training-side device profile")
+    ap.add_argument("--mfu", action="store_true",
+                    help="XLA cost-analysis roofline of the compiled train "
+                         "step (FLOP + HBM-byte utilization vs v5e peaks, "
+                         "rated at the measured ms/step)")
     args = ap.parse_args()
 
     if args.cpu or args.tiny:
@@ -108,6 +112,20 @@ def main():
     print({"metric": "train_img_per_sec_per_chip",
            "value": round(img_s, 1), "unit": "img/s/chip",
            "ms_per_step": round(1000 * dt / args.steps, 1)})
+
+    if args.mfu:
+        # roofline of the exact compiled step (fwd+bwd+optimizer): cost
+        # analysis of the jitted function, rated at the measured step time
+        ca = step_fn.lower(state, batch, jax.random.fold_in(key, 0)) \
+                    .compile().cost_analysis()
+        fl, by = ca.get("flops", 0.0), ca.get("bytes accessed", 0.0)
+        t_step = dt / args.steps
+        peak_f, peak_b = 197e12, 819e9  # v5e bf16 FLOP/s, HBM B/s
+        print(f"# train step: {fl/1e9:.1f} GFLOP, {by/1e9:.2f} GB accessed")
+        print(f"# at {t_step*1e3:.1f} ms/step: FLOP util "
+              f"{100*fl/t_step/peak_f:.1f}%, HBM util "
+              f"{100*by/t_step/peak_b:.1f}% "
+              f"(SOL step: max({fl/peak_f*1e3:.1f}, {by/peak_b*1e3:.1f}) ms)")
 
     if args.profile:
         from profile_bench import newest_trace, parse_trace
