@@ -139,17 +139,17 @@ class TransformerTextEmbedder(nn.Module):
         )
         h = h + pos[None, :L]
         for i in range(self.n_layer):
-            ln1 = nn.LayerNorm(name=f"ln1_{i}")(h)
+            ln1 = nn.LayerNorm(epsilon=1e-5, name=f"ln1_{i}")(h)
             attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.n_heads, name=f"attn_{i}"
             )(ln1, ln1)
             h = h + attn
-            ln2 = nn.LayerNorm(name=f"ln2_{i}")(h)
+            ln2 = nn.LayerNorm(epsilon=1e-5, name=f"ln2_{i}")(h)
             ff = nn.Dense(4 * self.n_embed, name=f"ff_in_{i}")(ln2)
             ff = nn.gelu(ff)
             ff = nn.Dense(self.n_embed, name=f"ff_out_{i}")(ff)
             h = h + ff
-        return nn.LayerNorm(name="ln_f")(h)
+        return nn.LayerNorm(epsilon=1e-5, name="ln_f")(h)
 
     def encode(self, tokens, training: bool = False):
         return self(tokens, training)

@@ -305,7 +305,9 @@ class LatentDiffusion:
 
     def apply_model(self, params: Dict, x_t: jnp.ndarray, t: jnp.ndarray,
                     cond: Dict[str, Optional[jnp.ndarray]],
-                    cfg_pairs: bool = False) -> jnp.ndarray:
+                    cfg_pairs: bool = False,
+                    deterministic: bool = True,
+                    rng: Optional[jax.Array] = None) -> jnp.ndarray:
         """DiffusionWrapper routing (reference ddpm.py:1397-1423): channel-
         concat the concat streams, cross-attend to the context tokens.
 
@@ -320,8 +322,14 @@ class LatentDiffusion:
         if cond.get("concat") is not None:
             x_in = jnp.concatenate([x_t, cond["concat"]], axis=-1)
         ctx = cond.get("crossattn")
+        # deterministic=False activates the UNet's configured dropout (the
+        # reference trains with it when unet_config sets dropout > 0); the
+        # rng feeds flax's 'dropout' stream (training_loss supplies it)
+        rngs = ({"dropout": rng}
+                if (not deterministic and rng is not None) else None)
         unet = lambda xi, ti, ci, **kw: self.unet.apply(
-            {"params": params["unet"]}, xi, ti, ci, **kw
+            {"params": params["unet"]}, xi, ti, ci,
+            deterministic=deterministic, rngs=rngs, **kw
         )
         if cfg_pairs:
             # CFG batch-pair dedup (DSML_CFG_DEDUP): x_t / t / cond["concat"]
@@ -350,7 +358,7 @@ class LatentDiffusion:
 
     def training_loss(self, params: Dict, batch: Dict, rng: jax.Array):
         """shared_step → get_input → p_losses (reference ddpm.py:866-1045)."""
-        k_t, k_noise, k_cond, k_enc = jax.random.split(rng, 4)
+        k_t, k_noise, k_cond, k_enc, k_drop = jax.random.split(rng, 5)
         x = batch[self.first_stage_key]
         if self.first_stage_key == "latent":
             # cached latents (compute_latents) are already scale-factored —
@@ -364,7 +372,8 @@ class LatentDiffusion:
         t = jax.random.randint(k_t, (b,), 0, self.schedule.num_timesteps)
         noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
         x_t = q_sample(self.schedule, z, t, noise)
-        eps = self.apply_model(params, x_t, t, cond)
+        eps = self.apply_model(params, x_t, t, cond,
+                               deterministic=False, rng=k_drop)
         loss, aux = p_losses(
             self.schedule, eps, z, noise, t,
             parameterization=self.parameterization,

@@ -198,7 +198,8 @@ class ResBlock(nn.Module):
             k, bconv = _ConvParams(self.out_channels, name="in_conv")(
                 h.shape[-1]
             )
-            bias_vec = (bconv[None, :].astype(jnp.float32)
+            bias_vec = (_per_batch_bias(bconv, emb_out.shape[0],
+                                        self.out_channels)
                         + emb_out.astype(jnp.float32))
             gn_kw = (dict(in_stats=in_stats, gamma=g1, beta=b1)
                      if fold_in else {})
@@ -416,7 +417,10 @@ class GEGLUFeedForward(nn.Module):
         inner = dim * self.mult
         proj = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         a, gate = jnp.split(proj, 2, axis=-1)
-        h = a * nn.gelu(gate)
+        # exact erf GELU: the reference's F.gelu (attention.py:44) is the
+        # erf form, and flax's default is the tanh approximation — for
+        # trained gate magnitudes the two differ by up to ~1e-3/activation
+        h = a * nn.gelu(gate, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
 
@@ -429,7 +433,10 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
-        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
+        # torch nn.LayerNorm default eps (reference attention.py:203-205);
+        # flax defaults to 1e-6, which drifts low-variance token rows
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                       name=name)
         x = CrossAttention(
             self.heads, self.dim_head, self.dropout, self.dtype, name="attn1"
         )(ln("norm1")(x), None, deterministic) + x
@@ -522,15 +529,14 @@ class SpatialTransformer(nn.Module):
                 name=f"block_{d}",
             )(x, context, deterministic)
         x = x.reshape(b, h, w, inner)
-        epi = _gn_epilogue_mode(full=True)
-        if epi is not None:
+        if epi_in is not None:
             # fused proj_out (1x1) + residual, stats in the epilogue for the
             # next GroupNorm consumer (ops/conv_gn.py)
             k, b2 = _ConvParams(c, 1, nn.initializers.zeros,
                                 nn.initializers.zeros, name="proj_out")(inner)
             out, s1, s2 = conv_stats(
                 x, k.astype(self.dtype), _per_batch_bias(b2, b, c),
-                skip=x_in, interpret=epi == "interpret",
+                skip=x_in, interpret=epi_in == "interpret",
             )
             return out, (s1, s2)
         x = nn.Conv(

@@ -127,3 +127,59 @@ def test_data_parallel_8way_mesh_step():
     # params stay replicated (no divergence across the mesh)
     w = jax.tree.leaves(new_state.params["unet"])[0]
     assert np.isfinite(np.asarray(w)).all()
+
+
+def test_unet_dropout_active_in_training_loss():
+    """A configured unet dropout must actually fire during training_loss
+    (deterministic=False + a 'dropout' rng reaches the UNet): two different
+    outer rngs give different losses even with IDENTICAL t/noise draws —
+    and eval/sampling (apply_model default) stays deterministic."""
+    import copy
+
+    cfg = yaml.safe_load(TINY_MEAD_CFG)
+    cfg = copy.deepcopy(cfg)
+    cfg["model"]["params"]["unet_config"]["params"]["dropout"] = 0.5
+    ldm = build_model(cfg["model"])
+    batch = {
+        "image": jnp.ones((2, 16, 16, 3)) * 0.1,
+        "masked_image": jnp.zeros((2, 16, 16, 3)),
+        "identity": jnp.zeros((2, 16, 16, 3)),
+        "class_label": jnp.zeros((2,), jnp.int32),
+        "audio": jnp.zeros((2, 5, 32)),
+    }
+    params = ldm.init_params(jax.random.PRNGKey(0), batch)
+    # EVERY residual/output conv is zero-init at random init (reference
+    # zero_module), which makes the whole untrained UNet an identity chain
+    # whose dropout sites all feed zero convs — architecturally inert until
+    # trained. Randomize every zero kernel so the probe can see the masks.
+    def wake(tree, key):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                key = wake(v, key)
+            elif k == "kernel" and float(jnp.abs(v).max()) == 0.0:
+                key, sub = jax.random.split(key)
+                tree[k] = jax.random.normal(sub, v.shape) * 0.1
+        return key
+
+    wake(params["unet"], jax.random.PRNGKey(9))
+
+    # isolate the dropout stream: same t/noise/cond keys, different k_drop.
+    # training_loss splits rng into 5 keys with k_drop last — drive
+    # apply_model directly so only the dropout key varies. Inputs must be
+    # NON-constant: GroupNorm of a constant field is exactly zero at init
+    # (beta=0), and dropout masks of zeros are invisible.
+    cond = ldm.encode_conditioning(params, batch, training=False)
+    t = jnp.array([3, 7], jnp.int32)
+    x_t = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 3))
+
+    e1 = ldm.apply_model(params, x_t, t, cond, deterministic=False,
+                         rng=jax.random.PRNGKey(1))
+    e2 = ldm.apply_model(params, x_t, t, cond, deterministic=False,
+                         rng=jax.random.PRNGKey(2))
+    assert np.abs(np.asarray(e1) - np.asarray(e2)).max() > 1e-6, \
+        "dropout rng had no effect — the mask is inert in training"
+
+    # eval path (default deterministic=True) is rng-free and repeatable
+    d1 = ldm.apply_model(params, x_t, t, cond)
+    d2 = ldm.apply_model(params, x_t, t, cond)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
