@@ -134,6 +134,9 @@ class Trainer:
         )
         # Lightning semantics: int = batch count, float = fraction of batches
         self.limit_val_batches = trainer_cfg.get("limit_val_batches")
+        # test has its OWN limit (Lightning limit_test_batches, default full
+        # split) — the val limit must not silently truncate test metrics
+        self.limit_test_batches = trainer_cfg.get("limit_test_batches")
         # reference ImageLogger callback config (main.py:614-624):
         # lightning.callbacks.image_logger.params.{batch_frequency,max_images}
         il = self.lightning_cfg.get("callbacks", {}).get(
@@ -291,11 +294,14 @@ class Trainer:
         ckdir = os.path.join(self.logdir, "checkpoints")
         found = []
         for name in os.listdir(ckdir) if os.path.isdir(ckdir) else []:
-            if name.startswith("step=") and "=" in name.rsplit("-", 1)[-1]:
-                try:
-                    found.append((float(name.rsplit("=", 1)[1]), name))
-                except ValueError:
-                    continue
+            # "step=NNNNNNNN-<monitor>=<score>"; the score is everything
+            # after the LAST '=' so negative scores ("...=-0.123") parse too
+            if not (name.startswith("step=") and name.count("=") >= 2):
+                continue
+            try:
+                found.append((float(name.rsplit("=", 1)[1]), name))
+            except ValueError:
+                continue
         self._topk = sorted(
             found, reverse=(self.monitor_mode == "max")
         )[: self.save_top_k]
@@ -307,9 +313,11 @@ class Trainer:
         ckptr = self._checkpointer()
         try:
             self._state = ckptr.restore(path, self._state)
-        except Exception:
-            # legacy layout (round 1): ema_params shadowed the FULL tree;
-            # restore with a full-tree template, then strip to trainable groups
+        except (ValueError, KeyError, TypeError):
+            # tree-structure mismatch only — the legacy layout (round 1):
+            # ema_params shadowed the FULL tree; restore with a full-tree
+            # template, then strip to trainable groups. Other failure modes
+            # (missing/corrupt checkpoint, IO errors) propagate unmasked.
             legacy = self._state.replace(
                 ema_params=jax.tree.map(jnp.copy, self._state.params)
             )
@@ -325,8 +333,12 @@ class Trainer:
         (reference main.py:588-599)."""
         from .checkpointing import save_topk
 
+        # '/'-bearing monitors (e.g. 'val/loss_simple_ema') must not create
+        # nested checkpoint dirs — eviction rmtrees the leaf and the resume
+        # rebuild parses flat names
+        safe_monitor = monitor.replace("/", "_")
         save_topk(self._topk, self.save_top_k, score,
-                  f"step={step:08d}-{monitor}={score:.5f}",
+                  f"step={step:08d}-{safe_monitor}={score:.5f}",
                   self.save_checkpoint,
                   os.path.join(self.logdir, "checkpoints"),
                   wait_fn=self.wait_for_checkpoints,
@@ -461,14 +473,19 @@ class Trainer:
         the main process materializes and writes the grids — the reference's
         rank_zero_only ImageLogger semantics (main.py:318-329)."""
         b = _to_jnp_batch(batch)
-        if self._log_images_fn is None:
-            self._log_images_fn = self._make_log_images_fn(n, ddim_steps)
+        # cache one jitted program per (n, ddim_steps) — a second call with
+        # different args must not silently reuse the first program's grids
+        if not isinstance(self._log_images_fn, dict):
+            self._log_images_fn = {}
+        fn = self._log_images_fn.get((n, ddim_steps))
+        if fn is None:
+            fn = self._log_images_fn[(n, ddim_steps)] = \
+                self._make_log_images_fn(n, ddim_steps)
         multihost = jax.process_count() > 1
-        if multihost:
-            b = shard_batch(self.mesh, b)
-        grids = self._log_images_fn(
-            self._state.ema_full(), b, jax.random.PRNGKey(step)
-        )
+        # data-axis sharding on every device entry point (matches the train
+        # and validate paths; single-process multi-device included)
+        b = shard_batch(self.mesh, b)
+        grids = fn(self._state.ema_full(), b, jax.random.PRNGKey(step))
         if multihost:
             from jax.experimental import multihost_utils
 
@@ -492,22 +509,26 @@ class Trainer:
 
     # ---------- loops ----------
 
-    def _resolve_val_batches(self, max_batches, data) -> Optional[int]:
-        """CLI arg wins; else lightning.trainer.limit_val_batches (int =
-        count, float = fraction, Lightning semantics)."""
+    def _resolve_val_batches(self, max_batches, data, lim=None) -> Optional[int]:
+        """CLI arg wins; else the given limit (default
+        lightning.trainer.limit_val_batches; int = count, float = fraction,
+        0/0.0 = skip the split entirely — Lightning semantics)."""
         if max_batches is not None:
             return max_batches
-        lim = self.limit_val_batches
+        if lim is None:
+            lim = self.limit_val_batches
         if lim is None:
             return None
+        if lim == 0:  # both 0 and 0.0 mean "disable", not "one batch"
+            return 0
         if isinstance(lim, float) and lim <= 1.0:
             return max(1, int(lim * len(data)))
         return int(lim)
 
     def validate(self, rng: jax.Array, max_batches: Optional[int] = None,
-                 data=None) -> Dict:
+                 data=None, limit=None) -> Dict:
         data = data if data is not None else self.val_data
-        max_batches = self._resolve_val_batches(max_batches, data)
+        max_batches = self._resolve_val_batches(max_batches, data, lim=limit)
         # the loader yields host-local slices, so the static shape to pad to
         # is the PER-PROCESS batch (comparing against the global batch_size
         # would misclassify every batch as ragged under multi-process)
@@ -543,10 +564,16 @@ class Trainer:
         return {k: v / max(n, 1) for k, v in sums.items()}
 
     def test(self, rng: Optional[jax.Array] = None) -> Optional[Dict]:
-        """Evaluate the test split (reference trainer.test, main.py:735-736)."""
+        """Evaluate the test split (reference trainer.test, main.py:735-736).
+        Uses limit_test_batches (default: the FULL split) — the val limit
+        must not silently truncate the reported test metrics."""
         if self.test_data is None:
             return None
-        metrics = self.validate(rng or jax.random.PRNGKey(0), data=self.test_data)
+        metrics = self.validate(rng or jax.random.PRNGKey(0),
+                                data=self.test_data,
+                                limit=(self.limit_test_batches
+                                       if self.limit_test_batches is not None
+                                       else 1.0))
         self.log_metrics(metrics, int(self._state.step), split="test")
         return metrics
 
@@ -587,20 +614,45 @@ class Trainer:
         self.wait_for_checkpoints()
         return self._state
 
+    def _hit_max_steps(self, step: int) -> bool:
+        """max_steps counts OPTIMIZER steps (Lightning global_step): under
+        accumulate_grad_batches > 1 optax.MultiSteps applies an update every
+        accum-th micro-batch, so the micro-step counter divides down."""
+        if self.max_steps is None:
+            return False
+        return step // max(1, self.grad_accum) >= self.max_steps
+
     def _fit_epochs(self, epochs, log_every, image_every, val_max_batches,
                     rng, monitor, profiler):
-        for epoch in range(epochs):
+        # resume support: a restored state re-enters at the epoch its step
+        # count implies (Lightning resumes from the saved epoch; restarting
+        # at 0 would train max_epochs ADDITIONAL epochs). Mid-epoch resumes
+        # round down and replay the partial epoch.
+        start_epoch = 0
+        step = None  # host-side mirror of state.step — no per-iter sync
+        if self._state is not None:
+            step = int(self._state.step)
+            try:
+                start_epoch = min(step // max(1, len(self.train_data)),
+                                  max(epochs - 1, 0))
+            except TypeError:  # unsized iterable loader
+                start_epoch = 0
+        for epoch in range(start_epoch, epochs):
             t_epoch = time.time()
             for batch in self.train_data:
                 jb = _to_jnp_batch(batch)
                 if self._state is None:
                     self.init_state(jb)
+                if step is None:
+                    step = int(self._state.step)
                 sb = shard_batch(self.mesh, jb)
-                step_next = int(self._state.step) + 1
                 if profiler is not None:
-                    profiler.maybe_start(step_next)
+                    profiler.maybe_start(step + 1)
                 self._state, metrics = self._train_step(self._state, sb, rng)
-                step = int(self._state.step)
+                # the jitted step increments state.step by exactly 1 —
+                # mirror it host-side instead of int(state.step), which
+                # would block dispatch on device completion every iteration
+                step += 1
                 if profiler is not None:
                     profiler.maybe_stop(step)
                 if step % log_every == 0:
@@ -610,9 +662,7 @@ class Trainer:
                     # reference ImageLogger (main.py:331-358) — not a frozen
                     # first batch
                     self.log_images(batch, step, n=self.log_max_images)
-                if self._should_stop or (
-                    self.max_steps is not None and step >= self.max_steps
-                ):
+                if self._should_stop or self._hit_max_steps(step):
                     break
 
             epoch_s = time.time() - t_epoch
@@ -631,7 +681,5 @@ class Trainer:
                         float(score), monitor, int(self._state.step)
                     )
             self.save_checkpoint("last")
-            if self._should_stop or (
-                self.max_steps is not None and int(self._state.step) >= self.max_steps
-            ):
+            if self._should_stop or self._hit_max_steps(step or 0):
                 break

@@ -260,3 +260,87 @@ def test_save_topk_mode_max():
     for s in (1.0, 3.0, 2.0, 0.5):
         save_topk(topk2, 2, s, f"n{s}", saved2.append, "/nonexistent")
     assert [s for s, _ in topk2] == [0.5, 1.0]
+
+
+def test_max_steps_counts_optimizer_steps_under_accum(tmp_path):
+    """Lightning's max_steps counts OPTIMIZER steps (global_step): with
+    accumulate_grad_batches=2, max_steps=2 must run 4 micro-batches (the
+    micro-step counter divides down), not stop after 2."""
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = _config()
+    cfg["lightning"] = {"trainer": {
+        "max_steps": 2, "accumulate_grad_batches": 2, "limit_val_batches": 0,
+    }}
+    trainer = Trainer(cfg, str(tmp_path / "run"), seed=0)
+    state = trainer.fit(epochs=10, log_every=100)
+    assert int(state.step) == 4  # 2 optimizer steps x accum 2 micro-batches
+
+
+def test_limit_test_batches_independent_of_val_limit(tmp_path):
+    """limit_val_batches must not truncate the TEST split (Lightning has a
+    separate limit_test_batches, default = the full split), and 0/0.0
+    means 'disable the split', not 'one batch'."""
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = _config()
+    cfg["data"]["params"]["test"] = cfg["data"]["params"]["validation"]
+    cfg["lightning"] = {"trainer": {"limit_val_batches": 1}}
+    trainer = Trainer(cfg, str(tmp_path / "run"), seed=0, max_steps=1)
+    trainer.fit(epochs=1, log_every=100, val_max_batches=0)
+
+    # val resolves to the YAML limit; test resolves to the FULL split
+    assert trainer._resolve_val_batches(None, trainer.test_data) == 1
+    seen = {}
+    orig = trainer.validate
+
+    def spy(rng, max_batches=None, data=None, limit=None):
+        seen["limit"] = limit
+        return orig(rng, max_batches=max_batches, data=data, limit=limit)
+
+    trainer.validate = spy
+    trainer.test()
+    assert seen["limit"] == 1.0  # full split, not the val limit
+    assert trainer._resolve_val_batches(
+        None, trainer.test_data, lim=seen["limit"]) == len(trainer.test_data)
+
+    # 0 and 0.0 both disable instead of running one noisy batch
+    assert trainer._resolve_val_batches(None, trainer.val_data, lim=0) == 0
+    assert trainer._resolve_val_batches(None, trainer.val_data, lim=0.0) == 0
+
+
+def test_topk_names_sanitized_and_negative_scores_parse(tmp_path):
+    """'/'-bearing monitors embed flat in checkpoint dir names, and the
+    resume rebuild parses negative scores."""
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = _config()
+    trainer = Trainer(cfg, str(tmp_path / "run"), seed=0, max_steps=1)
+    trainer.fit(epochs=1, log_every=100, val_max_batches=0)
+    trainer.save_topk_checkpoint(-0.5, "val/loss_simple_ema", step=7)
+    trainer.wait_for_checkpoints()
+    names = os.listdir(tmp_path / "run" / "checkpoints")
+    assert "step=00000007-val_loss_simple_ema=-0.50000" in names
+    # rebuild sees the negative-score checkpoint
+    trainer._topk = []
+    trainer._rebuild_topk_from_disk()
+    assert any(s == -0.5 for s, _ in trainer._topk)
+
+
+def test_resume_continues_epoch_count(tmp_path):
+    """A restored run re-enters at the epoch its step count implies instead
+    of training max_epochs ADDITIONAL epochs."""
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = _config(batch=8)  # len 16 / bs 8 = 2 steps per epoch
+    trainer = Trainer(cfg, str(tmp_path / "run"), seed=0)
+    trainer.fit(epochs=2, log_every=100, val_max_batches=0)  # 4 steps
+    trainer.save_checkpoint("last", wait=True)
+
+    t2 = Trainer(cfg, str(tmp_path / "run"), seed=0)
+    t2.init_state(next(iter(t2.train_data)))
+    t2.restore_checkpoint("last")
+    assert int(t2._state.step) == 4
+    state = t2.fit(epochs=3, log_every=100, val_max_batches=0)
+    # epochs 0-1 already done -> only epoch 2 runs: 2 more steps, not 6
+    assert int(state.step) == 6
