@@ -336,7 +336,33 @@ class CrossAttention(nn.Module):
 
         inner = self.heads * self.dim_head
         q_dim = x.shape[-1]
+        is_cross = context is not None
         context = x if context is None else context
+        if (is_cross and context.shape[1] == 1
+                and os.environ.get("DSML_XATTN_1TOK", "0") == "1"):
+            # Single-token cross-attention is algebraically a broadcast: the
+            # softmax over one key is identically 1 (exp(z)/exp(z)) whatever
+            # the logit, so P@V == V for every query row and the Q/K towers
+            # are mathematically dead — d(out)/d(W_q) = d(out)/d(W_k) = 0
+            # exactly (the softmax Jacobian of a size-1 axis is zero), which
+            # is also what the stock path's gradients evaluate to. Both
+            # shipped families ride this shape: the talking-face c12 context
+            # is ONE 1024-d token (class ⊕ audio, SURVEY §2.3 /
+            # mead-128-ldm-f4.yaml:68-81) and the face-reenactment class
+            # context is ONE 512-d token. The whole block collapses to two
+            # [B, 1, ·] matmuls + a broadcast (to_out is row-linear, so
+            # to_out(tile(v)) == tile(to_out(v))), eliminating the N-wide
+            # to_q and to_out matmuls, the QK/softmax/PV chain, and — via
+            # DCE — the norm2 LayerNorm whose output only fed to_q.
+            # Exact-parity + zero-grad tests: tests/test_ops.py. Kill
+            # switch: DSML_XATTN_1TOK=0.
+            _ProjParams(inner, name="to_q")(q_dim)  # params only: ckpt/tree
+            _ProjParams(inner, name="to_k")(context.shape[-1])  # parity
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_v")(context)
+            out = nn.Dense(q_dim, dtype=self.dtype, name="to_out")(v)
+            out = jnp.broadcast_to(out, (x.shape[0], x.shape[1], q_dim))
+            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
         # DSML_ATTN_BHND=1: produce/consume the head axis inside the
         # projection matmuls (einsum bnc,chd->bhnd) instead of explicit
         # reshape+transpose copies around the kernel — identical params and

@@ -703,6 +703,70 @@ def test_cross_attention_packed_variant_matches(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_cross_attention_single_token_shortcut(monkeypatch):
+    """DSML_XATTN_1TOK (default on): one-token cross-attention is exactly a
+    broadcast of to_out(to_v(context)) — softmax over a single key is
+    identically 1, so the Q/K towers are dead and their gradients are zero.
+    The shortcut must match the stock path bitwise-closely in fp32, keep the
+    param tree identical (to_q/to_k kernels still exist for checkpoints),
+    and reproduce the stock gradients, including the exactly-zero dQ/dK."""
+    from dsml_thesis_tpu.models.unet import CrossAttention
+
+    attn = CrossAttention(heads=4, dim_head=8)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 24).astype(np.float32))
+    ctx1 = jnp.asarray(np.random.RandomState(1).randn(2, 1, 24).astype(np.float32))
+
+    monkeypatch.setenv("DSML_XATTN_1TOK", "0")
+    params = attn.init(jax.random.PRNGKey(0), x, ctx1)["params"]
+    base = attn.apply({"params": params}, x, ctx1)
+
+    monkeypatch.setenv("DSML_XATTN_1TOK", "1")
+    params_s = attn.init(jax.random.PRNGKey(0), x, ctx1)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_s))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params_s)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out = attn.apply({"params": params}, x, ctx1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+
+    # gradients: identical for the live towers, exactly zero for to_q/to_k
+    def loss(p, env):
+        monkeypatch.setenv("DSML_XATTN_1TOK", env)
+        return jnp.sum(attn.apply({"params": p}, x, ctx1) ** 2)
+
+    g_base = jax.grad(lambda p: loss(p, "0"))(params)
+    g_fast = jax.grad(lambda p: loss(p, "1"))(params)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_base),
+        jax.tree_util.tree_leaves_with_path(g_fast),
+    ):
+        name = jax.tree_util.keystr(pa)
+        # to_out/to_v grads accumulate over N in a different order on the
+        # two paths (sum-then-dot vs dot-then-sum) — rounding-level only
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-5,
+            err_msg=name)
+        if "to_q" in name or "to_k" in name:
+            np.testing.assert_array_equal(np.asarray(a), np.zeros_like(a),
+                                          err_msg=f"{name} stock grad != 0")
+
+    # multi-token contexts must NOT take the shortcut (different math)
+    ctx5 = jnp.asarray(np.random.RandomState(2).randn(2, 5, 24).astype(np.float32))
+    params5 = attn.init(jax.random.PRNGKey(0), x, ctx5)["params"]
+    monkeypatch.setenv("DSML_XATTN_1TOK", "0")
+    base5 = attn.apply({"params": params5}, x, ctx5)
+    monkeypatch.setenv("DSML_XATTN_1TOK", "1")
+    out5 = attn.apply({"params": params5}, x, ctx5)
+    np.testing.assert_allclose(np.asarray(out5), np.asarray(base5),
+                               rtol=1e-6, atol=1e-6)
+    # self-attention ignores the flag entirely (context is None)
+    np.testing.assert_allclose(
+        np.asarray(attn.apply({"params": params5}, x)),
+        np.asarray(attn.apply({"params": params5}, x)), rtol=0, atol=0)
+
+
 @pytest.mark.parametrize("nq,nk", [(128, 128), (128, 300), (96, 257)])
 def test_streaming_attention_matches_reference(nq, nk):
     """Online-softmax streaming kernel == jnp softmax attention, including

@@ -173,6 +173,57 @@ def test_cfg_dedup_matches_stock_pipeline(monkeypatch):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_xattn_1tok_matches_stock_pipeline(monkeypatch):
+    """DSML_XATTN_1TOK=1 (single-token cross-attention as an exact broadcast,
+    models/unet.py CrossAttention) reproduces the stock pipeline's frames —
+    the MEAD c12 context is one token, so every cross-attention block in the
+    whole 50-step chain rides the shortcut. Also checked composed with the
+    CFG pair dedup (both default-path levers must stack exactly)."""
+    import sys
+    import yaml
+
+    sys.path.insert(0, "tests")
+    from test_ldm import TINY_MEAD_CFG
+
+    from dsml_thesis_tpu.config import build_model
+    from dsml_thesis_tpu.diffusion import make_video_pipeline
+
+    cfg = yaml.safe_load(TINY_MEAD_CFG)
+    ldm = build_model(cfg["model"])
+    B, F, w = 2, 3, 2
+    init_batch = {
+        "image": jnp.zeros((B, 16, 16, 3)),
+        "masked_image": jnp.zeros((B, 16, 16, 3)),
+        "identity": jnp.zeros((B, 16, 16, 3)),
+        "class_label": jnp.array([1, 5]),
+        "audio": jnp.zeros((B, 5, 32)),
+    }
+    params = ldm.init_params(jax.random.PRNGKey(0), init_batch)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    masked = jax.random.normal(ks[0], (B, F, 16, 16, 3)) * 0.3
+    audio = jax.random.normal(ks[1], (B, F + w, 32))
+    identity = jax.random.normal(ks[2], (B, 16, 16, 3)) * 0.3
+    labels = jnp.array([1, 5], jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    ddim = make_ddim_schedule(ldm.schedule, 4, eta=0.0)
+    pipe = make_video_pipeline(ldm, ddim, w, guidance_scale=2.0)
+
+    monkeypatch.setenv("DSML_XATTN_1TOK", "0")
+    base = jax.jit(pipe)(params, masked, audio, identity, labels, key)
+    monkeypatch.setenv("DSML_XATTN_1TOK", "1")
+    fast = jax.jit(make_video_pipeline(ldm, ddim, w, guidance_scale=2.0))(
+        params, masked, audio, identity, labels, key)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
+
+    monkeypatch.setenv("DSML_CFG_DEDUP", "0")
+    no_dedup = jax.jit(make_video_pipeline(ldm, ddim, w, guidance_scale=2.0))(
+        params, masked, audio, identity, labels, key)
+    np.testing.assert_allclose(np.asarray(no_dedup), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_unet_cfg_pairs_matches_batch_doubling():
     """UNetModel(cfg_pairs=True) == the stock call on the tiled pair, for a
     UNet whose first attention sits one level down (a real shared prefix)."""
