@@ -339,7 +339,7 @@ class CrossAttention(nn.Module):
         is_cross = context is not None
         context = x if context is None else context
         if (is_cross and context.shape[1] == 1
-                and os.environ.get("DSML_XATTN_1TOK", "0") == "1"):
+                and os.environ.get("DSML_XATTN_1TOK", "1") != "0"):
             # Single-token cross-attention is algebraically a broadcast: the
             # softmax over one key is identically 1 (exp(z)/exp(z)) whatever
             # the logit, so P@V == V for every query row and the Q/K towers
