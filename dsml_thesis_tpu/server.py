@@ -1,0 +1,347 @@
+"""Micro-batching inference server for the talking-face pipeline.
+
+Production-serving front end over the compiled video pipeline
+(`diffusion.make_video_pipeline` or a `serving.load_exported` StableHLO
+artifact). The reference ships batch synthesis scripts only
+(talking_face/scripts/progressive_sampling_difftalk.py drives a fixed clip
+list); this is the online counterpart the deployment story needs: concurrent
+requests are collected into the pipeline's static batch tier and dispatched
+as ONE device program, so serving throughput rides the same compiled
+whole-clip program bench.py measures.
+
+Design (TPU/XLA-first):
+  - The pipeline is compiled once for a static (batch, frames, size, audio)
+    tier. Requests must match the per-clip shapes exactly (static shapes are
+    what make the one-program pipeline possible); only the BATCH axis is
+    elastic — a ragged final group is padded by repeating rows, and padded
+    rows are dropped on the way out (same scheme as
+    scripts/streaming_pipeline.py).
+  - One worker thread owns the device: TPU programs serialize anyway, so a
+    single dispatcher keeps ordering deterministic and the queue depth
+    observable. HTTP handler threads block on a per-request event.
+  - Randomness is deterministic and auditable: batch i runs with
+    `batch_key(seed, i)` (a fold_in chain), never wall-clock entropy.
+
+Protocol (stdlib-only, numpy .npz both directions):
+  POST /synthesize   body = npz{masked_frames[F,H,W,3], audio[T,D],
+                               identity[H,W,3], class_label scalar int}
+                     reply = npz{frames[F,H,W,3] float32 in [-1, 1]}
+  GET  /healthz      JSON liveness + tier description
+  GET  /stats        JSON counters (requests, batches, occupancy, latency)
+"""
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "MicroBatcher",
+    "PipelineServer",
+    "batch_key",
+    "make_pipeline_runner",
+]
+
+
+def batch_key(seed: int, batch_index: int):
+    """The PRNG key batch `batch_index` runs with (deterministic serving)."""
+    import jax
+
+    return jax.random.fold_in(jax.random.PRNGKey(seed), batch_index)
+
+
+@dataclass
+class _Pending:
+    inputs: Dict[str, np.ndarray]
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    error: Optional[Exception] = None
+    enqueued_at: float = field(default_factory=time.monotonic)
+
+
+class MicroBatcher:
+    """Collects concurrent single-clip requests into device-batch calls.
+
+    `run_batch(stacked: dict[str, np.ndarray], batch_index: int)` receives
+    arrays whose leading axis is exactly `batch_size` (ragged groups are
+    padded by repeating the final row) and returns an array whose leading
+    axis is `batch_size`; row j of the output answers request j.
+
+    The worker dispatches as soon as the batch is full, or `max_wait_ms`
+    after the FIRST pending request — latency is bounded even at occupancy 1.
+    """
+
+    def __init__(self, run_batch: Callable[[Dict[str, np.ndarray], int], np.ndarray],
+                 batch_size: int, max_wait_ms: float = 50.0):
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        self.run_batch = run_batch
+        self.batch_size = batch_size
+        self.max_wait = max_wait_ms / 1e3
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        # counters (read under _lock via stats())
+        self.n_requests = 0
+        self.n_batches = 0
+        self.n_rows_real = 0
+        self._latencies: List[float] = []  # bounded: last 512 request latencies
+        self._worker = threading.Thread(target=self._loop, daemon=True,
+                                        name="microbatcher")
+        self._worker.start()
+
+    # -- client side -------------------------------------------------------
+    def submit(self, inputs: Dict[str, np.ndarray],
+               timeout: Optional[float] = None) -> np.ndarray:
+        """Blocking: enqueue one clip, wait for its row of the batch output."""
+        if self._stop.is_set():
+            raise RuntimeError("MicroBatcher is shut down")
+        p = _Pending(inputs)
+        self._q.put(p)
+        if not p.done.wait(timeout):
+            raise TimeoutError("synthesis request timed out")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def shutdown(self):
+        self._stop.set()
+        self._worker.join(timeout=5.0)
+        # fail anything still queued rather than hanging its handler thread
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                break
+            p.error = RuntimeError("server shutting down")
+            p.done.set()
+
+    def stats(self) -> Dict[str, float]:
+        with self._lock:
+            lat = sorted(self._latencies)
+            occ = (self.n_rows_real / (self.n_batches * self.batch_size)
+                   if self.n_batches else 0.0)
+            pct = (lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]
+                   if lat else 0.0)
+            return {
+                "requests": self.n_requests,
+                "batches": self.n_batches,
+                "batch_size": self.batch_size,
+                "mean_occupancy": round(occ, 4),
+                "queue_depth": self._q.qsize(),
+                "latency_p50_s": round(pct(0.50), 4),
+                "latency_p95_s": round(pct(0.95), 4),
+            }
+
+    # -- worker side -------------------------------------------------------
+    def _collect(self) -> List[_Pending]:
+        """Block for the first request, then fill until full or deadline."""
+        try:
+            first = self._q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        group = [first]
+        deadline = time.monotonic() + self.max_wait
+        while len(group) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                group.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return group
+
+    def _loop(self):
+        batch_index = 0
+        while not self._stop.is_set():
+            group = self._collect()
+            if not group:
+                continue
+            n_real = len(group)
+            # pad the ragged tail by repeating the last row; padded rows are
+            # sliced off below, so they only cost device time, never results
+            rows = group + [group[-1]] * (self.batch_size - n_real)
+            stacked = {
+                k: np.stack([r.inputs[k] for r in rows])
+                for k in group[0].inputs
+            }
+            try:
+                out = np.asarray(self.run_batch(stacked, batch_index))
+                if out.shape[0] != self.batch_size:
+                    raise RuntimeError(
+                        f"run_batch returned leading axis {out.shape[0]}, "
+                        f"expected {self.batch_size}")
+                for j, p in enumerate(group):
+                    p.result = out[j]
+            except Exception as e:  # noqa: BLE001 — propagated per-request
+                for p in group:
+                    p.error = e
+            now = time.monotonic()
+            with self._lock:
+                self.n_requests += n_real
+                self.n_batches += 1
+                self.n_rows_real += n_real
+                self._latencies.extend(now - p.enqueued_at for p in group)
+                del self._latencies[:-512]
+            batch_index += 1
+            for p in group:
+                p.done.set()
+
+
+def make_pipeline_runner(pipeline_fn, params, seed: int = 0):
+    """Adapt a video pipeline into MicroBatcher's `run_batch` contract.
+
+    `pipeline_fn(params, masked_frames, audio, identity, class_label, key)`
+    is the `make_video_pipeline` / `Exported.call` signature; batch i uses
+    `batch_key(seed, i)` so any served frame is reproducible offline from
+    (seed, batch index, inputs).
+    """
+
+    def run_batch(stacked: Dict[str, np.ndarray], batch_index: int):
+        return pipeline_fn(
+            params,
+            stacked["masked_frames"],
+            stacked["audio"],
+            stacked["identity"],
+            stacked["class_label"].astype(np.int32),
+            batch_key(seed, batch_index),
+        )
+
+    return run_batch
+
+
+# ---------------------------------------------------------------------------
+# HTTP front end
+# ---------------------------------------------------------------------------
+
+_REQUIRED_FIELDS = ("masked_frames", "audio", "identity", "class_label")
+
+
+class PipelineServer:
+    """stdlib HTTP server wrapping a MicroBatcher.
+
+    `clip_shapes` maps each request field to its REQUIRED per-clip shape
+    (no batch axis); mismatches are a 400, not a crash — static-shape tiers
+    are part of the serving contract, and the error message says what the
+    tier expects.
+    """
+
+    def __init__(self, batcher: MicroBatcher,
+                 clip_shapes: Dict[str, Tuple[int, ...]],
+                 request_timeout_s: float = 600.0):
+        self.batcher = batcher
+        self.clip_shapes = dict(clip_shapes)
+        self.request_timeout_s = request_timeout_s
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    # -- request plumbing ---------------------------------------------------
+    def _validate(self, arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        missing = [k for k in _REQUIRED_FIELDS if k not in arrays]
+        if missing:
+            raise ValueError(f"missing npz fields: {missing}; "
+                             f"required: {list(_REQUIRED_FIELDS)}")
+        out = {}
+        for k in _REQUIRED_FIELDS:
+            a = np.asarray(arrays[k])
+            want = self.clip_shapes[k]
+            if tuple(a.shape) != tuple(want):
+                raise ValueError(
+                    f"field '{k}' has shape {tuple(a.shape)}; this server's "
+                    f"compiled tier requires {tuple(want)}")
+            out[k] = (a.astype(np.int32) if k == "class_label"
+                      else a.astype(np.float32))
+        return out
+
+    def handle_synthesize(self, body: bytes) -> bytes:
+        arrays = dict(np.load(io.BytesIO(body), allow_pickle=False))
+        inputs = self._validate(arrays)
+        frames = self.batcher.submit(inputs, timeout=self.request_timeout_s)
+        buf = io.BytesIO()
+        np.savez_compressed(buf, frames=np.asarray(frames, np.float32))
+        return buf.getvalue()
+
+    def health(self) -> Dict:
+        return {
+            "status": "ok",
+            "tier": {k: list(v) for k, v in self.clip_shapes.items()},
+            "batch_size": self.batcher.batch_size,
+        }
+
+    # -- lifecycle -----------------------------------------------------------
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def _reply(self, code: int, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _reply_json(self, code: int, obj):
+                self._reply(code, json.dumps(obj).encode(), "application/json")
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply_json(200, server.health())
+                elif self.path == "/stats":
+                    self._reply_json(200, server.batcher.stats())
+                else:
+                    self._reply_json(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/synthesize":
+                    self._reply_json(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = self.rfile.read(n)
+                    out = server.handle_synthesize(body)
+                except (ValueError, KeyError) as e:
+                    self._reply_json(400, {"error": str(e)})
+                except TimeoutError as e:
+                    self._reply_json(504, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001 — surfaced as 500
+                    self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
+                else:
+                    self._reply(200, out, "application/octet-stream")
+
+        return Handler
+
+    def start(self, host: str = "127.0.0.1", port: int = 8000) -> int:
+        """Start serving in a background thread; returns the bound port."""
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True, name="pipeline-http")
+        self._thread.start()
+        return self._httpd.server_address[1]
+
+    def serve_forever(self, host: str = "0.0.0.0", port: int = 8000):
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        try:
+            self._httpd.serve_forever()
+        finally:
+            self.batcher.shutdown()
+
+    def stop(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+        self.batcher.shutdown()
