@@ -196,22 +196,45 @@ class MicroBatcher:
                 p.done.set()
 
 
-def make_pipeline_runner(pipeline_fn, params, seed: int = 0):
+def make_pipeline_runner(pipeline_fn, params, seed: int = 0, mesh=None):
     """Adapt a video pipeline into MicroBatcher's `run_batch` contract.
 
     `pipeline_fn(params, masked_frames, audio, identity, class_label, key)`
     is the `make_video_pipeline` / `Exported.call` signature; batch i uses
     `batch_key(seed, i)` so any served frame is reproducible offline from
     (seed, batch index, inputs).
+
+    With `mesh` (a `parallel.make_mesh` data mesh), serving is data-parallel:
+    params replicate once at construction, every request batch is sharded
+    along axis 0, and XLA runs the per-clip-independent pipeline with no
+    cross-chip collectives — the batch tier must divide over the data axis.
     """
+    if mesh is not None:
+        from .parallel import replicate, shard_batch
+
+        params = replicate(mesh, params)
 
     def run_batch(stacked: Dict[str, np.ndarray], batch_index: int):
+        inputs = {
+            "masked_frames": stacked["masked_frames"],
+            "audio": stacked["audio"],
+            "identity": stacked["identity"],
+            "class_label": stacked["class_label"].astype(np.int32),
+        }
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            b = inputs["masked_frames"].shape[0]
+            if b % n_data:
+                raise ValueError(
+                    f"batch tier {b} does not divide over the mesh's "
+                    f"{n_data}-way data axis")
+            inputs = shard_batch(mesh, inputs)
         return pipeline_fn(
             params,
-            stacked["masked_frames"],
-            stacked["audio"],
-            stacked["identity"],
-            stacked["class_label"].astype(np.int32),
+            inputs["masked_frames"],
+            inputs["audio"],
+            inputs["identity"],
+            inputs["class_label"],
             batch_key(seed, batch_index),
         )
 

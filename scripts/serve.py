@@ -53,6 +53,10 @@ def main():
                          "batch_key(seed, i) — fully reproducible")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the compile warmup batch before binding")
+    ap.add_argument("--mesh", action="store_true",
+                    help="data-parallel serving: replicate params and shard "
+                         "each request batch over all devices (batch tier "
+                         "must divide the device count)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -98,7 +102,17 @@ def main():
         print(f"# serving live-jitted pipeline ({args.steps} DDIM steps, "
               f"cfg {args.scale})")
 
-    runner = make_pipeline_runner(pipeline_fn, params, seed=args.seed)
+    mesh = None
+    if args.mesh:
+        from dsml_thesis_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        if args.batch % mesh.shape["data"]:
+            ap.error(f"--batch {args.batch} must divide over the "
+                     f"{mesh.shape['data']}-device data mesh")
+        print(f"# data-parallel serving over {mesh.shape['data']} devices")
+    runner = make_pipeline_runner(pipeline_fn, params, seed=args.seed,
+                                  mesh=mesh)
     clip_shapes = {
         "masked_frames": (args.frames, args.size, args.size, 3),
         "audio": (audio_seq, adim),

@@ -217,6 +217,36 @@ def test_concurrent_requests_share_one_batch(served):
     assert ok_ab or ok_ba  # exact rows for whichever arrival order happened
 
 
+def test_mesh_data_parallel_serving_matches_unsharded(served):
+    """--mesh serving: the 8-device data-parallel runner is numerics-equal
+    to the single-device pipeline for the same batch arrangement + key."""
+    _, _, pipeline, params = served
+    from dsml_thesis_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    n_dev = mesh.shape["data"]
+    runner = make_pipeline_runner(pipeline, params, seed=5, mesh=mesh)
+    clip = _clip(np.random.RandomState(4))
+    stacked = {k: np.stack([v] * n_dev) for k, v in clip.items()}
+    out = np.asarray(runner(stacked, 0))
+
+    direct = pipeline(
+        params,
+        jnp.asarray(stacked["masked_frames"]),
+        jnp.asarray(stacked["audio"]),
+        jnp.asarray(stacked["identity"]),
+        jnp.asarray(stacked["class_label"], jnp.int32),
+        batch_key(5, 0),
+    )
+    assert out.shape == (n_dev, F, SIZE, SIZE, 3)
+    np.testing.assert_allclose(out, np.asarray(direct), atol=2e-4, rtol=1e-3)
+
+    # a tier that can't divide over the data axis is a clear error
+    bad = {k: np.stack([v] * (n_dev + 1)) for k, v in clip.items()}
+    with pytest.raises(ValueError, match="does not divide"):
+        runner(bad, 1)
+
+
 def test_shape_and_field_validation(served):
     _, base, _, _ = served
     clip = _clip(np.random.RandomState(3))
