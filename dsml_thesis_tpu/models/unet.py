@@ -23,6 +23,7 @@ use_spatial_transformer, transformer_depth, context_dim, dropout, ...).
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -86,8 +87,6 @@ def _gn_epilogue_mode(full: bool = False):
     full modes. On a >1-device mesh conv_stats shard_maps the kernel over
     the data axis itself (or falls back to the GSPMD-partitionable jnp
     spec), so no mesh gate is needed here."""
-    import os
-
     mode = os.environ.get("DSML_GN_EPILOGUE", "0")
     if mode not in ("1", "res", "interpret", "res-interpret"):
         return None
@@ -332,8 +331,6 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
-        import os
-
         inner = self.heads * self.dim_head
         q_dim = x.shape[-1]
         is_cross = context is not None
@@ -451,8 +448,6 @@ class GEGLUFeedForward(nn.Module):
         # the bf16 flagship defaults to tanh (PARITY.md documents the
         # divergence + the fidelity-gate PSNR) and DSML_GELU_EXACT=1 gives
         # the strict erf form for fp32 parity work.
-        import os
-
         exact = os.environ.get("DSML_GELU_EXACT", "0") == "1"
         h = a * nn.gelu(gate, approximate=not exact)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -500,8 +495,6 @@ class AttentionBlock(nn.Module):
         norm = norm.reshape(b, n, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(norm)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        import os
-
         # explicit opt-in only, under its OWN env var (default stays
         # split-head here, unlike CrossAttention): this block's q/k/v are
         # jnp.split views of one fused qkv projection — the layout pattern
@@ -679,10 +672,22 @@ class UNetModel(nn.Module):
             # independent, so tiling equals recomputing.
             assert y is None, "cfg_pairs with label_emb would diverge at emb"
             assert deterministic, "cfg_pairs requires deterministic (no dropout)"
-            assert context is not None and context.shape[0] == 2 * x.shape[0]
+            if self.use_spatial_transformer:
+                assert context is not None and context.shape[0] == 2 * x.shape[0]
+            else:
+                # AttentionBlock-only UNets never consume context; the
+                # not-diverged tail tiles the output instead, so a None (or
+                # pair-batched) context is the supported calling convention
+                assert context is None or context.shape[0] == 2 * x.shape[0]
         in_dtype = x.dtype
         x = x.astype(self.dtype)
         if context is not None:
+            if self.context_dim is not None and context.shape[-1] != self.context_dim:
+                raise ValueError(
+                    f"context feature width {context.shape[-1]} != configured "
+                    f"context_dim {self.context_dim} — to_k/to_v would lazily "
+                    "initialize to the wrong shape and only fail at "
+                    "checkpoint restore")
             context = context.astype(self.dtype)
 
         time_embed_dim = self.model_channels * 4
@@ -733,7 +738,12 @@ class UNetModel(nn.Module):
                 # consumes incoming stats in its norm; its Dense-param
                 # proj_out is not fused (config-dead for shipped YAMLs), so
                 # the chain breaks here and the next consumer falls back
-                return AttentionBlock(heads, self.dtype, name=name)(h, st), None
+                # the reference remats this block too (openaimodel.py:278
+                # AttentionBlock.forward wraps checkpoint()); no static args
+                # beyond self — x/in_stats are both traced
+                blk_cls = (nn.remat(AttentionBlock) if self.use_checkpoint
+                           else AttentionBlock)
+                return blk_cls(heads, self.dtype, name=name)(h, st), None
             return st_cls(
                 heads, dim_head, self.transformer_depth, self.dropout,
                 self.dtype, name=name,

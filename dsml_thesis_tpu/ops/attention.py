@@ -134,7 +134,13 @@ def _flash_flags(nk: int):
     pv_transpose = pv_transpose and defer_div
     nb_env = os.environ.get("DSML_FLASH_NORM_BOUND", "auto")
     norm_bound = (nk >= 2048) if nb_env == "auto" else nb_env == "1"
-    return defer_div, pv_transpose, norm_bound
+    # staged: software-pipelined head loop (packed kernel only) — emit head
+    # h's QK before head h-1's exp/PV so MXU and VPU work overlap under
+    # in-order issue. Bitwise-identical outputs; opt-in pending on-chip A/B.
+    st_env = os.environ.get("DSML_FLASH_STAGED", "0")
+    staged = ((nk >= 2048) if st_env == "auto" else st_env == "1")
+    staged = staged and defer_div
+    return defer_div, pv_transpose, norm_bound, staged
 
 
 def _packed_fwd_bytes(bq: int, nk: int, hd: int) -> int:
@@ -186,6 +192,61 @@ def attention_reference(q, k, v, scale=None):
     return out
 
 
+def _qk_stage(q, k, *, scale: float, norm_bound: bool):
+    """Stage 1 of the fused head: scores off the MXU (scale folded into Q in
+    the log2 domain) + the softmax shift. Returns ([Bq, Nk] fp32 sim, m)."""
+    c = jnp.asarray(scale * 1.4426950408889634, q.dtype)  # log2(e)
+    qc = q * c
+    sim = jax.lax.dot_general(
+        qc, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Bq, Nk] fp32, scaled, log2 domain
+    if norm_bound:
+        # Cauchy-Schwarz bound instead of the row-max pass — see
+        # _attend_one_head for the exactness/flush analysis
+        qn = jnp.sqrt(jnp.sum(qc.astype(jnp.float32) ** 2, axis=-1,
+                              keepdims=True))
+        kn = jnp.sqrt(jnp.max(jnp.sum(k.astype(jnp.float32) ** 2, axis=-1)))
+        m = qn * kn
+    else:
+        m = jnp.max(sim, axis=-1, keepdims=True)
+    return sim, m
+
+
+def _exp_stage(sim, m, dtype):
+    """Stage 2: the one VPU pass over the score matrix (sub + exp2 + cast)."""
+    return jnp.exp2(sim - m).astype(dtype)
+
+
+def _pv_stage(p, v, *, pv_transpose: bool, out_dtype):
+    """Stage 3 (defer-div form): P@V with the softmax denominator riding as
+    a ones column of V, then the [Bq, D]-sized normalize."""
+    d = v.shape[-1]
+    v1 = jnp.concatenate(
+        [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1
+    )  # [Nk, D+1]; the pad column costs nothing (lane tile is 128-wide)
+    if pv_transpose:
+        # [D+1, Bq] = V1^T @ P^T: contraction Nk (full 128 depth) AND
+        # output width Bq (full 128 lanes) — vs [Bq, Nk]@[Nk, D+1] whose
+        # 33-wide output uses 26% of the lanes; M=D+1 rows stream
+        out_t = jax.lax.dot_general(
+            v1, p, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = out_t.T  # [Bq, D+1] relayout in VMEM
+    else:
+        out = jnp.dot(p, v1, preferred_element_type=jnp.float32)
+    # guard: with norm_bound the shift can exceed the true row max by an
+    # unbounded margin; if the slack tops ~133 log2 units every p in the
+    # row flushes to zero (bf16 subnormal floor) and the deferred
+    # denominator is exactly 0 -> 0/0 NaN. Clamp so a pathological row
+    # degrades to ~0 output instead of poisoning the tensor. The row-max
+    # path guarantees denom >= 1 and never hits the clamp.
+    denom = jnp.maximum(out[:, d:d + 1], jnp.float32(1e-30))
+    return (out[:, :d] / denom).astype(out_dtype)
+
+
 def _attend_one_head(q, k, v, *, scale: float, defer_div: bool = True,
                      pv_transpose: bool = False, norm_bound: bool = False,
                      out_dtype=None):
@@ -203,62 +264,27 @@ def _attend_one_head(q, k, v, *, scale: float, defer_div: bool = True,
     scale-invariant, so normalizing after the cast is as accurate as before.
     """
     out_dtype = out_dtype or q.dtype
-    # fold the softmax scale into Q in the log2 domain BEFORE the matmul:
+    # scale folds into Q in the log2 domain BEFORE the matmul (_qk_stage):
     # the scores come off the MXU already scaled and exp2 replaces exp, so
     # the VPU never runs a separate multiply pass over the [Bq, Nk] matrix.
     # exp(s*scale - m) == exp2(s*scale*log2e - m') exactly (m' = row max of
     # the folded scores); bf16 rounding of q*c is scale-invariant, same
-    # relative error as bf16 q itself.
-    c = jnp.asarray(scale * 1.4426950408889634, q.dtype)  # log2(e)
-    qc = q * c
-    sim = jax.lax.dot_general(
-        qc, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Bq, Nk] fp32, scaled, log2 domain
-    if norm_bound:
-        # replace the O(Bq*Nk) row-max reduce with a Cauchy-Schwarz bound:
-        # |sim[i,j]| <= ||qc_i|| * max_j ||k_j||, computed in O(Bq*D + Nk*D).
-        # Softmax is shift-invariant and fp32 relative precision is
-        # scale-invariant, so any shift >= rowmax is exact up to flushing
-        # terms below ~2^-120 of the max — which standard softmax rounds
-        # away in the sum anyway. If the bound's slack over the true row max
-        # exceeds the bf16 exponent range (~133 log2 units, needs
-        # ||q||*||k|| ~ 2^130) the WHOLE row flushes; the denominator clamp
-        # below turns that into a ~0 output row instead of 0/0 = NaN.
-        qn = jnp.sqrt(jnp.sum(qc.astype(jnp.float32) ** 2, axis=-1,
-                              keepdims=True))
-        kn = jnp.sqrt(jnp.max(jnp.sum(k.astype(jnp.float32) ** 2, axis=-1)))
-        m = qn * kn
-    else:
-        m = jnp.max(sim, axis=-1, keepdims=True)
-    p = jnp.exp2(sim - m)
+    # relative error as bf16 q itself. With norm_bound the row-max pass is
+    # replaced by a Cauchy-Schwarz bound: |sim[i,j]| <= ||qc_i||*max||k_j||
+    # in O(Bq*D + Nk*D). Softmax is shift-invariant and fp32 relative
+    # precision is scale-invariant, so any shift >= rowmax is exact up to
+    # flushing terms below ~2^-120 of the max — which standard softmax
+    # rounds away in the sum anyway. If the bound's slack over the true row
+    # max exceeds the bf16 exponent range (~133 log2 units, needs
+    # ||q||*||k|| ~ 2^130) the WHOLE row flushes; _pv_stage's denominator
+    # clamp turns that into a ~0 output row instead of 0/0 = NaN.
+    sim, m = _qk_stage(q, k, scale=scale, norm_bound=norm_bound)
     if defer_div:
-        d = v.shape[-1]
-        v1 = jnp.concatenate(
-            [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1
-        )  # [Nk, D+1]; the pad column costs nothing (lane tile is 128-wide)
-        if pv_transpose:
-            # [D+1, Bq] = V1^T @ P^T: contraction Nk (full 128 depth) AND
-            # output width Bq (full 128 lanes) — vs [Bq, Nk]@[Nk, D+1] whose
-            # 33-wide output uses 26% of the lanes; M=D+1 rows stream
-            out_t = jax.lax.dot_general(
-                v1, p.astype(v.dtype), (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            out = out_t.T  # [Bq, D+1] relayout in VMEM
-        else:
-            out = jnp.dot(p.astype(v.dtype), v1,
-                          preferred_element_type=jnp.float32)
-        # guard: with norm_bound the shift can exceed the true row max by an
-        # unbounded margin; if the slack tops ~133 log2 units every p in the
-        # row flushes to zero (bf16 subnormal floor) and the deferred
-        # denominator is exactly 0 -> 0/0 NaN. Clamp so a pathological row
-        # degrades to ~0 output instead of poisoning the tensor. The row-max
-        # path guarantees denom >= 1 and never hits the clamp.
-        denom = jnp.maximum(out[:, d:d + 1], jnp.float32(1e-30))
-        return (out[:, :d] / denom).astype(out_dtype)
+        p = _exp_stage(sim, m, v.dtype)
+        return _pv_stage(p, v, pv_transpose=pv_transpose,
+                         out_dtype=out_dtype)
     else:
+        p = jnp.exp2(sim - m)
         denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True),
                             jnp.float32(1e-30))
         p = p / denom
@@ -280,25 +306,51 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                          heads: int, defer_div: bool = True,
                          pv_transpose: bool = False,
-                         norm_bound: bool = False):
+                         norm_bound: bool = False, staged: bool = False):
     """One (batch, q-block) program on the PACKED [N, H*D] activation layout
     the projections produce: the head axis never exists in HBM, so the
     head-split transposes around the kernel (and their HBM round trip,
     ~7-8.5% of device time in the flagship profile) disappear. Heads are
     processed sequentially with STATIC lane slices (h is a Python loop
-    index); K/V rows are loaded once per batch and shared by all heads."""
+    index); K/V rows are loaded once per batch and shared by all heads.
+
+    `staged` software-pipelines the head loop at depth 2: head h's QK matmul
+    is emitted BEFORE head h-1's exp/PV, so under Mosaic's in-order issue
+    the VPU's big [Bq, Nk] exp pass of one head overlaps the MXU matmuls of
+    its neighbors (the per-head chains are independent). Identical math —
+    the exact same per-element operations, only the cross-head emission
+    order changes — so outputs are bitwise-equal to the unstaged loop. At
+    most 2 score matrices are live (within _packed_fwd_bytes's budget of 4).
+    """
     q = q_ref[0]  # [Bq, H*D]
     k = k_ref[0]  # [Nk, H*D]
     v = v_ref[0]  # [Nk, H*D]
     d = q.shape[-1] // heads
-    outs = []
-    for h in range(heads):
-        sl = slice(h * d, (h + 1) * d)
-        outs.append(_attend_one_head(
-            q[:, sl], k[:, sl], v[:, sl], scale=scale, defer_div=defer_div,
-            pv_transpose=pv_transpose, norm_bound=norm_bound,
-            out_dtype=o_ref.dtype,
-        ))
+    if staged and defer_div and heads > 1:
+        outs = [None] * heads
+        prev_h, prev_p = None, None
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            sim, m = _qk_stage(q[:, sl], k[:, sl], scale=scale,
+                               norm_bound=norm_bound)
+            if prev_h is not None:
+                pv_sl = slice(prev_h * d, (prev_h + 1) * d)
+                outs[prev_h] = _pv_stage(
+                    prev_p, v[:, pv_sl], pv_transpose=pv_transpose,
+                    out_dtype=o_ref.dtype)
+            prev_h, prev_p = h, _exp_stage(sim, m, v.dtype)
+        outs[prev_h] = _pv_stage(
+            prev_p, v[:, prev_h * d:(prev_h + 1) * d],
+            pv_transpose=pv_transpose, out_dtype=o_ref.dtype)
+    else:
+        outs = []
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            outs.append(_attend_one_head(
+                q[:, sl], k[:, sl], v[:, sl], scale=scale, defer_div=defer_div,
+                pv_transpose=pv_transpose, norm_bound=norm_bound,
+                out_dtype=o_ref.dtype,
+            ))
     # one full-width store (a VMEM repack) instead of H lane-sliced stores
     o_ref[0] = jnp.concatenate(outs, axis=-1)
 
@@ -309,7 +361,9 @@ def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = F
         scale = 1.0 / math.sqrt(q.shape[-1])
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    defer_div, pv_transpose, norm_bound = _flash_flags(nk)
+    # staged applies to the multi-head packed kernel only (one head per
+    # program here — no cross-head ILP to pipeline)
+    defer_div, pv_transpose, norm_bound, _ = _flash_flags(nk)
     bh = b * h
     q3 = q.reshape(bh, nq, d)
     k3 = k.reshape(bh, nk, d)
@@ -544,7 +598,7 @@ def flash_attention_packed(q, k, v, heads: int, scale=None,
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     nk = k.shape[1]
-    defer_div, pv_transpose, norm_bound = _flash_flags(nk)
+    defer_div, pv_transpose, norm_bound, staged = _flash_flags(nk)
 
     block_q = min(block_q, nq)
     pad_q = (-nq) % block_q
@@ -559,7 +613,7 @@ def flash_attention_packed(q, k, v, heads: int, scale=None,
     out = pl.pallas_call(
         functools.partial(_flash_kernel_packed, scale=scale, heads=heads,
                           defer_div=defer_div, pv_transpose=pv_transpose,
-                          norm_bound=norm_bound),
+                          norm_bound=norm_bound, staged=staged),
         out_shape=jax.ShapeDtypeStruct((b, nq_p, hd), q.dtype),
         grid=grid,
         in_specs=[

@@ -44,10 +44,16 @@ import numpy as np
 
 __all__ = [
     "MicroBatcher",
+    "Overloaded",
     "PipelineServer",
     "batch_key",
     "make_pipeline_runner",
 ]
+
+
+class Overloaded(RuntimeError):
+    """Raised by MicroBatcher.submit when the queue-depth cap is hit —
+    load shedding at admission, mapped to HTTP 503 by PipelineServer."""
 
 
 def batch_key(seed: int, batch_index: int):
@@ -61,6 +67,11 @@ def batch_key(seed: int, batch_index: int):
 class _Pending:
     inputs: Dict[str, np.ndarray]
     done: threading.Event = field(default_factory=threading.Event)
+    # set by a timed-out/disconnected submitter: the worker drops the request
+    # at collect time instead of burning a device batch on an answer nobody
+    # will read (cancellation is best-effort — a request already inside a
+    # dispatched batch completes with it)
+    cancelled: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[Exception] = None
     enqueued_at: float = field(default_factory=time.monotonic)
@@ -79,12 +90,14 @@ class MicroBatcher:
     """
 
     def __init__(self, run_batch: Callable[[Dict[str, np.ndarray], int], np.ndarray],
-                 batch_size: int, max_wait_ms: float = 50.0):
+                 batch_size: int, max_wait_ms: float = 50.0,
+                 max_queue: Optional[int] = None):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.run_batch = run_batch
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1e3
+        self.max_queue = max_queue  # admission cap; None = unbounded
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self._lock = threading.Lock()
@@ -92,6 +105,8 @@ class MicroBatcher:
         self.n_requests = 0
         self.n_batches = 0
         self.n_rows_real = 0
+        self.n_cancelled = 0
+        self.n_shed = 0
         self._latencies: List[float] = []  # bounded: last 512 request latencies
         self._worker = threading.Thread(target=self._loop, daemon=True,
                                         name="microbatcher")
@@ -100,12 +115,33 @@ class MicroBatcher:
     # -- client side -------------------------------------------------------
     def submit(self, inputs: Dict[str, np.ndarray],
                timeout: Optional[float] = None) -> np.ndarray:
-        """Blocking: enqueue one clip, wait for its row of the batch output."""
+        """Blocking: enqueue one clip, wait for its row of the batch output.
+
+        Raises Overloaded when the queue-depth cap is hit (load shedding at
+        admission — cheaper for everyone than queueing work that will time
+        out anyway) and TimeoutError when the deadline passes first; a
+        timed-out request is CANCELLED, so the worker drops it instead of
+        dispatching a device batch for a client that already got its 504."""
         if self._stop.is_set():
             raise RuntimeError("MicroBatcher is shut down")
+        if self.max_queue is not None and self._q.qsize() >= self.max_queue:
+            with self._lock:
+                self.n_shed += 1
+            raise Overloaded(
+                f"queue depth >= {self.max_queue}; retry later")
         p = _Pending(inputs)
         self._q.put(p)
+        if self._stop.is_set() and not p.done.is_set():
+            # closes the submit/shutdown race: if shutdown drained the queue
+            # between our is_set check and the put, nobody will ever complete
+            # p — fail it here instead of hanging until the timeout (both
+            # this path and the drain may fire; done.set() is idempotent)
+            p.error = RuntimeError("MicroBatcher is shut down")
+            p.done.set()
         if not p.done.wait(timeout):
+            p.cancelled.set()
+            with self._lock:
+                self.n_cancelled += 1
             raise TimeoutError("synthesis request timed out")
         if p.error is not None:
             raise p.error
@@ -136,16 +172,29 @@ class MicroBatcher:
                 "batch_size": self.batch_size,
                 "mean_occupancy": round(occ, 4),
                 "queue_depth": self._q.qsize(),
+                "cancelled": self.n_cancelled,
+                "shed": self.n_shed,
                 "latency_p50_s": round(pct(0.50), 4),
                 "latency_p95_s": round(pct(0.95), 4),
             }
 
     # -- worker side -------------------------------------------------------
+    def _get_live(self, timeout: float) -> Optional[_Pending]:
+        """One queue pop that silently discards cancelled requests (their
+        submitters have already raised TimeoutError and gone away)."""
+        p = self._q.get(timeout=timeout)  # propagates queue.Empty
+        if p.cancelled.is_set():
+            p.done.set()
+            return None
+        return p
+
     def _collect(self) -> List[_Pending]:
         """Block for the first request, then fill until full or deadline."""
         try:
-            first = self._q.get(timeout=0.1)
+            first = self._get_live(timeout=0.1)
         except queue.Empty:
+            return []
+        if first is None:
             return []
         group = [first]
         deadline = time.monotonic() + self.max_wait
@@ -154,9 +203,11 @@ class MicroBatcher:
             if remaining <= 0:
                 break
             try:
-                group.append(self._q.get(timeout=remaining))
+                p = self._get_live(timeout=remaining)
             except queue.Empty:
                 break
+            if p is not None:
+                group.append(p)
         return group
 
     def _loop(self):
@@ -285,7 +336,13 @@ class PipelineServer:
         return out
 
     def handle_synthesize(self, body: bytes) -> bytes:
-        arrays = dict(np.load(io.BytesIO(body), allow_pickle=False))
+        try:
+            arrays = dict(np.load(io.BytesIO(body), allow_pickle=False))
+        except Exception as e:  # zipfile.BadZipFile / OSError / EOFError / …
+            # any failure to PARSE the body is the client's malformed upload,
+            # not a server fault — normalize to ValueError so do_POST maps it
+            # to 400 instead of 500
+            raise ValueError(f"request body is not a readable npz: {e}")
         inputs = self._validate(arrays)
         frames = self.batcher.submit(inputs, timeout=self.request_timeout_s)
         buf = io.BytesIO()
@@ -337,6 +394,8 @@ class PipelineServer:
                     out = server.handle_synthesize(body)
                 except (ValueError, KeyError) as e:
                     self._reply_json(400, {"error": str(e)})
+                except Overloaded as e:
+                    self._reply_json(503, {"error": str(e)})
                 except TimeoutError as e:
                     self._reply_json(504, {"error": str(e)})
                 except Exception as e:  # noqa: BLE001 — surfaced as 500

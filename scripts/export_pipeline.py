@@ -44,6 +44,10 @@ def main():
                          "(default frames + audio window)")
     ap.add_argument("--platforms", default=None,
                     help="comma list, e.g. tpu,cpu (default: current backend)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="export a MULTI-CHIP data-parallel artifact over all "
+                         "visible devices (params replicated, batch sharded; "
+                         "serve it with scripts/serve.py --mesh --artifact)")
     ap.add_argument("--no-decode", action="store_true",
                     help="export up to the latents (no VQGAN decode)")
     ap.add_argument("--check", action="store_true",
@@ -78,16 +82,30 @@ def main():
         load_params(args.ckpt, ldm, cfg["model"], example_batch=example)
     )
     ddim = make_ddim_schedule(ldm.schedule, args.steps, eta=0.0)
-    platforms = args.platforms.split(",") if args.platforms else None
+    # tolerate 'tpu, cpu' spellings: an unstripped ' tpu' token would both be
+    # rejected by jax.export AND dodge serving.py's tpu safety-check disable
+    platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]
+                 if args.platforms else None)
+
+    mesh = None
+    if args.mesh:
+        from dsml_thesis_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        if args.batch % mesh.shape["data"]:
+            ap.error(f"--batch {args.batch} must divide over the "
+                     f"{mesh.shape['data']}-device data mesh")
+        print(f"# exporting a {mesh.size}-device data-parallel program")
 
     exp = export_video_pipeline(
         ldm, params, ddim, args.audio_window, guidance_scale=args.scale,
         decode=not args.no_decode, batch=args.batch, frames=args.frames,
         size=args.size, audio_seq=audio_seq, audio_dim=adim,
-        platforms=platforms,
+        platforms=platforms, mesh=mesh,
     )
     nbytes = save_exported(exp, args.out)
     print(f"# exported platforms={exp.platforms} "
+          f"nr_devices={exp.nr_devices} "
           f"calling_convention={exp.calling_convention_version}")
     print(f"# wrote {args.out}: {nbytes / 1e6:.2f} MB")
 
@@ -109,10 +127,28 @@ def main():
             ldm, ddim, args.audio_window, guidance_scale=args.scale,
             decode=not args.no_decode,
         ))(params, *inputs)
-        out = load_exported(args.out).call(params, *inputs)
+        check_params = params
+        if mesh is not None:
+            # a multi-device Exported must be CALLED with arrays laid out on
+            # an equal-size mesh (serving.py contract)
+            from dsml_thesis_tpu.parallel import replicate, shard_batch
+
+            check_params = replicate(mesh, params)
+            sharded = shard_batch(
+                mesh, {f"a{i}": x for i, x in enumerate(inputs[:-1])})
+            inputs = tuple(sharded[f"a{i}"] for i in range(len(inputs) - 1)
+                           ) + (jax.device_put(
+                               inputs[-1],
+                               jax.sharding.NamedSharding(
+                                   mesh, jax.sharding.PartitionSpec())),)
+        out = load_exported(args.out).call(check_params, *inputs)
         diff = float(np.abs(np.asarray(out) - np.asarray(live)).max())
-        print(f"# check: max|exported - live| = {diff:.3e}")
-        assert diff <= 1e-4, "exported artifact diverges from the live pipeline"
+        # CPU artifacts reproduce the live program bitwise-ish; TPU artifacts
+        # sit at fusion-rounding level on bf16 params — the measured v5e
+        # delta is 2.4e-4 (serving.py docstring), so gate TPU at 1e-3
+        tol = 1e-4 if jax.default_backend() == "cpu" else 1e-3
+        print(f"# check: max|exported - live| = {diff:.3e} (tol {tol:g})")
+        assert diff <= tol, "exported artifact diverges from the live pipeline"
 
 
 if __name__ == "__main__":

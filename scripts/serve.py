@@ -53,6 +53,10 @@ def main():
                          "batch_key(seed, i) — fully reproducible")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the compile warmup batch before binding")
+    ap.add_argument("--max-queue", type=int, default=None,
+                    help="admission cap on queued requests; beyond it new "
+                         "requests get 503 immediately (load shedding) "
+                         "instead of queueing toward a 504")
     ap.add_argument("--mesh", action="store_true",
                     help="data-parallel serving: replicate params and shard "
                          "each request batch over all devices (batch tier "
@@ -92,8 +96,10 @@ def main():
     if args.artifact:
         from dsml_thesis_tpu.serving import load_exported
 
-        pipeline_fn = load_exported(args.artifact).call
-        print(f"# serving exported artifact {args.artifact}")
+        exported = load_exported(args.artifact)
+        pipeline_fn = exported.call
+        print(f"# serving exported artifact {args.artifact} "
+              f"(exported for {exported.nr_devices} device(s))")
     else:
         ddim = make_ddim_schedule(ldm.schedule, args.steps, eta=0.0)
         pipeline_fn = jax.jit(make_video_pipeline(
@@ -111,6 +117,17 @@ def main():
             ap.error(f"--batch {args.batch} must divide over the "
                      f"{mesh.shape['data']}-device data mesh")
         print(f"# data-parallel serving over {mesh.shape['data']} devices")
+    if args.artifact:
+        # an Exported is compiled for a FIXED device count; a mismatch would
+        # otherwise surface as an opaque per-request error after binding
+        want_devices = mesh.size if mesh is not None else 1
+        if exported.nr_devices != want_devices:
+            ap.error(
+                f"artifact was exported for {exported.nr_devices} device(s) "
+                f"but this serving layout uses {want_devices} "
+                f"({'--mesh' if mesh is not None else 'single-device'}); "
+                "re-export with the matching scripts/export_pipeline.py "
+                "--mesh setting")
     runner = make_pipeline_runner(pipeline_fn, params, seed=args.seed,
                                   mesh=mesh)
     clip_shapes = {
@@ -132,7 +149,8 @@ def main():
         np.asarray(runner(dummy, 0))
         print(f"# warmup compile+run {time.monotonic() - t0:.1f}s")
 
-    batcher = MicroBatcher(runner, args.batch, max_wait_ms=args.max_wait_ms)
+    batcher = MicroBatcher(runner, args.batch, max_wait_ms=args.max_wait_ms,
+                           max_queue=args.max_queue)
     server = PipelineServer(batcher, clip_shapes)
     print(f"# listening on {args.host}:{args.port} "
           f"(batch tier {args.batch}, window {args.max_wait_ms}ms)")

@@ -912,3 +912,33 @@ def test_attention_block_packed_needs_own_optin(monkeypatch):
     assert calls, "DSML_ATTN_PACKED_QKVBLOCK=1 must route to the packed kernel"
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(base),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_packed_staged_head_pipeline_bitwise_equal(monkeypatch):
+    """DSML_FLASH_STAGED: the software-pipelined head loop (head h's QK
+    emitted before head h-1's exp/PV for MXU/VPU overlap) performs the exact
+    same per-element operations as the unstaged loop, only reordered across
+    INDEPENDENT heads — outputs must be bitwise equal, under every
+    reformulation combination the staged path composes with."""
+    from dsml_thesis_tpu.ops.attention import flash_attention_packed
+
+    rs = np.random.RandomState(3)
+    heads, d = 5, 32
+    q = jnp.asarray(rs.randn(2, 272, heads * d).astype(np.float32))
+    k = jnp.asarray(rs.randn(2, 272, heads * d).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, 272, heads * d).astype(np.float32))
+
+    for extra in ({}, {"DSML_FLASH_PV_T": "1"},
+                  {"DSML_FLASH_NORM_BOUND": "1", "DSML_FLASH_PV_T": "1"}):
+        for kk, vv in extra.items():
+            monkeypatch.setenv(kk, vv)
+        monkeypatch.setenv("DSML_FLASH_STAGED", "0")
+        base = flash_attention_packed(q, k, v, heads, block_q=128,
+                                      interpret=True)
+        monkeypatch.setenv("DSML_FLASH_STAGED", "1")
+        staged = flash_attention_packed(q, k, v, heads, block_q=128,
+                                        interpret=True)
+        np.testing.assert_array_equal(np.asarray(staged), np.asarray(base))
+        for kk in extra:
+            monkeypatch.delenv(kk)
+    monkeypatch.delenv("DSML_FLASH_STAGED")

@@ -260,3 +260,81 @@ def test_shape_and_field_validation(served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(base + "/synthesize", _npz_bytes(**missing))
     assert ei.value.code == 400
+
+
+def test_malformed_npz_body_is_400(served):
+    """A truncated/corrupt npz is the CLIENT's fault: 400, never 500 (the
+    raw zipfile.BadZipFile is not a ValueError and used to fall through)."""
+    _, base, _, _ = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/synthesize", b"definitely not a zip archive")
+    assert ei.value.code == 400
+    assert "not a readable npz" in ei.value.read().decode()
+
+
+def test_submit_after_shutdown_raises():
+    mb = MicroBatcher(lambda s, i: s["x"], batch_size=1, max_wait_ms=5.0)
+    mb.shutdown()
+    with pytest.raises(RuntimeError, match="shut down"):
+        mb.submit({"x": np.zeros((1,), np.float32)})
+
+
+def test_timed_out_request_is_cancelled_not_dispatched():
+    """A submitter that times out CANCELS its pending row: the worker must
+    drop it at collect time instead of dispatching a device batch whose
+    answer nobody reads (overload shedding), and the batcher must stay
+    healthy for later requests."""
+    ran = []
+
+    def run_batch(stacked, i):
+        ran.append(float(stacked["x"][0, 0]))
+        time.sleep(0.4)
+        return stacked["x"] * 10.0
+
+    mb = MicroBatcher(run_batch, batch_size=1, max_wait_ms=1.0)
+    try:
+        t = threading.Thread(
+            target=lambda: mb.submit({"x": np.full((1,), 1.0, np.float32)}))
+        t.start()
+        time.sleep(0.1)  # batch [1.0] is now in flight on the worker
+        with pytest.raises(TimeoutError):
+            mb.submit({"x": np.full((1,), 2.0, np.float32)}, timeout=0.05)
+        t.join()
+        out = mb.submit({"x": np.full((1,), 3.0, np.float32)}, timeout=10.0)
+        np.testing.assert_array_equal(out, np.full((1,), 30.0))
+        assert 2.0 not in ran  # the cancelled row never reached the device
+        assert mb.stats()["cancelled"] == 1
+    finally:
+        mb.shutdown()
+
+
+def test_queue_cap_sheds_load_with_overloaded():
+    from dsml_thesis_tpu.server import Overloaded
+
+    release = threading.Event()
+
+    def run_batch(stacked, i):
+        release.wait(5.0)
+        return stacked["x"]
+
+    mb = MicroBatcher(run_batch, batch_size=1, max_wait_ms=1.0, max_queue=1)
+    try:
+        ts = [threading.Thread(
+            target=lambda: mb.submit({"x": np.zeros((1,), np.float32)},
+                                     timeout=10.0), daemon=True)
+            for _ in range(2)]
+        for t in ts:
+            t.start()
+        # worker holds one batch (blocked in run_batch), one request queued:
+        # admission is at the cap, the next submit must shed immediately
+        deadline = time.monotonic() + 5.0
+        while mb._q.qsize() < 1 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        with pytest.raises(Overloaded, match="retry later"):
+            mb.submit({"x": np.zeros((1,), np.float32)})
+        assert mb.stats()["shed"] == 1
+    finally:
+        release.set()
+        for t in ts:
+            t.join(timeout=5.0)
+        mb.shutdown()

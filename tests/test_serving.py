@@ -197,3 +197,40 @@ def test_arg_specs_shapes():
     assert specs[2].shape == (4, 128, 128, 3)
     assert specs[3].shape == (4,) and specs[3].dtype == jnp.int32
     assert specs[4].shape == (2,) and specs[4].dtype == jnp.uint32
+
+
+def test_export_cli_mesh_and_serve_device_count_guard(tmp_path):
+    """scripts/export_pipeline.py --mesh produces an nr_devices==8 artifact
+    (with --check running through the sharded call path), and scripts/serve.py
+    refuses a device-count mismatch UP FRONT (an 8-device artifact served
+    without --mesh) instead of 500ing per request after binding."""
+    import os
+    import subprocess
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(yaml.safe_load(TINY_MEAD_CFG), f)
+    art = str(tmp_path / "mesh.shlo")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "export_pipeline.py"),
+         "--cpu", "--config", cfg_path, "--out", art, "--mesh",
+         "--batch", "8", "--frames", "2", "--steps", "2", "--scale", "2.0",
+         "--size", "16", "--audio-window", "2", "--check"],
+        capture_output=True, text=True,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"), timeout=540,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "nr_devices=8" in out.stdout
+    assert "check: max|exported - live|" in out.stdout
+
+    serve = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "serve.py"),
+         "--cpu", "--config", cfg_path, "--artifact", art,
+         "--batch", "8", "--frames", "2", "--steps", "2", "--size", "16",
+         "--audio-window", "2", "--port", "0"],
+        capture_output=True, text=True,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"), timeout=540,
+    )
+    assert serve.returncode != 0
+    assert "exported for 8 device(s)" in serve.stderr
