@@ -44,22 +44,36 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from dsml_thesis_tpu.config import build_model, load_config
+    from dsml_thesis_tpu.utils_io import cast_sampling_params
 
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     cfg = load_config([
-        args.config or f"configs/latent-diffusion/mead-{args.res}-ldm-f4.yaml"
+        args.config
+        or os.path.join(repo,
+                        f"configs/latent-diffusion/mead-{args.res}-ldm-f4.yaml")
     ])
     ldm = build_model(cfg["model"])
     B, F, S = args.batch, args.frames, args.steps
+    # conditioning/latent shapes from the LOADED config, not the flagship's
+    # constants — --config must benchmark the model it names
+    mp = cfg["model"]["params"]
+    c2p = mp["cond_stage_config_2"]["params"]
+    aud_seq, aud_dim = c2p["seq_len"], c2p["subspace_dim"]
+    ctx_dim = mp["unet_config"]["params"]["context_dim"]
+    zc = mp["first_stage_config"]["params"]["ddconfig"]["z_channels"]
     lat = args.res // 4
     batch = {
         "image": jnp.zeros((B, args.res, args.res, 3)),
         "masked_image": jnp.zeros((B, args.res, args.res, 3)),
         "identity": jnp.zeros((B, args.res, args.res, 3)),
         "class_label": jnp.zeros((B,), jnp.int32),
-        "audio": jnp.zeros((B, 17, 768)),
+        "audio": jnp.zeros((B, aud_seq, aud_dim)),
     }
     t0 = time.time()
-    params = ldm.init_params(jax.random.PRNGKey(0), batch)
+    # cast to the SAME bf16 sampling tree bench.py runs — fp32 params would
+    # double the HBM bytes of every bandwidth-bound phase timed below
+    params = cast_sampling_params(
+        ldm.init_params(jax.random.PRNGKey(0), batch))
     print(f"init {time.time()-t0:.1f}s", file=sys.stderr)
 
     # (a) one CFG UNet eval, in the FORM the pipeline actually runs: with
@@ -67,33 +81,37 @@ def main():
     # are the B-batch halves and only the context is the 2B pair — so the
     # FLOP/byte analysis reflects the elided prefix instead of overstating
     dedup = os.environ.get("DSML_CFG_DEDUP", "1") == "1"
-    ctx2 = jnp.zeros((2 * B, 1, 1024))
+    ctx2 = jnp.zeros((2 * B, 1, ctx_dim))
     if dedup:
-        x2 = jnp.zeros((B, lat, lat, 3))
+        x2 = jnp.zeros((B, lat, lat, zc))
         t2 = jnp.zeros((B,), jnp.int32)
-        cc2 = jnp.zeros((B, lat, lat, 6))
+        cc2 = jnp.zeros((B, lat, lat, 2 * zc))
         unet_fn = jax.jit(
             lambda p, x, t, c, cc: ldm.apply_model(
                 p, x, t, {"crossattn": c, "concat": cc}, cfg_pairs=True)
         )
     else:
-        x2 = jnp.zeros((2 * B, lat, lat, 3))
+        x2 = jnp.zeros((2 * B, lat, lat, zc))
         t2 = jnp.zeros((2 * B,), jnp.int32)
-        cc2 = jnp.zeros((2 * B, lat, lat, 6))
+        cc2 = jnp.zeros((2 * B, lat, lat, 2 * zc))
         unet_fn = jax.jit(
             lambda p, x, t, c, cc: ldm.apply_model(
                 p, x, t, {"crossattn": c, "concat": cc})
         )
+
+    if args.mfu:
+        # cost analysis only — skip the timed() runs below, whose results
+        # report_mfu never uses (each is a compile + device runs through the
+        # tunnel for nothing)
+        report_mfu(ldm, cfg, params, args, unet_fn, x2, t2, ctx2, cc2, zc)
+        return
+
     dt_unet, _ = timed(unet_fn, params, x2, t2, ctx2, cc2)
 
     # (b) full-clip decode
-    z = jnp.zeros((B * F, lat, lat, 3))
+    z = jnp.zeros((B * F, lat, lat, zc))
     dec_fn = jax.jit(lambda p, z: ldm.decode_first_stage(p, z))
     dt_dec, _ = timed(dec_fn, params, z, n=3)
-
-    if args.mfu:
-        report_mfu(ldm, cfg, params, args, unet_fn, x2, t2, ctx2, cc2)
-        return
 
     total_unet = S * F * dt_unet
     print(f"UNet eval (bs{2*B}, {lat}x{lat}): {dt_unet*1e3:.1f} ms "
@@ -107,18 +125,16 @@ V5E_PEAK_BF16 = 197e12   # FLOP/s per chip
 V5E_HBM_BW = 819e9       # bytes/s per chip
 
 
-def report_mfu(ldm, cfg, params, args, unet_fn, x2, t2, ctx2, cc2):
+def report_mfu(ldm, cfg, params, args, unet_fn, x2, t2, ctx2, cc2, zc=3):
     """Roofline accounting from XLA's compiled cost analysis: how much of the
     v5e's MXU and HBM the program actually uses, so 'fast' is rated against
     hardware peaks, not just the 3.125 f/s target (PROFILE.md).
 
     XLA cost analysis counts a lax.scan body ONCE, so the pipeline totals are
     assembled from per-component analyses (UNet eval, VQ encode, VQ decode)
-    times their trip counts — the same structure bench.py executes."""
-    from dsml_thesis_tpu.utils_io import cast_sampling_params
-
+    times their trip counts — the same structure bench.py executes.
+    `params` arrive already cast to the bf16 sampling tree (main)."""
     B, F, S = args.batch, args.frames, args.steps
-    params = cast_sampling_params(params)
 
     def cost(jitted, *a):
         ca = jitted.lower(*a).compile().cost_analysis()
@@ -134,7 +150,7 @@ def report_mfu(ldm, cfg, params, args, unet_fn, x2, t2, ctx2, cc2):
     ef, eb = cost(enc_fn, params,
                   jnp.zeros((B * F, args.res, args.res, 3)))
     dec_fn = jax.jit(lambda p, z: ldm.decode_first_stage(p, z))
-    df, db = cost(dec_fn, params, jnp.zeros((B * F, lat, lat, 3)))
+    df, db = cost(dec_fn, params, jnp.zeros((B * F, lat, lat, zc)))
     print(f"VQ encode ({B*F} frames): {ef/1e9:.1f} GFLOP | "
           f"decode: {df/1e9:.1f} GFLOP")
 

@@ -150,8 +150,11 @@ def main():
     from dsml_thesis_tpu.diffusion import make_ddim_schedule, make_video_pipeline
     from dsml_thesis_tpu.utils_io import cast_sampling_params
 
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     cfg = load_config([
-        args.config or f"configs/latent-diffusion/mead-{args.res}-ldm-f4.yaml"
+        args.config
+        or os.path.join(repo,
+                        f"configs/latent-diffusion/mead-{args.res}-ldm-f4.yaml")
     ])
     ldm = build_model(cfg["model"])
     c2p = cfg["model"]["params"]["cond_stage_config_2"]["params"]

@@ -89,9 +89,11 @@ def main():
     print(f"# init {time.time() - t0:.1f}s")
 
     t0 = time.time()
+    metrics = None
     for i in range(args.warmup):
         state, metrics = step_fn(state, batch, jax.random.fold_in(key, i))
-    jax.device_get(metrics)
+    if metrics is not None:  # --warmup 0: first compile lands in the timing
+        jax.device_get(metrics)
     print(f"# compile+warmup {time.time() - t0:.1f}s")
 
     import contextlib
@@ -99,14 +101,18 @@ def main():
     trace_cm = (jax.profiler.trace(args.profile) if args.profile
                 else contextlib.nullcontext())
 
-    t0 = time.time()
+    # t0/t1 sit INSIDE the trace context: start_trace setup and stop_trace's
+    # multi-MB serialization must not contaminate the reported img/s (the
+    # metric line looks identical with/without --profile, so it must mean
+    # the same thing)
     with trace_cm:
+        t0 = time.time()
         for i in range(args.steps):
             state, metrics = step_fn(state, batch,
                                      jax.random.fold_in(key, 100 + i))
         loss = float(jax.device_get(
             metrics.get("train/loss", list(metrics.values())[0])))
-    dt = time.time() - t0
+        dt = time.time() - t0
     img_s = args.batch * args.steps / dt
     print(f"# {args.steps} steps in {dt:.2f}s, loss {loss:.4f}")
     print({"metric": "train_img_per_sec_per_chip",
@@ -120,7 +126,9 @@ def main():
                     .compile().cost_analysis()
         fl, by = ca.get("flops", 0.0), ca.get("bytes accessed", 0.0)
         t_step = dt / args.steps
-        peak_f, peak_b = 197e12, 819e9  # v5e bf16 FLOP/s, HBM B/s
+        from perf_breakdown import V5E_HBM_BW, V5E_PEAK_BF16
+
+        peak_f, peak_b = V5E_PEAK_BF16, V5E_HBM_BW
         print(f"# train step: {fl/1e9:.1f} GFLOP, {by/1e9:.2f} GB accessed")
         print(f"# at {t_step*1e3:.1f} ms/step: FLOP util "
               f"{100*fl/t_step/peak_f:.1f}%, HBM util "

@@ -344,3 +344,39 @@ def test_resume_continues_epoch_count(tmp_path):
     state = t2.fit(epochs=3, log_every=100, val_max_batches=0)
     # epochs 0-1 already done -> only epoch 2 runs: 2 more steps, not 6
     assert int(state.step) == 6
+
+
+def test_step_profiler_window_is_exact(monkeypatch, tmp_path):
+    """StepProfiler under the trainer's call pattern (maybe_start(k) before
+    dispatching step k, maybe_stop(k) after) captures EXACTLY num_steps
+    dispatched steps, and a run resumed past start_step still profiles."""
+    import jax
+
+    from dsml_thesis_tpu.training.profiling import StepProfiler
+
+    calls = []
+    monkeypatch.setattr(jax.profiler, "start_trace",
+                        lambda d: calls.append("start"))
+    monkeypatch.setattr(jax.profiler, "stop_trace",
+                        lambda: calls.append("stop"))
+
+    def drive(sp, first_step, n_iters):
+        traced, step = [], first_step
+        for _ in range(n_iters):
+            sp.maybe_start(step + 1)
+            if sp._active:
+                traced.append(step + 1)
+            step += 1
+            sp.maybe_stop(step)
+        return traced
+
+    sp = StepProfiler(str(tmp_path), start_step=3, num_steps=5)
+    assert drive(sp, 0, 20) == [3, 4, 5, 6, 7]
+    assert calls == ["start", "stop"]
+    # once closed, it never re-opens
+    assert not sp._active and sp._done
+
+    calls.clear()
+    sp2 = StepProfiler(str(tmp_path), start_step=50, num_steps=4)
+    assert drive(sp2, 200, 10) == [201, 202, 203, 204]  # resumed past window
+    assert calls == ["start", "stop"]
