@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from .ddim import DDIMSchedule, p_sample_ddim
+from .schedules import DiffusionSchedule
 
 ApplyFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 # apply_fn(x_noisy, t, context, concat) -> eps
@@ -39,6 +40,10 @@ def progressive_video_sample(
     guidance_scale: float = 1.0,
     x_T: Optional[jnp.ndarray] = None,  # [B, F, h, w, c] injected init noise
     pair_apply_fn: Optional[ApplyFn] = None,
+    sampler: str = "ddim",
+    sched: Optional[DiffusionSchedule] = None,
+    sampler_steps: int = 20,
+    sampler_order: int = 2,
 ) -> jnp.ndarray:
     """Generate all frames; returns latents [B, F, h, w, c].
 
@@ -48,10 +53,26 @@ def progressive_video_sample(
 
     x_T injects each frame's initial noise (parity tests / reproducibility —
     the reference draws torch.randn per frame, :306); default PRNG-per-frame.
+
+    sampler="ddim" (default) is the reference-faithful per-frame reverse
+    chain (progressive_sampling_difftalk.py:287-296 runs DDIM). sampler="dpm"
+    swaps each frame's chain for DPM-Solver++ multistep (the suite the
+    reference vendors in ldm/models/diffusion/dpm_solver — oracle-locked in
+    tests/test_dpm_suite.py) at `sampler_steps` model evals of order
+    `sampler_order`: a fewer-steps serving mode on the SAME trained model.
+    Requires `sched` (the full training DiffusionSchedule); per-frame init
+    noise, CFG (incl. the pair-dedup prefix), and the autoregressive identity
+    carry are identical to the DDIM path.
     """
     B, F = masked_latents.shape[:2]
     S = ddim.num_steps
     lat_shape = z_id0.shape
+
+    if sampler not in ("ddim", "dpm"):
+        raise ValueError(f"unknown sampler {sampler!r} (want 'ddim' or 'dpm')")
+    if sampler == "dpm" and sched is None:
+        raise ValueError("sampler='dpm' needs the full DiffusionSchedule "
+                         "(pass sched=ldm.schedule)")
 
     use_cfg = uncond_contexts is not None and guidance_scale != 1.0
     # CFG batch-pair prefix dedup (exact — both halves share x_t/t/concat;
@@ -69,7 +90,8 @@ def progressive_video_sample(
     # scripts/fidelity_gate.py — the default keeps the eps-combine and x_prev
     # algebra in fp32). The latent tensors are tiny (B*64*64*3), so this
     # targets VPU/fusion time, not bandwidth.
-    bf16_step = os.environ.get("DSML_BF16_STEP", "0") == "1"
+    bf16_step = (os.environ.get("DSML_BF16_STEP", "0") == "1"
+                 and sampler == "ddim")  # dpm step math stays fp32
     carry_dtype = jnp.bfloat16 if bf16_step else jnp.float32
     if bf16_step:
         ddim = dataclasses.replace(ddim, **{
@@ -113,12 +135,20 @@ def progressive_video_sample(
         step_eps = ((lambda x, t: eps_fn(x, t).astype(jnp.bfloat16))
                     if bf16_step else eps_fn)
 
-        def ddim_step(img, i):
-            index = S - 1 - i
-            img, _ = p_sample_ddim(ddim, step_eps, img, index, noise=None)
-            return img.astype(carry_dtype), None
+        if sampler == "dpm":
+            from .dpm_solver import dpm_solver_sample_suite
+            img = dpm_solver_sample_suite(
+                sched, step_eps, lat_shape, kf,
+                steps=sampler_steps, order=sampler_order,
+                method="multistep", predict_x0=True, x_T=img,
+            )
+        else:
+            def ddim_step(img, i):
+                index = S - 1 - i
+                img, _ = p_sample_ddim(ddim, step_eps, img, index, noise=None)
+                return img.astype(carry_dtype), None
 
-        img, _ = jax.lax.scan(ddim_step, img, jnp.arange(S))
+            img, _ = jax.lax.scan(ddim_step, img, jnp.arange(S))
         # autoregressive identity update (reference :316-317)
         return img, img
 
@@ -155,7 +185,9 @@ def audio_windows(audio_feats: jnp.ndarray, num_frames: int,
 
 
 def make_video_pipeline(ldm, ddim: DDIMSchedule, audio_window: int,
-                        guidance_scale: float = 1.0, decode: bool = True):
+                        guidance_scale: float = 1.0, decode: bool = True,
+                        sampler: str = "ddim", sampler_steps: int = 20,
+                        sampler_order: int = 2):
     """The FULL talking-face synthesis pipeline as one jittable function.
 
     Everything the reference does per frame (progressive_sampling_difftalk.py
@@ -166,6 +198,10 @@ def make_video_pipeline(ldm, ddim: DDIMSchedule, audio_window: int,
     pipeline(params, masked_frames[B,F,H,W,3], audio_feats[B,T,D],
              identity[B,H,W,3], class_label[B], key) -> [B,F,H,W,3] images
     (or latents when decode=False).
+
+    sampler="dpm" swaps the per-frame DDIM chain for DPM-Solver++ multistep
+    at `sampler_steps` model evals (see progressive_video_sample) — the
+    fewer-steps serving mode; `ddim` still sets the chain when sampler="ddim".
     """
 
     def pipeline(params, masked_frames, audio_feats, identity, class_label, key):
@@ -203,6 +239,8 @@ def make_video_pipeline(ldm, ddim: DDIMSchedule, audio_window: int,
             ddim, apply_fn, m_lat, ctxs, z_id0, key,
             uncond_contexts=uctxs, guidance_scale=guidance_scale,
             pair_apply_fn=pair_fn,
+            sampler=sampler, sched=ldm.schedule,
+            sampler_steps=sampler_steps, sampler_order=sampler_order,
         )
         if not decode:
             return frames

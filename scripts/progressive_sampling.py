@@ -38,6 +38,14 @@ def main():
     ap.add_argument("--audio-dir", required=True)
     ap.add_argument("--outdir", required=True)
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--sampler", choices=("ddim", "dpm"), default="ddim",
+                    help="per-frame reverse chain: reference-faithful DDIM "
+                         "(default) or DPM-Solver++ multistep at "
+                         "--sampler-steps model evals (fewer-steps serving)")
+    ap.add_argument("--sampler-steps", type=int, default=20,
+                    help="model evals per frame when --sampler dpm")
+    ap.add_argument("--sampler-order", type=int, default=2,
+                    help="DPM-Solver++ order when --sampler dpm")
     ap.add_argument("--scale", type=float, default=2.0)
     ap.add_argument("--clips", type=int, default=None, help="limit #clips")
     ap.add_argument("--frames", type=int, default=None,
@@ -83,6 +91,8 @@ def main():
     # is one compiled program — no per-frame host round-trips
     pipeline = jax.jit(make_video_pipeline(
         ldm, ddim, args.audio_window, guidance_scale=args.scale,
+        sampler=args.sampler, sampler_steps=args.sampler_steps,
+        sampler_order=args.sampler_order,
     ))
 
     os.makedirs(args.outdir, exist_ok=True)

@@ -224,6 +224,110 @@ def test_xattn_1tok_matches_stock_pipeline(monkeypatch):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_dpm_sampler_matches_manual_frame_loop():
+    """sampler='dpm' (per-frame DPM-Solver++ multistep inside the frame scan)
+    == a hand loop calling dpm_solver_sample_suite per frame with the same
+    per-frame init noise, stock batch-doubled CFG, and the autoregressive
+    identity carry."""
+    from dsml_thesis_tpu.diffusion import make_schedule
+    from dsml_thesis_tpu.diffusion.dpm_solver import dpm_solver_sample_suite
+
+    sched = make_schedule("linear", 100, 0.0015, 0.0205)
+    ddim, masked, ctxs, z_id0 = _setup()
+    B, F = masked.shape[:2]
+    uctxs = jnp.zeros_like(ctxs)
+    gs = 2.0
+
+    def apply_fn(x, t, ctx, cc):
+        return (0.1 * jnp.mean(cc, axis=-1, keepdims=True)
+                + 0.05 * jnp.mean(ctx, axis=(1, 2))[:, None, None, None]
+                ) * jnp.ones_like(x)
+
+    key = jax.random.PRNGKey(9)
+    out = progressive_video_sample(
+        ddim, apply_fn, masked, ctxs, z_id0, key,
+        uncond_contexts=uctxs, guidance_scale=gs,
+        sampler="dpm", sched=sched, sampler_steps=3, sampler_order=2)
+    assert out.shape == masked.shape
+
+    frame_keys = jax.random.split(key, F)
+    z_id = z_id0.astype(jnp.float32)
+    frames = []
+    for f in range(F):
+        concat = jnp.concatenate([masked[:, f], z_id], axis=-1)
+        ctx_in = jnp.concatenate([uctxs[:, f], ctxs[:, f]], axis=0)
+        cc_in = jnp.concatenate([concat, concat], axis=0)
+
+        def eps_fn(x, t, ctx_in=ctx_in, cc_in=cc_in):
+            x_in = jnp.concatenate([x, x], axis=0)
+            t_in = jnp.concatenate([t, t], axis=0)
+            e = apply_fn(x_in, t_in, ctx_in, cc_in)
+            e_u, e_c = jnp.split(e, 2, axis=0)
+            return e_u + gs * (e_c - e_u)
+
+        img0 = jax.random.normal(frame_keys[f], z_id0.shape, jnp.float32)
+        z_id = dpm_solver_sample_suite(
+            sched, eps_fn, z_id0.shape, frame_keys[f],
+            steps=3, order=2, method="multistep", predict_x0=True, x_T=img0)
+        frames.append(z_id)
+    ref = jnp.stack(frames, axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_dpm_pipeline_plumbing_and_errors():
+    """make_video_pipeline(sampler='dpm') compiles end-to-end on the tiny
+    MEAD config and differs from the DDIM chain; bad sampler args raise."""
+    import sys
+    import yaml
+
+    import pytest
+
+    sys.path.insert(0, "tests")
+    from test_ldm import TINY_MEAD_CFG
+
+    from dsml_thesis_tpu.config import build_model
+    from dsml_thesis_tpu.diffusion import make_video_pipeline
+
+    cfg = yaml.safe_load(TINY_MEAD_CFG)
+    ldm = build_model(cfg["model"])
+    B, F, w = 2, 2, 2
+    init_batch = {
+        "image": jnp.zeros((B, 16, 16, 3)),
+        "masked_image": jnp.zeros((B, 16, 16, 3)),
+        "identity": jnp.zeros((B, 16, 16, 3)),
+        "class_label": jnp.array([1, 5]),
+        "audio": jnp.zeros((B, 5, 32)),
+    }
+    params = ldm.init_params(jax.random.PRNGKey(0), init_batch)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    masked = jax.random.normal(ks[0], (B, F, 16, 16, 3)) * 0.3
+    audio = jax.random.normal(ks[1], (B, F + w, 32))
+    identity = jax.random.normal(ks[2], (B, 16, 16, 3)) * 0.3
+    labels = jnp.array([1, 5], jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    ddim = make_ddim_schedule(ldm.schedule, 4, eta=0.0)
+    dpm_pipe = make_video_pipeline(ldm, ddim, w, guidance_scale=2.0,
+                                   sampler="dpm", sampler_steps=3)
+    out = jax.jit(dpm_pipe)(params, masked, audio, identity, labels, key)
+    assert out.shape == (B, F, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    ddim_pipe = make_video_pipeline(ldm, ddim, w, guidance_scale=2.0)
+    base = jax.jit(ddim_pipe)(params, masked, audio, identity, labels, key)
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-6
+
+    with pytest.raises(ValueError, match="unknown sampler"):
+        progressive_video_sample(ddim, lambda *a: a[0], masked[:, :, :, :, :3],
+                                 jnp.zeros((B, F, 1, 8)), identity[:, :8, :8, :3],
+                                 key, sampler="plms")
+    with pytest.raises(ValueError, match="needs the full DiffusionSchedule"):
+        progressive_video_sample(ddim, lambda *a: a[0], masked[:, :, :, :, :3],
+                                 jnp.zeros((B, F, 1, 8)), identity[:, :8, :8, :3],
+                                 key, sampler="dpm")
+
+
 def test_unet_cfg_pairs_matches_batch_doubling():
     """UNetModel(cfg_pairs=True) == the stock call on the tiled pair, for a
     UNet whose first attention sits one level down (a real shared prefix)."""
