@@ -47,6 +47,12 @@ def parse_args():
     ap.add_argument("--config", default=None,
                     help="override the model yaml (e.g. the reference-faithful "
                          "mead-256-ldm-f4-fullattn.yaml)")
+    ap.add_argument("--sampler", choices=("ddim", "dpm"), default="ddim",
+                    help="per-frame reverse chain; 'dpm' = DPM-Solver++ "
+                         "multistep at --sampler-steps model evals (the "
+                         "fewer-steps serving mode; non-headline metric)")
+    ap.add_argument("--sampler-steps", type=int, default=20)
+    ap.add_argument("--sampler-order", type=int, default=2)
     return ap.parse_args()
 
 
@@ -157,6 +163,9 @@ def main():
             frames = progressive_video_sample(
                 ddim, apply_fn, m_lat, c, zid, key,
                 uncond_contexts=uc, guidance_scale=args.guidance,
+                sampler=args.sampler, sched=ldm.schedule,
+                sampler_steps=args.sampler_steps,
+                sampler_order=args.sampler_order,
             )
             if args.no_decode:
                 return frames
@@ -172,6 +181,8 @@ def main():
         pipeline = make_video_pipeline(
             ldm, ddim, audio_window,
             guidance_scale=args.guidance, decode=not args.no_decode,
+            sampler=args.sampler, sampler_steps=args.sampler_steps,
+            sampler_order=args.sampler_order,
         )
 
         def synth(params, key, m, a, idn, lab):
@@ -210,10 +221,12 @@ def main():
     fps_chip = fps / n_chips
     # metric name reflects what was actually measured; vs_baseline (the
     # 3.125 full-pipeline target) only applies to the headline config
-    metric = f"frames_per_sec_per_chip_ddim{S}_{args.res}px"
+    chain = ("ddim" + str(S) if args.sampler == "ddim"
+             else f"dpm{args.sampler_steps}o{args.sampler_order}")
+    metric = f"frames_per_sec_per_chip_{chain}_{args.res}px"
     headline = (S == 50 and args.res == 256 and not args.tiny
                 and not args.hot_only and not args.no_decode
-                and args.config is None)
+                and args.config is None and args.sampler == "ddim")
     if args.hot_only:
         metric += "_hotonly"
     if args.no_decode:

@@ -85,6 +85,9 @@ def export_video_pipeline(
     platforms: Optional[Sequence[str]] = None,
     in_dtype=jnp.float32,
     mesh=None,
+    sampler: str = "ddim",
+    sampler_steps: int = 20,
+    sampler_order: int = 2,
 ) -> jax_export.Exported:
     """Export the full video-synthesis pipeline as a jax.export.Exported.
 
@@ -104,9 +107,15 @@ def export_video_pipeline(
     cross-chip collectives in the scan), `exported.nr_devices == mesh.size`,
     and the serving process must call it with arrays laid out on an
     equally-sized mesh. `batch` must divide by the data-axis size.
+
+    `sampler="dpm"` bakes the fewer-steps serving chain (per-frame
+    DPM-Solver++ multistep at `sampler_steps` model evals) into the artifact
+    instead of the DDIM chain — see make_video_pipeline.
     """
     pipe = make_video_pipeline(
-        ldm, ddim, audio_window, guidance_scale=guidance_scale, decode=decode
+        ldm, ddim, audio_window, guidance_scale=guidance_scale, decode=decode,
+        sampler=sampler, sampler_steps=sampler_steps,
+        sampler_order=sampler_order,
     )
     p_spec = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), params

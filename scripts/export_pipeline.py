@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--sampler", choices=("ddim", "dpm"), default="ddim",
+                    help="per-frame reverse chain baked into the artifact; "
+                         "'dpm' = DPM-Solver++ multistep at --sampler-steps "
+                         "model evals (the fewer-steps serving mode)")
+    ap.add_argument("--sampler-steps", type=int, default=20)
+    ap.add_argument("--sampler-order", type=int, default=2)
     ap.add_argument("--scale", type=float, default=2.0)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--audio-window", type=int, default=8)
@@ -102,6 +108,8 @@ def main():
         decode=not args.no_decode, batch=args.batch, frames=args.frames,
         size=args.size, audio_seq=audio_seq, audio_dim=adim,
         platforms=platforms, mesh=mesh,
+        sampler=args.sampler, sampler_steps=args.sampler_steps,
+        sampler_order=args.sampler_order,
     )
     nbytes = save_exported(exp, args.out)
     print(f"# exported platforms={exp.platforms} "
@@ -126,6 +134,8 @@ def main():
         live = jax.jit(make_video_pipeline(
             ldm, ddim, args.audio_window, guidance_scale=args.scale,
             decode=not args.no_decode,
+            sampler=args.sampler, sampler_steps=args.sampler_steps,
+            sampler_order=args.sampler_order,
         ))(params, *inputs)
         check_params = params
         if mesh is not None:

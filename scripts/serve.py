@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--sampler", choices=("ddim", "dpm"), default="ddim",
+                    help="per-frame reverse chain; 'dpm' = DPM-Solver++ "
+                         "multistep at --sampler-steps model evals (the "
+                         "fewer-steps serving mode)")
+    ap.add_argument("--sampler-steps", type=int, default=20)
+    ap.add_argument("--sampler-order", type=int, default=2)
     ap.add_argument("--scale", type=float, default=2.0)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--audio-window", type=int, default=8)
@@ -104,9 +110,13 @@ def main():
         ddim = make_ddim_schedule(ldm.schedule, args.steps, eta=0.0)
         pipeline_fn = jax.jit(make_video_pipeline(
             ldm, ddim, args.audio_window, guidance_scale=args.scale,
+            sampler=args.sampler, sampler_steps=args.sampler_steps,
+            sampler_order=args.sampler_order,
         ))
-        print(f"# serving live-jitted pipeline ({args.steps} DDIM steps, "
-              f"cfg {args.scale})")
+        chain = (f"{args.steps} DDIM steps" if args.sampler == "ddim" else
+                 f"DPM-Solver++ o{args.sampler_order} "
+                 f"{args.sampler_steps} evals")
+        print(f"# serving live-jitted pipeline ({chain}, cfg {args.scale})")
 
     mesh = None
     if args.mesh:

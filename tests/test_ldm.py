@@ -231,6 +231,10 @@ def test_encode_crossattn_tokens_matches_route(monkeypatch):
         dataclasses.replace(specs[0], key="class_label2",
                             route="crossattn_token")
     ]
+    # token-concat keeps the 16-d per-token width (feature-concat would be
+    # 48); the UNet's context_dim guard (models/unet.py) rightly rejects a
+    # mismatched width, so reconfigure the UNet to match the new routing
+    ldm.unet = ldm.unet.clone(context_dim=16)
     batch = {
         "image": jnp.zeros((2, 16, 16, 3)),
         "masked_image": jnp.zeros((2, 16, 16, 3)),
