@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--batch", type=int, default=4, help="speakers per batch")
     ap.add_argument("--frames", type=int, default=32, help="frames per clip (pad/trim)")
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--sampler", choices=("ddim", "dpm"), default="ddim",
+                    help="per-frame reverse chain; 'dpm' = DPM-Solver++ "
+                         "multistep at --sampler-steps model evals (the "
+                         "fewer-steps serving mode)")
+    ap.add_argument("--sampler-steps", type=int, default=20)
+    ap.add_argument("--sampler-order", type=int, default=2)
     ap.add_argument("--scale", type=float, default=2.0)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--audio-window", type=int, default=8)
@@ -111,6 +117,8 @@ def main():
 
     synth = jax.jit(make_video_pipeline(
         ldm, ddim, w, guidance_scale=args.scale,
+        sampler=args.sampler, sampler_steps=args.sampler_steps,
+        sampler_order=args.sampler_order,
     ))
 
     # pipeline: host prep thread feeds a queue; device consumes
