@@ -143,6 +143,22 @@ def _flash_flags(nk: int):
     return defer_div, pv_transpose, norm_bound, staged
 
 
+def _vmem_limit(nbytes: int) -> int:
+    """Compile-time scoped-VMEM limit from a working-set estimate.
+
+    The byte formulas below size the FIT decision (which block shape / which
+    dispatch path); the limit handed to Mosaic gets a 32MB floor on top:
+    Mosaic demands a minimum schedulable stack that can exceed a small
+    formula value — measured: the packed fwd kernel at [*, 256, 640]
+    (20 heads) needs 10.63M of stack while the formula says 9.25M, an
+    unconditional compile failure ("scoped vmem limit exceeded") no batch
+    size or block choice avoids. The floor only lifts small programs (big
+    kernels' formula values already exceed it, so their compiles — and the
+    benchmarked schedules — are untouched); 32MB of 128MB VMEM leaves the
+    pipeline double-buffers of any fit-approved shape intact."""
+    return min(max(nbytes, 32 * (1 << 20)), 110 * (1 << 20))
+
+
 def _packed_fwd_bytes(bq: int, nk: int, hd: int) -> int:
     """Working-set bytes of one packed FORWARD program, sized conservatively
     in fp32. Single source of truth for the vmem_limit pallas_call compiles
@@ -380,10 +396,9 @@ def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = F
     # resident set: K + V (+ their pipeline double-buffers) + q block + fp32
     # scores + output block
     itemsize = jnp.dtype(q.dtype).itemsize
-    vmem_limit = min(
+    vmem_limit = _vmem_limit(
         4 * nk * d * itemsize + 2 * (block_q * nk * 4) + 4 * block_q * d * 4
-        + (1 << 21),
-        110 * (1 << 20),
+        + (1 << 21)
     )
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, defer_div=defer_div,
@@ -529,7 +544,7 @@ def flash_attention_streaming(q, k, v, scale=None, block_q: int = 512,
     nq_p, nk_p = nq + pad_q, nk + pad_k
 
     grid = (bh, nq_p // block_q, nk_p // block_k)
-    vmem_limit = min(_streaming_bytes(block_q, block_k, d), 110 * (1 << 20))
+    vmem_limit = _vmem_limit(_streaming_bytes(block_q, block_k, d))
     out = pl.pallas_call(
         functools.partial(_flash_kernel_streaming, scale=scale, nk=nk,
                           block_k=block_k),
@@ -609,7 +624,7 @@ def flash_attention_packed(q, k, v, heads: int, scale=None,
     grid = (b, nq_p // block_q)
     # _packed_fwd_bytes is the SAME formula _fit_block_q_packed approves
     # with, so a fit-approved shape cannot die in a VMEM-limit compile error
-    vmem_limit = min(_packed_fwd_bytes(block_q, nk, hd), 110 * (1 << 20))
+    vmem_limit = _vmem_limit(_packed_fwd_bytes(block_q, nk, hd))
     out = pl.pallas_call(
         functools.partial(_flash_kernel_packed, scale=scale, heads=heads,
                           defer_div=defer_div, pv_transpose=pv_transpose,
@@ -772,9 +787,8 @@ def flash_attention_bwd(q, k, v, do, scale=None, block_q: int = 256,
     v3 = v.reshape(bh, nk, d)
     nq_p = nq + pad_q
 
-    vmem_limit = min(
-        6 * nk * d * 4 + 4 * (block_q * nk * 4) + 8 * block_q * d * 4 + (1 << 21),
-        110 * (1 << 20),
+    vmem_limit = _vmem_limit(
+        6 * nk * d * 4 + 4 * (block_q * nk * 4) + 8 * block_q * d * 4 + (1 << 21)
     )
     bwd_defer = os.environ.get("DSML_FLASH_BWD_DEFER", "1") != "0"
     dq, dk, dv = pl.pallas_call(
@@ -826,7 +840,7 @@ def flash_attention_bwd_packed(q, k, v, do, heads: int, scale=None,
 
     # _packed_bwd_bytes is the SAME formula _fit_block_q_packed_bwd approves
     # with, so a fit-approved shape cannot die in a VMEM-limit compile error
-    vmem_limit = min(_packed_bwd_bytes(block_q, nk, hd), 110 * (1 << 20))
+    vmem_limit = _vmem_limit(_packed_bwd_bytes(block_q, nk, hd))
     bwd_defer = os.environ.get("DSML_FLASH_BWD_DEFER", "1") != "0"
     dq, dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_kernel_packed, scale=scale, heads=heads,

@@ -287,6 +287,24 @@ def test_packed_fit_matches_onchip_calibration():
     assert _packed_bwd_bytes(128, 4096, 320) >= int(78.84 * (1 << 20))
 
 
+def test_vmem_limit_floor_covers_small_shape_stack():
+    """On-chip calibration (round 3x): Mosaic demands 10.63M of stack for
+    the packed fwd kernel at [*, 256, 640] (the 256px model's 16x16 level,
+    20 heads) while _packed_fwd_bytes says 9.25M — compiling with the raw
+    formula is an unconditional scoped-VMEM OOM no batch/block choice
+    avoids (it broke __graft_entry__.entry() on a cold cache). The
+    compile-time limit therefore floors at 32MB; the FIT decisions keep
+    using the raw formulas (locked above)."""
+    from dsml_thesis_tpu.ops.attention import _packed_fwd_bytes, _vmem_limit
+
+    measured_stack = int(10.63 * (1 << 20))
+    assert _packed_fwd_bytes(256, 256, 640) < measured_stack  # why the floor
+    assert _vmem_limit(_packed_fwd_bytes(256, 256, 640)) >= measured_stack
+    # pass-through above the floor, cap at 110MB
+    assert _vmem_limit(50 * (1 << 20)) == 50 * (1 << 20)
+    assert _vmem_limit(500 * (1 << 20)) == 110 * (1 << 20)
+
+
 def test_flash_kernel_variants_match_reference(monkeypatch):
     """defer-div (ones-column denominator) and PV-transposed variants are
     numerically the same softmax attention (interpret mode)."""
