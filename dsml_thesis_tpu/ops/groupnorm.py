@@ -20,6 +20,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .attention import _vmem_limit
+
 
 def group_norm_silu_reference(
     x, gamma, beta, num_groups: int = 32, eps: float = 1e-5, silu: bool = True
@@ -136,7 +138,9 @@ def group_norm_silu_pallas(
 
     # one batch row resident in VMEM: input + fp32 working copy + result +
     # output, plus grid double-buffering headroom
-    vmem_limit = min(6 * (n * c * 4) + (1 << 21), 110 * (1 << 20))
+    # _vmem_limit floors at 32MB: Mosaic's minimum schedulable stack can
+    # exceed a small working-set estimate (see ops/attention.py)
+    vmem_limit = _vmem_limit(6 * (n * c * 4) + (1 << 21))
     out = pl.pallas_call(
         functools.partial(_gn_kernel, eps=eps, inv_count=inv_count, silu=silu),
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
@@ -193,7 +197,7 @@ def _gn_channel_stats_pallas(x3: jnp.ndarray, interpret: bool = False):
         out_specs=pl.BlockSpec((1, 8, c), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(10 * bn * c * 4 + (1 << 21), 100 * (1 << 20))
+            vmem_limit_bytes=_vmem_limit(10 * bn * c * 4 + (1 << 21))
         ),
         interpret=interpret,
     )(x3)
