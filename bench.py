@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dsml_thesis_tpu.cli import add_sampler_args
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -47,12 +49,7 @@ def parse_args():
     ap.add_argument("--config", default=None,
                     help="override the model yaml (e.g. the reference-faithful "
                          "mead-256-ldm-f4-fullattn.yaml)")
-    ap.add_argument("--sampler", choices=("ddim", "dpm"), default="ddim",
-                    help="per-frame reverse chain; 'dpm' = DPM-Solver++ "
-                         "multistep at --sampler-steps model evals (the "
-                         "fewer-steps serving mode; non-headline metric)")
-    ap.add_argument("--sampler-steps", type=int, default=20)
-    ap.add_argument("--sampler-order", type=int, default=2)
+    add_sampler_args(ap, note="non-headline metric")
     return ap.parse_args()
 
 

@@ -64,15 +64,20 @@ def progressive_video_sample(
     noise, CFG (incl. the pair-dedup prefix), and the autoregressive identity
     carry are identical to the DDIM path.
     """
-    B, F = masked_latents.shape[:2]
-    S = ddim.num_steps
-    lat_shape = z_id0.shape
-
     if sampler not in ("ddim", "dpm"):
         raise ValueError(f"unknown sampler {sampler!r} (want 'ddim' or 'dpm')")
     if sampler == "dpm" and sched is None:
         raise ValueError("sampler='dpm' needs the full DiffusionSchedule "
                          "(pass sched=ldm.schedule)")
+    if sampler == "dpm" and sampler_order not in (1, 2, 3):
+        # the suite's lax.switch would silently clamp an out-of-range order
+        # to the nearest branch, mislabeling what actually ran
+        raise ValueError(f"sampler_order must be 1, 2, or 3 "
+                         f"(got {sampler_order})")
+
+    B, F = masked_latents.shape[:2]
+    S = ddim.num_steps
+    lat_shape = z_id0.shape
 
     use_cfg = uncond_contexts is not None and guidance_scale != 1.0
     # CFG batch-pair prefix dedup (exact — both halves share x_t/t/concat;

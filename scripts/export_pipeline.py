@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dsml_thesis_tpu.cli import add_sampler_args
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -36,12 +38,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--sampler", choices=("ddim", "dpm"), default="ddim",
-                    help="per-frame reverse chain baked into the artifact; "
-                         "'dpm' = DPM-Solver++ multistep at --sampler-steps "
-                         "model evals (the fewer-steps serving mode)")
-    ap.add_argument("--sampler-steps", type=int, default=20)
-    ap.add_argument("--sampler-order", type=int, default=2)
+    add_sampler_args(ap, note="baked into the artifact")
     ap.add_argument("--scale", type=float, default=2.0)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--audio-window", type=int, default=8)

@@ -60,8 +60,11 @@ def main():
     c2p = mp["cond_stage_config_2"]["params"]
     aud_seq, aud_dim = c2p["seq_len"], c2p["subspace_dim"]
     ctx_dim = mp["unet_config"]["params"]["context_dim"]
-    zc = mp["first_stage_config"]["params"]["ddconfig"]["z_channels"]
-    lat = args.res // 4
+    ddc = mp["first_stage_config"]["params"]["ddconfig"]
+    zc = ddc["z_channels"]
+    # downsample factor from the loaded first-stage config (f = 2^(levels-1)),
+    # not a hard-coded f4 — --config must benchmark the model it names
+    lat = args.res // (1 << (len(ddc["ch_mult"]) - 1))
     batch = {
         "image": jnp.zeros((B, args.res, args.res, 3)),
         "masked_image": jnp.zeros((B, args.res, args.res, 3)),
@@ -135,6 +138,8 @@ def report_mfu(ldm, cfg, params, args, unet_fn, x2, t2, ctx2, cc2, zc=3):
     times their trip counts — the same structure bench.py executes.
     `params` arrive already cast to the bf16 sampling tree (main)."""
     B, F, S = args.batch, args.frames, args.steps
+    ddc = cfg["model"]["params"]["first_stage_config"]["params"]["ddconfig"]
+    lat = args.res // (1 << (len(ddc["ch_mult"]) - 1))
 
     def cost(jitted, *a):
         ca = jitted.lower(*a).compile().cost_analysis()
@@ -145,7 +150,6 @@ def report_mfu(ldm, cfg, params, args, unet_fn, x2, t2, ctx2, cc2, zc=3):
     print(f"UNet eval (CFG bs{ctx2.shape[0]}{pair}): {uf/1e9:.1f} GFLOP, "
           f"{ub/1e9:.2f} GB accessed")
 
-    lat = args.res // 4
     enc_fn = jax.jit(lambda p, x: ldm.encode_first_stage(p, x))
     ef, eb = cost(enc_fn, params,
                   jnp.zeros((B * F, args.res, args.res, 3)))

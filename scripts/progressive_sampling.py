@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dsml_thesis_tpu.cli import add_sampler_args
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -38,14 +40,7 @@ def main():
     ap.add_argument("--audio-dir", required=True)
     ap.add_argument("--outdir", required=True)
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--sampler", choices=("ddim", "dpm"), default="ddim",
-                    help="per-frame reverse chain: reference-faithful DDIM "
-                         "(default) or DPM-Solver++ multistep at "
-                         "--sampler-steps model evals (fewer-steps serving)")
-    ap.add_argument("--sampler-steps", type=int, default=20,
-                    help="model evals per frame when --sampler dpm")
-    ap.add_argument("--sampler-order", type=int, default=2,
-                    help="DPM-Solver++ order when --sampler dpm")
+    add_sampler_args(ap)
     ap.add_argument("--scale", type=float, default=2.0)
     ap.add_argument("--clips", type=int, default=None, help="limit #clips")
     ap.add_argument("--frames", type=int, default=None,

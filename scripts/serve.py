@@ -28,6 +28,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+from dsml_thesis_tpu.cli import add_sampler_args
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -40,12 +42,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--sampler", choices=("ddim", "dpm"), default="ddim",
-                    help="per-frame reverse chain; 'dpm' = DPM-Solver++ "
-                         "multistep at --sampler-steps model evals (the "
-                         "fewer-steps serving mode)")
-    ap.add_argument("--sampler-steps", type=int, default=20)
-    ap.add_argument("--sampler-order", type=int, default=2)
+    add_sampler_args(ap, note="ignored with --artifact (the artifact's "
+                              "baked-in chain is served)")
     ap.add_argument("--scale", type=float, default=2.0)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--audio-window", type=int, default=8)
@@ -98,6 +96,13 @@ def main():
     params = cast_sampling_params(
         load_params(args.ckpt, ldm, cfg["model"], example_batch=example)
     )
+
+    if args.artifact and args.sampler != "ddim":
+        # the chain is baked into the artifact at export time; silently
+        # serving a different one than requested would go unnoticed
+        ap.error("--sampler cannot be changed when serving an --artifact; "
+                 "re-export with scripts/export_pipeline.py --sampler "
+                 f"{args.sampler}")
 
     if args.artifact:
         from dsml_thesis_tpu.serving import load_exported

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dsml_thesis_tpu.cli import add_sampler_args
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -34,12 +36,7 @@ def main():
     ap.add_argument("--batch", type=int, default=4, help="speakers per batch")
     ap.add_argument("--frames", type=int, default=32, help="frames per clip (pad/trim)")
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--sampler", choices=("ddim", "dpm"), default="ddim",
-                    help="per-frame reverse chain; 'dpm' = DPM-Solver++ "
-                         "multistep at --sampler-steps model evals (the "
-                         "fewer-steps serving mode)")
-    ap.add_argument("--sampler-steps", type=int, default=20)
-    ap.add_argument("--sampler-order", type=int, default=2)
+    add_sampler_args(ap)
     ap.add_argument("--scale", type=float, default=2.0)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--audio-window", type=int, default=8)

@@ -7,6 +7,7 @@ repeating the last row, padded rows never reach a client, concurrent
 requests coalesce into one device dispatch.
 """
 import io
+import os
 import sys
 import threading
 import time
@@ -19,7 +20,7 @@ import numpy as np
 import pytest
 import yaml
 
-sys.path.insert(0, "tests")
+sys.path.insert(0, os.path.dirname(__file__))
 from test_ldm import TINY_MEAD_CFG
 
 from dsml_thesis_tpu.config import build_model
@@ -312,8 +313,10 @@ def test_queue_cap_sheds_load_with_overloaded():
     from dsml_thesis_tpu.server import Overloaded
 
     release = threading.Event()
+    entered = threading.Event()
 
     def run_batch(stacked, i):
+        entered.set()
         release.wait(5.0)
         return stacked["x"]
 
@@ -323,8 +326,12 @@ def test_queue_cap_sheds_load_with_overloaded():
             target=lambda: mb.submit({"x": np.zeros((1,), np.float32)},
                                      timeout=10.0), daemon=True)
             for _ in range(2)]
-        for t in ts:
-            t.start()
+        ts[0].start()
+        # wait until the worker has DEQUEUED the first request (blocked in
+        # run_batch) before submitting the second — starting both at once
+        # races the worker's dequeue and the second submit itself can shed
+        assert entered.wait(5.0)
+        ts[1].start()
         # worker holds one batch (blocked in run_batch), one request queued:
         # admission is at the cap, the next submit must shed immediately
         deadline = time.monotonic() + 5.0

@@ -6,6 +6,7 @@ disk round-trip, and compose back under jit. CPU-platform artifacts carry no
 Mosaic custom calls (ops/attention dispatch is XLA on cpu), so they exercise
 jax.export's full portability checks.
 """
+import os
 import sys
 
 import jax
@@ -14,7 +15,7 @@ import numpy as np
 import pytest
 import yaml
 
-sys.path.insert(0, "tests")
+sys.path.insert(0, os.path.dirname(__file__))
 from test_ldm import TINY_MEAD_CFG
 
 from dsml_thesis_tpu.config import build_model

@@ -69,10 +69,11 @@ def test_cfg_branch_changes_output():
 def test_full_pipeline_matches_manual_assembly():
     """make_video_pipeline (everything in-graph) == hand-assembled encode →
     progressive_video_sample → decode (the CLI's round-1 shape)."""
+    import os
     import sys
     import yaml
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, os.path.dirname(__file__))
     from test_ldm import TINY_MEAD_CFG
 
     from dsml_thesis_tpu.config import build_model
@@ -134,10 +135,11 @@ def test_cfg_dedup_matches_stock_pipeline(monkeypatch):
     once per CFG pair, models/unet.py cfg_pairs) produces the same frames as
     the stock batch-doubled CFG: the two halves share x_t, t, and the concat
     latents, so tiling at the divergence is exact."""
+    import os
     import sys
     import yaml
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, os.path.dirname(__file__))
     from test_ldm import TINY_MEAD_CFG
 
     from dsml_thesis_tpu.config import build_model
@@ -179,10 +181,11 @@ def test_xattn_1tok_matches_stock_pipeline(monkeypatch):
     the MEAD c12 context is one token, so every cross-attention block in the
     whole 50-step chain rides the shortcut. Also checked composed with the
     CFG pair dedup (both default-path levers must stack exactly)."""
+    import os
     import sys
     import yaml
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, os.path.dirname(__file__))
     from test_ldm import TINY_MEAD_CFG
 
     from dsml_thesis_tpu.config import build_model
@@ -278,12 +281,13 @@ def test_dpm_sampler_matches_manual_frame_loop():
 def test_dpm_pipeline_plumbing_and_errors():
     """make_video_pipeline(sampler='dpm') compiles end-to-end on the tiny
     MEAD config and differs from the DDIM chain; bad sampler args raise."""
+    import os
     import sys
     import yaml
 
     import pytest
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, os.path.dirname(__file__))
     from test_ldm import TINY_MEAD_CFG
 
     from dsml_thesis_tpu.config import build_model
@@ -326,6 +330,13 @@ def test_dpm_pipeline_plumbing_and_errors():
         progressive_video_sample(ddim, lambda *a: a[0], masked[:, :, :, :, :3],
                                  jnp.zeros((B, F, 1, 8)), identity[:, :8, :8, :3],
                                  key, sampler="dpm")
+    # out-of-range orders must raise, not silently run the nearest lax.switch
+    # branch under a mislabeled metric name
+    with pytest.raises(ValueError, match="sampler_order must be 1, 2, or 3"):
+        progressive_video_sample(ddim, lambda *a: a[0], masked[:, :, :, :, :3],
+                                 jnp.zeros((B, F, 1, 8)), identity[:, :8, :8, :3],
+                                 key, sampler="dpm", sched=ldm.schedule,
+                                 sampler_order=4)
 
 
 def test_unet_cfg_pairs_matches_batch_doubling():
@@ -358,10 +369,11 @@ def test_cfg_dedup_falls_back_for_split_input(monkeypatch):
     apply_model has no cfg_pairs path): with the dedup DEFAULT ON the video
     pipeline must silently use the stock batch-doubled CFG, not raise."""
     import copy
+    import os
     import sys
     import yaml
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, os.path.dirname(__file__))
     from test_ldm import TINY_MEAD_CFG
 
     from dsml_thesis_tpu.config import build_model
