@@ -161,3 +161,40 @@ def test_emorec_cli(tmp_path):
                "--torch-model", str(tmp_path / "clf.pt"),
                "--input-size", "64"])
     assert "class 3: acc 1.000" in out
+
+
+def test_migration_doc_cites_real_scripts_and_flags():
+    """Doc-rot guard: every `python <script> --flag ...` in the 'ours' column
+    of docs/MIGRATION.md names a script that exists and flags its argparse
+    actually accepts (asserted against the script's --help text)."""
+    import re
+
+    md = open(os.path.join(REPO, "docs", "MIGRATION.md")).read()
+    cited = {}  # script -> set of --flags cited anywhere in the ours column
+    for line in md.splitlines():
+        if not line.startswith("|"):
+            continue
+        cells = [c.strip() for c in line.split("|")]
+        if len(cells) < 4:
+            continue
+        ours = cells[2]
+        for span in re.findall(r"`([^`]*)`", ours):
+            m = re.search(r"python\s+((?:scripts/)?\w+\.py)", span)
+            if not m:
+                continue
+            script = m.group(1)
+            flags = set(re.findall(r"(--[a-z][a-z0-9-]*)", span))
+            cited.setdefault(script, set()).update(flags)
+
+    assert cited, "no commands parsed from MIGRATION.md — format changed?"
+    for script, flags in sorted(cited.items()):
+        path = os.path.join(REPO, script)
+        assert os.path.exists(path), f"MIGRATION.md cites missing {script}"
+        r = subprocess.run([sys.executable, script, "--help"], cwd=REPO,
+                           env=ENV, capture_output=True, text=True,
+                           timeout=120)
+        assert r.returncode == 0, f"{script} --help failed: {r.stderr[-500:]}"
+        for flag in sorted(flags):
+            assert flag in r.stdout, (
+                f"MIGRATION.md cites {script} {flag}, but its --help "
+                f"does not list it")
