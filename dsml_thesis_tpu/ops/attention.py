@@ -122,11 +122,14 @@ def _flash_flags(nk: int):
     - norm_bound: Cauchy-Schwarz shift instead of the row-max pass; wins
       where the score matrix is big (fullattn N=4096: 3.314 -> 3.343).
 
-    All three parse identically: "auto" (where applicable) / "1" = on /
-    anything else = off — so e.g. 'false' or '' can never silently ENABLE a
-    lever. pv_transpose only exists inside the defer-div formulation (the
-    transposed product carries the ones-column denominator), so it is
-    forced off when defer_div is disabled rather than silently ignored.
+    Parse contract: defer_div is DEFAULT-ON with a kill switch — only the
+    literal "0" disables it (any other value, including 'false' or '',
+    leaves it on). The opt-in levers (pv_transpose / norm_bound / staged)
+    parse "auto" / "1" = on, anything else = off, so a stray value can never
+    silently ENABLE one of those. pv_transpose only exists inside the
+    defer-div formulation (the transposed product carries the ones-column
+    denominator), so it is forced off when defer_div is disabled rather
+    than silently ignored.
     """
     defer_div = os.environ.get("DSML_FLASH_DEFER_DIV", "1") != "0"
     pv_env = os.environ.get("DSML_FLASH_PV_T", "auto")
@@ -235,13 +238,32 @@ def _exp_stage(sim, m, dtype):
     return jnp.exp2(sim - m).astype(dtype)
 
 
+def _append_ones_column(v):
+    """[Nk, D] -> [Nk, D+1] with a ones column appended: the defer-div
+    convention that makes the softmax denominator ride the P@V matmul.
+    Single source for the resident (_pv_stage) AND streaming kernels — the
+    column position is load-bearing for _defer_div_finish below."""
+    return jnp.concatenate(
+        [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1
+    )  # the pad column costs nothing (lane tile is 128-wide)
+
+
+def _defer_div_finish(acc, d: int, out_dtype):
+    """Extract the ones-column denominator from a [Bq, D+1] accumulator and
+    normalize. The 1e-30 clamp is the norm_bound flush guard (see
+    _attend_one_head: a loose Cauchy-Schwarz shift can flush a whole softmax
+    row to zero, and an unclamped denominator turns that into 0/0 = NaN).
+    Shared by the resident and streaming kernels so the clamp and the
+    column convention cannot diverge."""
+    denom = jnp.maximum(acc[:, d:d + 1], jnp.float32(1e-30))
+    return (acc[:, :d] / denom).astype(out_dtype)
+
+
 def _pv_stage(p, v, *, pv_transpose: bool, out_dtype):
     """Stage 3 (defer-div form): P@V with the softmax denominator riding as
     a ones column of V, then the [Bq, D]-sized normalize."""
     d = v.shape[-1]
-    v1 = jnp.concatenate(
-        [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1
-    )  # [Nk, D+1]; the pad column costs nothing (lane tile is 128-wide)
+    v1 = _append_ones_column(v)  # [Nk, D+1]
     if pv_transpose:
         # [D+1, Bq] = V1^T @ P^T: contraction Nk (full 128 depth) AND
         # output width Bq (full 128 lanes) — vs [Bq, Nk]@[Nk, D+1] whose
@@ -253,14 +275,7 @@ def _pv_stage(p, v, *, pv_transpose: bool, out_dtype):
         out = out_t.T  # [Bq, D+1] relayout in VMEM
     else:
         out = jnp.dot(p, v1, preferred_element_type=jnp.float32)
-    # guard: with norm_bound the shift can exceed the true row max by an
-    # unbounded margin; if the slack tops ~133 log2 units every p in the
-    # row flushes to zero (bf16 subnormal floor) and the deferred
-    # denominator is exactly 0 -> 0/0 NaN. Clamp so a pathological row
-    # degrades to ~0 output instead of poisoning the tensor. The row-max
-    # path guarantees denom >= 1 and never hits the clamp.
-    denom = jnp.maximum(out[:, d:d + 1], jnp.float32(1e-30))
-    return (out[:, :d] / denom).astype(out_dtype)
+    return _defer_div_finish(out, d, out_dtype)
 
 
 def _attend_one_head(q, k, v, *, scale: float, defer_div: bool = True,
@@ -462,16 +477,14 @@ def _flash_kernel_streaming(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     alpha = jnp.exp2(m_prev - m_new)
     p = jnp.where(valid, jnp.exp2(s - m_new), jnp.float32(0.0))
-    v1 = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1)
+    v1 = _append_ones_column(v)
     acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
         p.astype(v.dtype), v1, preferred_element_type=jnp.float32)
     m_ref[...] = m_new
 
     @pl.when(j == pl.num_programs(2) - 1)
     def _():
-        acc = acc_ref[...]
-        denom = jnp.maximum(acc[:, d:d + 1], jnp.float32(1e-30))
-        o_ref[0] = (acc[:, :d] / denom).astype(o_ref.dtype)
+        o_ref[0] = _defer_div_finish(acc_ref[...], d, o_ref.dtype)
 
 
 def _streaming_bytes(bq: int, bk: int, d: int) -> int:
@@ -496,14 +509,19 @@ def _fit_blocks_streaming(nq: int, nk: int, d: int, requested_bq: int,
     """(block_q, block_k) whose streaming working set (_streaming_bytes)
     fits the VMEM budget. Unlike the resident kernel this always succeeds
     for sane D — the set scales with the BLOCK sizes, not with Nk — but
-    return None rather than shrinking block_q below 8. The requested
-    block_k clamps UP to the 128 floor: a sub-128 request (say a block-q
-    tuner exporting DSML_FLASH_BLOCK_K=64) must not silently disable
-    streaming and re-expose the O(Nk^2) XLA fallback it exists to avoid."""
-    bq = min(requested_bq, nq)
-    while bq >= 8:
-        bk = min(max(requested_bk, 128), nk)
-        while bk >= 128:
+    return None rather than shrinking block_q below its floor. BOTH
+    requested sizes clamp UP to their floors (block_q to 8, block_k to 128
+    — each capped at the actual sequence length, so e.g. a forced-streaming
+    nk=64 still evaluates bk=64 instead of vacuously falling back to XLA):
+    a tiny request (say a tuner exporting DSML_FLASH_BLOCK_K=64 or
+    DSML_FLASH_BLOCK_Q=4) must not silently disable streaming and re-expose
+    the O(Nk^2) XLA fallback it exists to avoid."""
+    bq_floor = min(8, nq)
+    bk_floor = min(128, nk)
+    bq = min(max(requested_bq, bq_floor), nq)
+    while bq >= bq_floor:
+        bk = min(max(requested_bk, bk_floor), nk)
+        while bk >= bk_floor:
             if _streaming_bytes(bq, bk, d) <= _VMEM_BUDGET:
                 return bq, bk
             bk //= 2
@@ -517,12 +535,15 @@ def flash_attention_streaming(q, k, v, scale=None, block_q: int = 512,
     k/v: [B, H, Nk, D] -> [B, H, Nq, D].
 
     Unlike flash_attention (which keeps one head's whole K/V resident in
-    VMEM and is therefore capped near Nk ~ 4-8k), this kernel streams K/V
+    VMEM — _fit_block_q's budget admits that up to Nk ~ 115k at d=32 /
+    ~62k at d=64, shrinking block_q as Nk grows), this kernel streams K/V
     in blocks with online-softmax rescaling, so HBM footprint is O(N) and
     VMEM footprint is O(block_q * block_k) — arbitrary sequence lengths.
-    The flagship never needs it (Nk <= 4096); it exists so the dispatch has
-    an honest native path beyond the resident kernel's reach instead of
-    falling back to XLA's O(Nk^2)-scores attention."""
+    The flagship never needs it (Nk <= 4096, resident at full block_q); it
+    exists so the dispatch has an honest native path beyond the resident
+    kernel's reach instead of falling back to XLA's O(Nk^2)-scores
+    attention. Auto dispatch engages it exactly where _fit_block_q returns
+    None; DSML_FLASH_STREAMING=1 forces it for any shape."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     b, h, nq, d = q.shape
@@ -572,6 +593,272 @@ def flash_attention_streaming(q, k, v, scale=None, block_q: int = 512,
     return out.reshape(b, h, nq, d)
 
 
+def _streaming_lse_kernel(q_ref, k_ref, lse_ref, m_ref, l_ref, *,
+                          scale: float, nk: int, block_k: int):
+    """Recompute pass of the streamed backward: the log2-domain logsumexp of
+    the folded scores per q-row (lse2_i = m_i + log2 sum_j 2^(s2_ij - m_i)),
+    so the bwd kernels can form exact softmax probabilities p = 2^(s2 - lse2)
+    without a running-max rescale. Same online recurrence and finite -1e30
+    masking as the forward (_flash_kernel_streaming)."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    c = jnp.asarray(scale * 1.4426950408889634, q.dtype)
+    s = jax.lax.dot_general(
+        q * c, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    valid = (j * block_k
+             + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)) < nk
+    s = jnp.where(valid, s, jnp.float32(-1e30))
+    m_prev = m_ref[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.where(valid, jnp.exp2(s - m_new), jnp.float32(0.0))
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[...] = m_new
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        lse_ref[0] = m_ref[...] + jnp.log2(
+            jnp.maximum(l_ref[...], jnp.float32(1e-30)))
+
+
+def _streaming_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
+                         dq_ref, acc_ref, *, scale: float, nk: int,
+                         block_k: int):
+    """dq for one (batch*head, q-block): stream K/V blocks (innermost grid
+    axis), accumulating ds @ K in fp32 scratch. p is exact via the
+    precomputed lse2; ds = p * (do V^T - delta) with delta_i = do_i . o_i
+    (the standard flash-bwd row term, computed outside from the saved
+    output). Padded keys carry p = 0 and padded q-rows carry do = 0, so both
+    contribute exactly zero."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    c = jnp.asarray(scale * 1.4426950408889634, q.dtype)
+    s = jax.lax.dot_general(
+        q * c, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    valid = (j * block_k
+             + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)) < nk
+    p = jnp.where(valid, jnp.exp2(s - lse_ref[0]), jnp.float32(0.0))
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - dlt_ref[0])
+    acc_ref[...] += jnp.dot(ds, k.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = (jnp.float32(scale) * acc_ref[...]).astype(dq_ref.dtype)
+
+
+def _streaming_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
+                           dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
+                           nk: int, block_k: int):
+    """dk/dv for one (batch*head, k-block): stream q-blocks (innermost grid
+    axis), accumulating ds^T @ Q and p^T @ dO in fp32 scratch. Same p/ds
+    construction as _streaming_dq_kernel."""
+    jk = pl.program_id(1)
+    jq = pl.program_id(2)
+
+    @pl.when(jq == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    c = jnp.asarray(scale * 1.4426950408889634, q.dtype)
+    s = jax.lax.dot_general(
+        q * c, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    valid = (jk * block_k
+             + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)) < nk
+    p = jnp.where(valid, jnp.exp2(s - lse_ref[0]), jnp.float32(0.0))
+    dv_acc[...] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - dlt_ref[0])
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(jq == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = jnp.float32(scale) * dk_acc[...]
+        dv_ref[0] = dv_acc[...]
+
+
+def _streaming_bwd_bytes(bq: int, bk: int, d: int) -> int:
+    """Working-set bytes of one streamed-backward program (fp32 sizing), the
+    single source for the bwd vmem_limit and _fit_blocks_streaming_bwd —
+    same convention as _streaming_bytes: k/v/q/do blocks + pipeline double
+    buffers, EIGHT live [bq, bk] score temporaries (s, mask, iota, p, dp,
+    ds + Mosaic's observed ~2x overlap slack), the dq/dk/dv accumulators,
+    and the lse/delta blocks lane-padded to 128."""
+    kv = 4 * bk * d * 4
+    qdo = 4 * bq * d * 4
+    scores = 8 * bq * bk * 4
+    acc = (bq + 2 * bk) * d * 4
+    aux = 4 * bq * 128 * 4
+    return kv + qdo + scores + acc + aux + (1 << 21)
+
+
+def _fit_blocks_streaming_bwd(nq: int, nk: int, d: int, requested_bq: int,
+                              requested_bk: int):
+    """(block_q, block_k) for the streamed backward — same clamping policy
+    as _fit_blocks_streaming, approved against _streaming_bwd_bytes."""
+    bq_floor = min(8, nq)
+    bk_floor = min(128, nk)
+    bq = min(max(requested_bq, bq_floor), nq)
+    while bq >= bq_floor:
+        bk = min(max(requested_bk, bk_floor), nk)
+        while bk >= bk_floor:
+            if _streaming_bwd_bytes(bq, bk, d) <= _VMEM_BUDGET:
+                return bq, bk
+            bk //= 2
+        bq //= 2
+    return None
+
+
+def flash_attention_streaming_bwd(q, k, v, o, do, scale=None,
+                                  block_q: int = 512, block_k: int = 1024,
+                                  interpret: bool = False):
+    """Streamed flash backward: (dq, dk, dv) at O(N) HBM / O(bq*bk) VMEM.
+
+    The O(Nk^2)-residual XLA VJP would OOM at exactly the sequence lengths
+    that route to the streaming forward, so the backward streams too:
+    one LSE-recompute pass (per-row log2-domain logsumexp), then a dq kernel
+    (q-blocks outer, K/V streamed) and a dk/dv kernel (k-blocks outer,
+    q-blocks streamed), all accumulating in fp32 scratch. delta_i =
+    dO_i . O_i comes from the saved forward output (the standard flash-bwd
+    identity sum_j p_ij dp_ij = dO_i . O_i)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    bh = b * h
+    fit = _fit_blocks_streaming_bwd(nq, nk, d, block_q, block_k)
+    if fit is None:  # unreachable for sane d — explicit beats a Mosaic OOM
+        raise ValueError(
+            f"streamed attention backward cannot fit VMEM at d={d} "
+            f"(nq={nq}, nk={nk}); no supported head size reaches this")
+    bq, bk = fit
+
+    q3 = q.reshape(bh, nq, d)
+    do3 = do.reshape(bh, nq, d)
+    o3 = o.reshape(bh, nq, d)
+    k3 = k.reshape(bh, nk, d)
+    v3 = v.reshape(bh, nk, d)
+    pad_q = (-nq) % bq
+    if pad_q:
+        q3 = jnp.pad(q3, ((0, 0), (0, pad_q), (0, 0)))
+        do3 = jnp.pad(do3, ((0, 0), (0, pad_q), (0, 0)))
+        o3 = jnp.pad(o3, ((0, 0), (0, pad_q), (0, 0)))
+    pad_k = (-nk) % bk
+    if pad_k:
+        k3 = jnp.pad(k3, ((0, 0), (0, pad_k), (0, 0)))
+        v3 = jnp.pad(v3, ((0, 0), (0, pad_k), (0, 0)))
+    nq_p, nk_p = nq + pad_q, nk + pad_k
+
+    # delta_i = dO_i . O_i — [bh, nq_p, 1] fp32 (padded rows are exactly 0,
+    # which zeroes every padded-row ds in the kernels)
+    delta = jnp.sum(do3.astype(jnp.float32) * o3.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+
+    vmem_limit = _vmem_limit(_streaming_bwd_bytes(bq, bk, d))
+    grid_q = (bh, nq_p // bq, nk_p // bk)
+    spec_qblk = pl.BlockSpec((1, bq, d), lambda i, jq, jk: (i, jq, 0),
+                             memory_space=pltpu.VMEM)
+    spec_kblk = pl.BlockSpec((1, bk, d), lambda i, jq, jk: (i, jk, 0),
+                             memory_space=pltpu.VMEM)
+    spec_row = pl.BlockSpec((1, bq, 1), lambda i, jq, jk: (i, jq, 0),
+                            memory_space=pltpu.VMEM)
+
+    lse = pl.pallas_call(
+        functools.partial(_streaming_lse_kernel, scale=scale, nk=nk,
+                          block_k=bk),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_p, 1), jnp.float32),
+        grid=grid_q,
+        in_specs=[spec_qblk, spec_kblk],
+        out_specs=spec_row,
+        scratch_shapes=[pltpu.VMEM((bq, 1), jnp.float32),
+                        pltpu.VMEM((bq, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(q3, k3)
+
+    dq = pl.pallas_call(
+        functools.partial(_streaming_dq_kernel, scale=scale, nk=nk,
+                          block_k=bk),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_p, d), q.dtype),
+        grid=grid_q,
+        in_specs=[spec_qblk, spec_kblk, spec_kblk, spec_qblk, spec_row,
+                  spec_row],
+        out_specs=spec_qblk,
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(q3, k3, v3, do3, lse, delta)
+
+    grid_k = (bh, nk_p // bk, nq_p // bq)
+    kspec_qblk = pl.BlockSpec((1, bq, d), lambda i, jk, jq: (i, jq, 0),
+                              memory_space=pltpu.VMEM)
+    kspec_kblk = pl.BlockSpec((1, bk, d), lambda i, jk, jq: (i, jk, 0),
+                              memory_space=pltpu.VMEM)
+    kspec_row = pl.BlockSpec((1, bq, 1), lambda i, jk, jq: (i, jq, 0),
+                             memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_streaming_dkdv_kernel, scale=scale, nk=nk,
+                          block_k=bk),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nk_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nk_p, d), jnp.float32),
+        ),
+        grid=grid_k,
+        in_specs=[kspec_qblk, kspec_kblk, kspec_kblk, kspec_qblk, kspec_row,
+                  kspec_row],
+        out_specs=(kspec_kblk, kspec_kblk),
+        scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32),
+                        pltpu.VMEM((bk, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(q3, k3, v3, do3, lse, delta)
+
+    if pad_q:
+        dq = dq[:, :nq]
+    if pad_k:
+        dk = dk[:, :nk]
+        dv = dv[:, :nk]
+    return (dq.reshape(b, h, nq, d),
+            dk.astype(k.dtype).reshape(b, h, nk, d),
+            dv.astype(v.dtype).reshape(b, h, nk, d))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _streaming_attention_diff(q, k, v, scale, block_q, block_k, interpret):
     return flash_attention_streaming(q, k, v, scale, block_q, block_k,
@@ -579,21 +866,18 @@ def _streaming_attention_diff(q, k, v, scale, block_q, block_k, interpret):
 
 
 def _streaming_fwd(q, k, v, scale, block_q, block_k, interpret):
-    return flash_attention_streaming(q, k, v, scale, block_q, block_k,
-                                     interpret), (q, k, v)
+    out = flash_attention_streaming(q, k, v, scale, block_q, block_k,
+                                    interpret)
+    # the output rides the residuals (O(N) extra) so the backward can form
+    # delta = dO . O without an O(Nk^2) recompute
+    return out, (q, k, v, out)
 
 
 def _streaming_bwd(scale, block_q, block_k, interpret, res, g):
-    # Backward falls back to the XLA attention VJP: the streaming kernel
-    # serves long-sequence INFERENCE; training at these lengths would need a
-    # streamed backward (two-pass dk/dv + dq accumulation) that no supported
-    # workload exercises. This keeps today's gradient semantics (and memory
-    # behavior) for anyone who differentiates an over-VMEM shape.
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda qq, kk, vv: attention_reference(qq, kk, vv, scale=scale),
-        q, k, v)
-    return vjp(g)
+    q, k, v, o = res
+    return flash_attention_streaming_bwd(
+        q, k, v, o, g, scale=scale, block_q=block_q, block_k=block_k,
+        interpret=interpret)
 
 
 _streaming_attention_diff.defvjp(_streaming_fwd, _streaming_bwd)
@@ -955,8 +1239,9 @@ def _fit_block_q(nq: int, nk: int, d: int, requested: int):
     (the larger of the two passes), because the custom VJP means any forward
     call may later be differentiated with the same block_q. K/V/dk/dv in
     fp32 + two fp32 [block_q, nk] score/ds buffers (double-buffered by the
-    pipeline) + q/do/dq blocks."""
-    bq = min(requested, nq)
+    pipeline) + q/do/dq blocks. The request clamps UP to the 8 floor (a
+    sub-8 DSML_FLASH_BLOCK_Q must not silently disable every kernel)."""
+    bq = min(max(requested, 8), nq)
     while bq >= 8:
         kv_resident = 6 * nk * d * 4
         scores = 4 * (bq * nk * 4)
@@ -970,8 +1255,8 @@ def _fit_block_q(nq: int, nk: int, d: int, requested: int):
 def _fit_block_q_packed(nq: int, nk: int, hd: int, requested: int):
     """VMEM fit for the packed forward kernel — approves with the SAME
     _packed_fwd_bytes formula flash_attention_packed compiles its
-    vmem_limit from."""
-    bq = min(requested, nq)
+    vmem_limit from (request clamped up to the 8 floor, see _fit_block_q)."""
+    bq = min(max(requested, 8), nq)
     while bq >= 8:
         if _packed_fwd_bytes(bq, nk, hd) <= _VMEM_BUDGET:
             return bq
@@ -982,8 +1267,8 @@ def _fit_block_q_packed(nq: int, nk: int, hd: int, requested: int):
 def _fit_block_q_packed_bwd(nq: int, nk: int, hd: int, requested: int):
     """VMEM fit for the packed BACKWARD kernel — approves with the SAME
     _packed_bwd_bytes formula flash_attention_bwd_packed compiles its
-    vmem_limit from."""
-    bq = min(requested, nq)
+    vmem_limit from (request clamped up to the 8 floor, see _fit_block_q)."""
+    bq = min(max(requested, 8), nq)
     while bq >= 8:
         if _packed_bwd_bytes(bq, nk, hd) <= _VMEM_BUDGET:
             return bq

@@ -841,21 +841,30 @@ def test_streaming_attention_extreme_scores_no_nan():
 
 def test_streaming_dispatch_and_grad(monkeypatch):
     """DSML_FLASH_STREAMING=1 + the interpret hook route multi_head_attention
-    through the streaming custom-VJP wrapper; jax.grad works (bwd = the XLA
-    attention VJP) and matches the reference gradients."""
+    through the streaming custom-VJP wrapper; jax.grad runs the STREAMED
+    backward kernels (lse recompute + dq + dk/dv) and matches the reference
+    gradients."""
     from dsml_thesis_tpu.ops.attention import (
-        _fit_blocks_streaming, multi_head_attention)
+        _fit_block_q, _fit_blocks_streaming, _fit_blocks_streaming_bwd,
+        multi_head_attention)
 
     from dsml_thesis_tpu.ops import attention as attn_mod
 
     # fit sanity: streaming always finds blocks where the resident kernel
     # cannot (65536 kv rows at d=64), and respects the requested caps
     assert _fit_blocks_streaming(65536, 65536, 64, 1024, 1024) is not None
+    assert _fit_blocks_streaming_bwd(65536, 65536, 64, 1024, 1024) is not None
     bq, bk = _fit_blocks_streaming(4096, 4096, 32, 512, 512)
     assert bq <= 512 and bk <= 512
     # a sub-128 block_k request clamps UP to the floor instead of silently
     # disabling streaming (the O(Nk^2) XLA fallback it exists to avoid)
     assert _fit_blocks_streaming(4096, 65536, 32, 512, 64) is not None
+    # ... and so does a sub-8 block_q request, in every fit
+    assert _fit_blocks_streaming(4096, 65536, 32, 4, 1024) is not None
+    assert _fit_block_q(1024, 1024, 32, 4) == 8
+    # forced streaming at nk < 128 must still evaluate bk = nk, not
+    # vacuously fall back to XLA
+    assert _fit_blocks_streaming(64, 64, 32, 1024, 1024) == (64, 64)
 
     monkeypatch.setenv("DSML_FLASH_INTERPRET", "1")
     monkeypatch.setenv("DSML_FLASH_STREAMING", "1")
@@ -960,3 +969,35 @@ def test_packed_staged_head_pipeline_bitwise_equal(monkeypatch):
         for kk in extra:
             monkeypatch.delenv(kk)
     monkeypatch.delenv("DSML_FLASH_STAGED")
+
+
+def test_streaming_bwd_ragged_both_axes_and_bf16():
+    """flash_attention_streaming_bwd directly: ragged nq AND nk (both pad
+    paths live), multi-block on both grid axes, fp32 exactness + bf16
+    finiteness with fp32 dk/dv accumulation."""
+    from dsml_thesis_tpu.ops.attention import (
+        _streaming_attention_diff, attention_reference)
+
+    rs = np.random.RandomState(11)
+    q = jnp.asarray(rs.randn(1, 2, 190, 32).astype(np.float32))
+    k = jnp.asarray(rs.randn(1, 2, 300, 32).astype(np.float32))
+    v = jnp.asarray(rs.randn(1, 2, 300, 32).astype(np.float32))
+
+    loss = lambda f: lambda *a: jnp.sum(f(*a) ** 2)
+    stream = lambda qq, kk, vv: _streaming_attention_diff(
+        qq, kk, vv, 1.0 / np.sqrt(32), 64, 128, True)
+    gq, gk, gv = jax.grad(loss(stream), argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(loss(attention_reference), argnums=(0, 1, 2))(
+        q, k, v)
+    for a, b in ((gq, rq), (gk, rk), (gv, rv)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+    gq16, gk16, gv16 = jax.grad(loss(stream), argnums=(0, 1, 2))(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16))
+    for g, r in ((gq16, rq), (gk16, rk), (gv16, rv)):
+        g = np.asarray(g, np.float32)
+        assert np.isfinite(g).all()
+        # bf16 inputs: agreement at bf16 resolution, not fp32
+        np.testing.assert_allclose(g, np.asarray(r), rtol=0.1, atol=0.15)
