@@ -23,6 +23,7 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..flags import env_flag
 from ..native_lib import load_native_lib
 
 
@@ -54,7 +55,7 @@ def available() -> bool:
 
 def enabled() -> bool:
     """The datasets dispatch gate: opt-in env + loadable library."""
-    return os.environ.get("DSML_NATIVE_IMAGE", "0") == "1" and available()
+    return env_flag("DSML_NATIVE_IMAGE", False) and available()
 
 
 def probe_resized(path: str, size: int) -> Optional[Tuple[int, int]]:

@@ -22,6 +22,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from ..flags import env_flag
 from .ddim import DDIMSchedule, p_sample_ddim
 from .schedules import DiffusionSchedule
 
@@ -89,13 +90,13 @@ def progressive_video_sample(
     import os
 
     dedup = (pair_apply_fn is not None
-             and os.environ.get("DSML_CFG_DEDUP", "1") == "1")
+             and env_flag("DSML_CFG_DEDUP", True))
 
     # Opt-in bf16 DDIM step math + scan carry (A/B lever; fidelity-gated via
     # scripts/fidelity_gate.py — the default keeps the eps-combine and x_prev
     # algebra in fp32). The latent tensors are tiny (B*64*64*3), so this
     # targets VPU/fusion time, not bandwidth.
-    bf16_step = (os.environ.get("DSML_BF16_STEP", "0") == "1"
+    bf16_step = (env_flag("DSML_BF16_STEP", False)
                  and sampler == "ddim")  # dpm step math stays fp32
     carry_dtype = jnp.bfloat16 if bf16_step else jnp.float32
     if bf16_step:

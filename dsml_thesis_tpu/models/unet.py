@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..flags import env_flag, env_mode
 from ..ops.attention import multi_head_attention, packed_multi_head_attention
 from ..ops.conv_gn import conv3x3_stats, conv_stats, group_norm_silu_apply
 from ..ops.groupnorm import group_norm_silu
@@ -87,8 +88,9 @@ def _gn_epilogue_mode(full: bool = False):
     full modes. On a >1-device mesh conv_stats shard_maps the kernel over
     the data axis itself (or falls back to the GSPMD-partitionable jnp
     spec), so no mesh gate is needed here."""
-    mode = os.environ.get("DSML_GN_EPILOGUE", "0")
-    if mode not in ("1", "res", "interpret", "res-interpret"):
+    mode = env_mode("DSML_GN_EPILOGUE", "0",
+                    ("0", "1", "res", "interpret", "res-interpret"))
+    if mode == "0":
         return None
     if full and mode.startswith("res"):
         return None
@@ -336,7 +338,7 @@ class CrossAttention(nn.Module):
         is_cross = context is not None
         context = x if context is None else context
         if (is_cross and context.shape[1] == 1
-                and os.environ.get("DSML_XATTN_1TOK", "1") != "0"):
+                and env_flag("DSML_XATTN_1TOK", True)):
             # Single-token cross-attention is algebraically a broadcast: the
             # softmax over one key is identically 1 (exp(z)/exp(z)) whatever
             # the logit, so P@V == V for every query row and the Q/K towers
@@ -365,7 +367,7 @@ class CrossAttention(nn.Module):
         # reshape+transpose copies around the kernel — identical params and
         # numerics, different XLA data movement. A/B lever for the ~7-8.5%
         # layout-copy share in the device profile (PROFILE.md).
-        if os.environ.get("DSML_ATTN_BHND", "0") == "1":
+        if env_flag("DSML_ATTN_BHND", False):
             q = _HeadProj(self.heads, self.dim_head, self.dtype, name="to_q")(x)
             k = _HeadProj(self.heads, self.dim_head, self.dtype, name="to_k")(context)
             v = _HeadProj(self.heads, self.dim_head, self.dtype, name="to_v")(context)
@@ -374,14 +376,14 @@ class CrossAttention(nn.Module):
                              name="to_out")(out)
             return nn.Dropout(self.dropout)(out, deterministic=deterministic)
         is_self = context is x
-        fused_qkv = os.environ.get("DSML_ATTN_FUSED_QKV", "0") == "1"
+        fused_qkv = env_flag("DSML_ATTN_FUSED_QKV", False)
         # Packed default ON: +5.3% inference / +23% training on-chip
         # (PROFILE.md round-3e). The fused-qkv branch stays on split-head
         # dispatch regardless — handing the packed kernel jnp.split views of
         # one fused projection measured −18% (same A/B table); the combination
         # defeats the kernel's no-transpose premise.
         packed = (not fused_qkv
-                  and os.environ.get("DSML_ATTN_PACKED", "1") == "1")
+                  and env_flag("DSML_ATTN_PACKED", True))
         if fused_qkv:
             # fuse the projections into one matmul at trace time (params
             # concatenate; tree unchanged): self-attention reads x ONCE for
@@ -448,7 +450,7 @@ class GEGLUFeedForward(nn.Module):
         # the bf16 flagship defaults to tanh (PARITY.md documents the
         # divergence + the fidelity-gate PSNR) and DSML_GELU_EXACT=1 gives
         # the strict erf form for fp32 parity work.
-        exact = os.environ.get("DSML_GELU_EXACT", "0") == "1"
+        exact = env_flag("DSML_GELU_EXACT", False)
         h = a * nn.gelu(gate, approximate=not exact)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
@@ -503,7 +505,7 @@ class AttentionBlock(nn.Module):
         # on the bench path to A/B it. It must NOT key off DSML_ATTN_PACKED:
         # '1' is that flag's documented default, so exporting it explicitly
         # would silently flip this block onto the known-losing path.
-        if os.environ.get("DSML_ATTN_PACKED_QKVBLOCK", "") == "1":
+        if env_flag("DSML_ATTN_PACKED_QKVBLOCK", False):
             out = packed_multi_head_attention(q, k, v, self.num_heads,
                                               scale=hd**-0.5)
         else:

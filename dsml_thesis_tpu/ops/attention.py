@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..flags import env_flag, env_mode
+
 
 def _on_tpu() -> bool:
     try:
@@ -131,16 +133,16 @@ def _flash_flags(nk: int):
     denominator), so it is forced off when defer_div is disabled rather
     than silently ignored.
     """
-    defer_div = os.environ.get("DSML_FLASH_DEFER_DIV", "1") != "0"
-    pv_env = os.environ.get("DSML_FLASH_PV_T", "auto")
+    defer_div = env_flag("DSML_FLASH_DEFER_DIV", True)
+    pv_env = env_mode("DSML_FLASH_PV_T", "auto", ("auto", "1", "0"))
     pv_transpose = ((nk >= 2048) if pv_env == "auto" else pv_env == "1")
     pv_transpose = pv_transpose and defer_div
-    nb_env = os.environ.get("DSML_FLASH_NORM_BOUND", "auto")
+    nb_env = env_mode("DSML_FLASH_NORM_BOUND", "auto", ("auto", "1", "0"))
     norm_bound = (nk >= 2048) if nb_env == "auto" else nb_env == "1"
     # staged: software-pipelined head loop (packed kernel only) — emit head
     # h's QK before head h-1's exp/PV so MXU and VPU work overlap under
     # in-order issue. Bitwise-identical outputs; opt-in pending on-chip A/B.
-    st_env = os.environ.get("DSML_FLASH_STAGED", "0")
+    st_env = env_mode("DSML_FLASH_STAGED", "0", ("auto", "1", "0"))
     staged = ((nk >= 2048) if st_env == "auto" else st_env == "1")
     staged = staged and defer_div
     return defer_div, pv_transpose, norm_bound, staged
@@ -1074,7 +1076,7 @@ def flash_attention_bwd(q, k, v, do, scale=None, block_q: int = 256,
     vmem_limit = _vmem_limit(
         6 * nk * d * 4 + 4 * (block_q * nk * 4) + 8 * block_q * d * 4 + (1 << 21)
     )
-    bwd_defer = os.environ.get("DSML_FLASH_BWD_DEFER", "1") != "0"
+    bwd_defer = env_flag("DSML_FLASH_BWD_DEFER", True)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_kernel, scale=scale,
                           defer_div=bwd_defer),
@@ -1125,7 +1127,7 @@ def flash_attention_bwd_packed(q, k, v, do, heads: int, scale=None,
     # _packed_bwd_bytes is the SAME formula _fit_block_q_packed_bwd approves
     # with, so a fit-approved shape cannot die in a VMEM-limit compile error
     vmem_limit = _vmem_limit(_packed_bwd_bytes(block_q, nk, hd))
-    bwd_defer = os.environ.get("DSML_FLASH_BWD_DEFER", "1") != "0"
+    bwd_defer = env_flag("DSML_FLASH_BWD_DEFER", True)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_kernel_packed, scale=scale, heads=heads,
                           defer_div=bwd_defer),
@@ -1203,7 +1205,7 @@ def _packed_bwd(heads, scale, block_q, interpret, res, g):
     # temporaries per head), so it re-fits its own block_q; if even the
     # smallest block can't fit, fall back to the split-head bwd through
     # transposes (correct, just pays the copies).
-    if os.environ.get("DSML_FLASH_PACKED_BWD", "1") != "0":
+    if env_flag("DSML_FLASH_PACKED_BWD", True):
         bq = _fit_block_q_packed_bwd(nq, nk, q.shape[-1], block_q)
         if bq is not None:
             return flash_attention_bwd_packed(
@@ -1312,8 +1314,8 @@ def packed_multi_head_attention(q, k, v, heads: int, scale=None,
         scale = 1.0 / math.sqrt(d)
     if use_pallas is None:
         enabled = (_FLASH_OVERRIDE if _FLASH_OVERRIDE is not None
-                   else os.environ.get("DSML_FLASH_ATTN", "1") != "0")
-        if os.environ.get("DSML_FLASH_INTERPRET", "0") == "1":
+                   else env_flag("DSML_FLASH_ATTN", True))
+        if env_flag("DSML_FLASH_INTERPRET", False):
             # test hook: run the REAL kernel dispatch (custom VJPs, fit
             # checks, shard_map) in Pallas interpret mode on any backend
             # and at any size, so CPU tests drive the production path
@@ -1382,8 +1384,8 @@ def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
         scale = 1.0 / math.sqrt(q.shape[-1])
     if use_pallas is None:
         enabled = (_FLASH_OVERRIDE if _FLASH_OVERRIDE is not None
-                   else os.environ.get("DSML_FLASH_ATTN", "1") != "0")
-        if os.environ.get("DSML_FLASH_INTERPRET", "0") == "1":
+                   else env_flag("DSML_FLASH_ATTN", True))
+        if env_flag("DSML_FLASH_INTERPRET", False):
             use_pallas, interpret = enabled, True  # test hook, see packed
         else:
             use_pallas = (
@@ -1395,7 +1397,8 @@ def multi_head_attention(q, k, v, scale=None, use_pallas=None, interpret=False):
         # 256 -> 5.99, 512 -> 6.08, 1024 -> 6.13 — bigger q-blocks win
         # monotonically (fewer grid steps; N=1024 runs as one program)
         requested_bq = int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024"))
-        stream_env = os.environ.get("DSML_FLASH_STREAMING", "auto")
+        stream_env = env_mode("DSML_FLASH_STREAMING", "auto",
+                              ("auto", "1", "0"))
         block_q = (None if stream_env == "1" else _fit_block_q(
             q.shape[2], k.shape[2], q.shape[3], requested_bq))
         run_one = None

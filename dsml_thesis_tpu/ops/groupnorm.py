@@ -20,6 +20,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..flags import env_mode
 from .attention import _vmem_limit
 
 
@@ -314,7 +315,7 @@ def group_norm_silu(
 
     from .attention import _on_tpu
 
-    mode = os.environ.get("DSML_PALLAS_GN", "0")
+    mode = env_mode("DSML_PALLAS_GN", "0", ("0", "1", "stats"))
     if use_pallas is None:
         on_dev = _on_tpu() or interpret
         if mode == "1":

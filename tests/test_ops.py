@@ -1001,3 +1001,42 @@ def test_streaming_bwd_ragged_both_axes_and_bf16():
         assert np.isfinite(g).all()
         # bf16 inputs: agreement at bf16 resolution, not fp32
         np.testing.assert_allclose(g, np.asarray(r), rtol=0.1, atol=0.15)
+
+
+def test_env_flag_strict_parsing(monkeypatch):
+    """Boolean flags accept 1/true/on/yes and 0/false/off/no in either
+    direction; unrecognized values raise instead of silently selecting an
+    arm (the historical '== 1 vs != 0' hazard). Mode flags reject typos."""
+    from dsml_thesis_tpu.flags import env_flag, env_mode
+
+    monkeypatch.delenv("DSML_T", raising=False)
+    assert env_flag("DSML_T", True) and not env_flag("DSML_T", False)
+    for val, want in (("true", True), ("ON", True), ("yes", True),
+                      ("1", True), ("false", False), ("off", False),
+                      ("0", False), ("No", False)):
+        monkeypatch.setenv("DSML_T", val)
+        assert env_flag("DSML_T", not want) is want, val
+    monkeypatch.setenv("DSML_T", "maybe")
+    with pytest.raises(ValueError, match="expected a boolean"):
+        env_flag("DSML_T", True)
+
+    monkeypatch.setenv("DSML_M", "res_interpret")  # typo'd mode
+    with pytest.raises(ValueError, match="expected one of"):
+        env_mode("DSML_M", "0", ("0", "1", "res", "res-interpret"))
+    monkeypatch.setenv("DSML_M", "true")  # boolean spelling -> the "1" mode
+    assert env_mode("DSML_M", "0", ("0", "1", "auto")) == "1"
+
+    # the real consumers: a truthy spelling must not flip a default-on
+    # lever off, and a typo must raise rather than silently A/B the
+    # wrong arm
+    from dsml_thesis_tpu.models.unet import _gn_epilogue_mode
+    from dsml_thesis_tpu.ops.attention import _flash_flags
+
+    monkeypatch.setenv("DSML_FLASH_DEFER_DIV", "true")
+    assert _flash_flags(4096)[0] is True
+    monkeypatch.setenv("DSML_FLASH_DEFER_DIV", "false")
+    assert _flash_flags(4096)[0] is False
+    monkeypatch.delenv("DSML_FLASH_DEFER_DIV", raising=False)
+    monkeypatch.setenv("DSML_GN_EPILOGUE", "res_interpret")
+    with pytest.raises(ValueError, match="DSML_GN_EPILOGUE"):
+        _gn_epilogue_mode()
