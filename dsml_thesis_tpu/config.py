@@ -289,14 +289,19 @@ def build_model(model_cfg: Dict) -> LatentDiffusion:
             # `or`: the reference clip-ldm yaml sets `cond_stage_key: null`
             # explicitly — a None key must still fall back
             key = p.get("cond_stage_key") or "class_label"
-            route = (
-                "crossattn_feature"
-                if p.get("conditioning_key", "crossattn") == "crossattn"
-                else "concat_first_stage"
-            )
             if cs_cfg == "__is_first_stage__":
                 cond_specs.append(CondSpec(key, None, "concat_first_stage", False))
             else:
+                # a real encoder module's output concatenates DIRECTLY (the
+                # reference DiffusionWrapper concat mode, ddpm.py:1397-1423);
+                # only __is_first_stage__ pushes the batch value through the
+                # frozen first stage — concat_first_stage here would
+                # double-encode the module output
+                route = (
+                    "crossattn_feature"
+                    if p.get("conditioning_key", "crossattn") == "crossattn"
+                    else "concat_raw"
+                )
                 cond_specs.append(
                     CondSpec(key, instantiate_from_config(cs_cfg), route, trainable)
                 )

@@ -208,6 +208,65 @@ class LatentDiffusion:
 
     # ---------- conditioning ----------
 
+    def _encode_streams(
+        self,
+        params: Dict,
+        batch: Dict[str, jnp.ndarray],
+        *,
+        null: bool = False,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+        only_crossattn: bool = False,
+        batch_size: Optional[int] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Run the cond-stage encoders for every (selected) stream. ONE
+        routine behind encode_conditioning / null_conditioning /
+        encode_crossattn_tokens so the sampler context cannot drift from the
+        training context (they used to be three near-copies that disagreed
+        on module-less crossattn streams)."""
+        cond = {}
+        for i, spec in enumerate(self.cond_specs):
+            if only_crossattn and not spec.route.startswith("crossattn"):
+                continue
+            if (null and spec.route.startswith("crossattn")
+                    and spec.module is not None
+                    and hasattr(spec.module, "null_token")):
+                bs = (batch_size if batch_size is not None
+                      else self._cond_batch_size(spec, batch))
+                cond[spec.key] = spec.module.apply(
+                    {"params": params[f"cond/{spec.key}"]},
+                    method="null_token", batch_size=bs,
+                )
+            elif spec.module is not None:
+                rngs = {}
+                if training and rng is not None:
+                    rngs = {"cfg": jax.random.fold_in(rng, i)}
+                out = spec.module.apply(
+                    {"params": params[f"cond/{spec.key}"]}, batch[spec.key],
+                    training=training, rngs=rngs,
+                )
+                if not spec.trainable:
+                    out = jax.lax.stop_gradient(out)
+                cond[spec.key] = out
+            else:
+                cond[spec.key] = batch[spec.key]
+        return cond
+
+    @staticmethod
+    def _cond_batch_size(spec: CondSpec, batch: Dict) -> int:
+        """Batch size for a null-token branch: the spec's OWN batch value
+        when present (an arbitrary other batch entry can carry a different
+        leading dim, e.g. per-clip vs per-frame arrays)."""
+        v = batch.get(spec.key)
+        if v is not None and hasattr(v, "shape") and v.ndim >= 1:
+            return v.shape[0]
+        for v in batch.values():
+            if v is not None and hasattr(v, "shape") and v.ndim >= 1:
+                return v.shape[0]
+        raise ValueError(
+            f"cannot infer batch size for null '{spec.key}' conditioning: "
+            "pass batch_size explicitly")
+
     def encode_conditioning(
         self,
         params: Dict,
@@ -215,35 +274,33 @@ class LatentDiffusion:
         training: bool = False,
         rng: Optional[jax.Array] = None,
     ) -> Dict[str, Optional[jnp.ndarray]]:
-        """Run every cond stage and route streams to crossattn/concat groups."""
-        cond = {}
-        for i, spec in enumerate(self.cond_specs):
-            v = batch[spec.key]
-            if spec.module is not None:
-                rngs = {}
-                if training and rng is not None:
-                    rngs = {"cfg": jax.random.fold_in(rng, i)}
-                out = spec.module.apply(
-                    {"params": params[f"cond/{spec.key}"]}, v,
-                    training=training, rngs=rngs,
-                )
-                if not spec.trainable:
-                    out = jax.lax.stop_gradient(out)
-                cond[spec.key] = out
-            else:
-                cond[spec.key] = v
-        return self._route_conditioning(params, cond)
+        """Run every cond stage and route streams to crossattn/concat groups.
+        During training, rng also samples any KL first-stage posterior for
+        concat_first_stage streams (reference get_first_stage_encoding)."""
+        cond = self._encode_streams(params, batch, training=training, rng=rng)
+        fs_rng = (jax.random.fold_in(rng, 997)
+                  if training and rng is not None else None)
+        return self._route_conditioning(params, cond, rng=fs_rng)
 
-    def _route_conditioning(self, params, cond: Dict[str, jnp.ndarray]):
+    def _route_conditioning(self, params, cond: Dict[str, jnp.ndarray],
+                            rng: Optional[jax.Array] = None):
+        """Join encoded streams: crossattn feature-concat then token-concat;
+        concat streams channel-concat (first-stage-encoding image-kind ones,
+        with rng sampling a KL posterior when given). Streams absent from
+        `cond` (a subset selection) are skipped."""
         crossattn_feat, crossattn_tok, concat = [], [], []
-        for spec in self.cond_specs:
+        for i, spec in enumerate(self.cond_specs):
+            if spec.key not in cond:
+                continue
             v = cond[spec.key]
             if spec.route == "crossattn_feature":
                 crossattn_feat.append(v)
             elif spec.route == "crossattn_token":
                 crossattn_tok.append(v)
             elif spec.route == "concat_first_stage":
-                concat.append(self.encode_first_stage(params, v))
+                enc_rng = (jax.random.fold_in(rng, i)
+                           if rng is not None else None)
+                concat.append(self.encode_first_stage(params, v, rng=enc_rng))
             elif spec.route == "concat_raw":
                 concat.append(v)
             else:
@@ -261,44 +318,20 @@ class LatentDiffusion:
                                 null: bool = False) -> jnp.ndarray:
         """Context tokens only (skip concat streams) — used by the progressive
         video sampler, which supplies the masked/identity latents inside its
-        own scan. null=True returns the CFG unconditional branch. Streams join
-        exactly as in _route_conditioning: feature-concat then token-concat."""
-        feats, toks = [], []
-        for spec in self.cond_specs:
-            if not spec.route.startswith("crossattn") or spec.module is None:
-                continue
-            p = {"params": params[f"cond/{spec.key}"]}
-            if null and hasattr(spec.module, "null_token"):
-                bs = next(v.shape[0] for v in batch.values() if v is not None)
-                out = spec.module.apply(p, method="null_token", batch_size=bs)
-            else:
-                out = spec.module.apply(p, batch[spec.key], training=False)
-            (feats if spec.route == "crossattn_feature" else toks).append(out)
-        ctx = jnp.concatenate(feats, axis=-1) if feats else None
-        if toks:
-            tok = jnp.concatenate(toks, axis=1)
-            ctx = tok if ctx is None else jnp.concatenate([ctx, tok], axis=1)
-        return ctx
+        own scan. null=True returns the CFG unconditional branch. Same stream
+        engine and join order as encode_conditioning, including module-less
+        crossattn streams (raw precomputed tokens in the batch)."""
+        cond = self._encode_streams(params, batch, null=null,
+                                    only_crossattn=True)
+        return self._route_conditioning(params, cond)["crossattn"]
 
     def null_conditioning(self, params: Dict, batch: Dict, batch_size: int):
         """CFG unconditional branch: crossattn streams from each encoder's
-        null token, concat streams unchanged (reference ddim2cond.py:160-197)."""
-        cond = {}
-        for spec in self.cond_specs:
-            if spec.route.startswith("crossattn") and spec.module is not None and hasattr(
-                spec.module, "null_token"
-            ):
-                cond[spec.key] = spec.module.apply(
-                    {"params": params[f"cond/{spec.key}"]},
-                    method="null_token", batch_size=batch_size,
-                )
-            elif spec.module is not None:
-                cond[spec.key] = spec.module.apply(
-                    {"params": params[f"cond/{spec.key}"]}, batch[spec.key],
-                    training=False,
-                )
-            else:
-                cond[spec.key] = batch[spec.key]
+        null token, concat streams unchanged (reference ddim2cond.py:160-197).
+        Under jit the identical concat-stream encodes of the cond/uncond
+        branches CSE into one computation."""
+        cond = self._encode_streams(params, batch, null=True,
+                                    batch_size=batch_size)
         return self._route_conditioning(params, cond)
 
     # ---------- model application ----------
@@ -356,8 +389,17 @@ class LatentDiffusion:
 
     # ---------- training ----------
 
-    def training_loss(self, params: Dict, batch: Dict, rng: jax.Array):
-        """shared_step → get_input → p_losses (reference ddpm.py:866-1045)."""
+    def training_loss(self, params: Dict, batch: Dict, rng: jax.Array,
+                      training: bool = True):
+        """shared_step → get_input → p_losses (reference ddpm.py:866-1045).
+
+        training=False is the VALIDATION form (make_eval_step): t/noise stay
+        random and the KL posterior is still sampled (the reference's
+        get_first_stage_encoding draws unconditionally), but the CFG label
+        drop and UNet dropout turn off — Lightning's validation_step runs
+        with model.training=False, so ClassEmbedder never drops labels and
+        dropout layers are inert; scoring ~p_uncond of val batches on the
+        null token would bias val_loss_ema, the checkpoint monitor."""
         k_t, k_noise, k_cond, k_enc, k_drop = jax.random.split(rng, 5)
         x = batch[self.first_stage_key]
         if self.first_stage_key == "latent":
@@ -366,14 +408,16 @@ class LatentDiffusion:
             z = x
         else:
             z = self.encode_first_stage(params, x, rng=k_enc)
-        cond = self.encode_conditioning(params, batch, training=True, rng=k_cond)
+        cond = self.encode_conditioning(params, batch, training=training,
+                                        rng=k_cond if training else None)
 
         b = z.shape[0]
         t = jax.random.randint(k_t, (b,), 0, self.schedule.num_timesteps)
         noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
         x_t = q_sample(self.schedule, z, t, noise)
         eps = self.apply_model(params, x_t, t, cond,
-                               deterministic=False, rng=k_drop)
+                               deterministic=not training,
+                               rng=k_drop if training else None)
         loss, aux = p_losses(
             self.schedule, eps, z, noise, t,
             parameterization=self.parameterization,
@@ -448,4 +492,20 @@ class LatentDiffusion:
                 out[k] = spec.trainable
             else:
                 out[k] = True
+        return out
+
+    def frozen_subpaths(self) -> Dict[str, Sequence[str]]:
+        """Sub-trees INSIDE otherwise-trainable groups that must not receive
+        optimizer updates, keyed by top-level group ('/'-joined paths). The
+        reference's requires_grad=False params (e.g. wav2vec2's conv feature
+        extractor, modules.py:294) are skipped by torch optimizers entirely —
+        in particular decoupled AdamW weight decay must not erode them even
+        though stop_gradient already zeroes their gradients."""
+        out: Dict[str, Sequence[str]] = {}
+        for spec in self.cond_specs:
+            if (spec.module is not None and spec.trainable
+                    and hasattr(spec.module, "frozen_paths")):
+                paths = tuple(spec.module.frozen_paths())
+                if paths:
+                    out[f"cond/{spec.key}"] = paths
         return out

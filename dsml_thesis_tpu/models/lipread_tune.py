@@ -100,11 +100,15 @@ class LipreadFinetune:
         return resize_bilinear(m, self.mouth_size)
 
     def training_loss(self, params: Dict, batch: Dict, rng: jax.Array,
-                      global_step=0):
+                      global_step=0, training: bool = True):
+        # training=False = the validation form (make_eval_step): no CFG
+        # label drop, like Lightning validation's model.training=False
         k_t, k_noise, k_cond, k_dec = jax.random.split(rng, 4)
         x = batch[self.ldm.first_stage_key]
         z0 = self.ldm.encode_first_stage(params, x)
-        cond = self.ldm.encode_conditioning(params, batch, training=True, rng=k_cond)
+        cond = self.ldm.encode_conditioning(
+            params, batch, training=training,
+            rng=k_cond if training else None)
 
         b = z0.shape[0]
         # noise at t ~ U{0..T-1} on the ORIGINAL schedule (reference :947-948,

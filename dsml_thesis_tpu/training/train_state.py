@@ -59,9 +59,28 @@ def make_optimizer(
     # torch.optim.AdamW defaults (ddpm.py:1371): betas (0.9, 0.999), wd 0.01
     tx = optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=weight_decay)
     labels = ldm.trainable_filter(params)
+    # sub-module freeze declarations (e.g. wav2vec2's conv extractor inside
+    # a trainable cond stage): stop_gradient zeroes their grads, but AdamW's
+    # DECOUPLED weight decay would still shrink them every step — label the
+    # frozen sub-trees set_to_zero at leaf level, like torch skipping
+    # requires_grad=False params outright
+    frozen_subs = (ldm.frozen_subpaths()
+                   if hasattr(ldm, "frozen_subpaths") else {})
+
+    def _mark(sub, base: bool, frozen, prefix=""):
+        if isinstance(sub, dict):
+            return {k: _mark(v, base, frozen, f"{prefix}{k}/")
+                    for k, v in sub.items()}
+        path = prefix.rstrip("/")
+        return base and not any(
+            path == f or path.startswith(f + "/") for f in frozen)
+
     tx = optax.multi_transform(
         {True: tx, False: optax.set_to_zero()},
-        param_labels=lambda p: {k: labels[k] for k in p},
+        param_labels=lambda p: {
+            k: _mark(v, labels[k], frozen_subs.get(k, ()))
+            for k, v in p.items()
+        },
     )
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
@@ -125,14 +144,20 @@ def make_train_step(
 def make_eval_step(loss_module) -> Callable:
     import inspect
 
-    takes_step = "global_step" in inspect.signature(
-        loss_module.training_loss
-    ).parameters
+    sig = inspect.signature(loss_module.training_loss).parameters
+    takes_step = "global_step" in sig
+    # validation form: random t/noise stay, but CFG label drop and dropout
+    # turn off (Lightning validation runs with model.training=False) — else
+    # ~p_uncond of val batches score on the null token and bias the
+    # val_loss_ema checkpoint monitor
+    takes_training = "training" in sig
 
     def eval_step(state: TrainState, batch: Dict, rng: jax.Array):
         # adopt_weight-gated terms (lipread start_lr_loss) must see the live
         # step in validation too, or the monitor ranks on a partial loss
         kw = {"global_step": state.step} if takes_step else {}
+        if takes_training:
+            kw["training"] = False
         _, aux = loss_module.training_loss(state.params, batch, rng, **kw)
         _, aux_ema = loss_module.training_loss(state.ema_full(), batch, rng, **kw)
         out = {f"val/{k}": v for k, v in aux.items()}

@@ -265,3 +265,128 @@ def test_no_first_stage_encode_decode_symmetry():
     xr = LatentDiffusion.decode_first_stage(Stub, {}, z)
     np.testing.assert_allclose(np.asarray(xr), np.asarray(x),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_eval_loss_form_disables_cfg_drop_and_dropout(mead_tiny):
+    """training_loss(training=False) is the VALIDATION form: no CFG label
+    drop, no dropout (the reference's validation_step runs with
+    model.training=False). With p_uncond forced to 1.0, the training form
+    must differ from the eval form under the same rng, and make_eval_step
+    must produce the eval form."""
+    import dataclasses
+
+    from dsml_thesis_tpu.models.encoders import ClassEmbedder
+    from dsml_thesis_tpu.training.train_state import (
+        TrainState, make_eval_step)
+
+    ldm, params, batch = mead_tiny
+    specs = [
+        dataclasses.replace(
+            s, module=dataclasses.replace(s.module, p_uncond=1.0))
+        if isinstance(s.module, ClassEmbedder) else s
+        for s in ldm.cond_specs
+    ]
+    ldm = dataclasses.replace(ldm, cond_specs=specs)
+    # conv_out AND every transformer proj_out are zero-initialized
+    # (reference zero_module), so a fresh-init UNet's output has exactly
+    # zero sensitivity to the context — randomize the zero leaves so the
+    # CFG drop is observable in the loss
+    kk = jax.random.PRNGKey(9)
+    params = jax.tree.map(
+        lambda a: (0.1 * jax.random.normal(kk, a.shape)
+                   if a.size and not jnp.abs(a).max() else a),
+        params)
+
+    rng = jax.random.PRNGKey(5)
+    l_train = float(ldm.training_loss(params, batch, rng, training=True)[0])
+    l_eval = float(ldm.training_loss(params, batch, rng, training=False)[0])
+    assert l_train != l_eval  # p_uncond=1.0 drops EVERY label when training
+
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=(), ema_params={"unet": params["unet"]})
+    out = make_eval_step(ldm)(state, batch, rng)
+    np.testing.assert_allclose(float(out["val_loss"]), l_eval, rtol=1e-6)
+
+
+def test_frozen_subpaths_excluded_from_adamw_decay():
+    """A frozen sub-tree inside a trainable cond group (wav2vec2's conv
+    feature extractor) must not be touched by AdamW — decoupled weight decay
+    would otherwise shrink it every step even at zero gradient."""
+    from dsml_thesis_tpu.models.ldm import CondSpec, LatentDiffusion
+    from dsml_thesis_tpu.models.wav2vec2 import AudioEmbedder, Wav2Vec2Config
+    from dsml_thesis_tpu.training.train_state import make_optimizer
+
+    tiny = Wav2Vec2Config(conv_dim=(8, 8), conv_kernel=(10, 3),
+                          conv_stride=(5, 2), hidden_size=8, num_layers=1,
+                          num_heads=2, intermediate_size=16,
+                          num_conv_pos_embeddings=4,
+                          num_conv_pos_embedding_groups=2)
+    ldm = LatentDiffusion(
+        unet=None, first_stage=None,
+        cond_specs=[CondSpec("audio", AudioEmbedder(cfg=tiny),
+                             "crossattn_feature", True)],
+        schedule=None,
+    )
+    params = {
+        "unet": {"w": jnp.ones((4,))},
+        "cond/audio": {
+            "audio_encoder": {
+                "feature_extractor": {"conv_0": {"kernel": jnp.ones((3,))}},
+                "fp_proj": {"kernel": jnp.ones((3,))},
+            },
+        },
+    }
+    assert ldm.frozen_subpaths() == {
+        "cond/audio": ("audio_encoder/feature_extractor",)}
+    tx = make_optimizer(ldm, params, base_lr=0.1, weight_decay=0.01)
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(zero_grads, tx.init(params), params)
+    fe = updates["cond/audio"]["audio_encoder"]["feature_extractor"]
+    assert float(jnp.abs(fe["conv_0"]["kernel"]).max()) == 0.0
+    # the rest of the trainable group still decays (zero grad, wd > 0)
+    assert float(jnp.abs(
+        updates["cond/audio"]["audio_encoder"]["fp_proj"]["kernel"]).max()) > 0
+    assert float(jnp.abs(updates["unet"]["w"]).max()) > 0
+
+
+def test_concat_module_config_routes_raw():
+    """A 1-cond config with conditioning_key != crossattn and a REAL encoder
+    module must route concat_raw (the reference concatenates the cond-stage
+    output directly); only __is_first_stage__ goes through the first stage."""
+    cfg = yaml.safe_load(TINY_MEAD_CFG)["model"]
+    one = {
+        "target": "ldm.models.diffusion.ddpm.LatentDiffusion",
+        "params": {
+            **{k: cfg["params"][k] for k in
+               ("linear_start", "linear_end", "timesteps", "image_size",
+                "channels", "first_stage_config", "unet_config")},
+            "first_stage_key": "image",
+            "cond_stage_key": "class_label",
+            "conditioning_key": "concat",
+            "cond_stage_config": {
+                "target": "ldm.modules.encoders.modules.ClassEmbedder",
+                "params": {"embed_dim": 16, "n_classes": 8},
+            },
+        },
+    }
+    ldm = build_model(one)
+    assert ldm.cond_specs[0].route == "concat_raw"
+
+
+def test_crossattn_raw_stream_included_in_sampler_tokens(mead_tiny):
+    """A module-less crossattn stream (precomputed tokens in the batch) must
+    reach encode_crossattn_tokens exactly as it reaches training's
+    encode_conditioning — it used to be silently dropped by the sampler."""
+    import dataclasses
+
+    from dsml_thesis_tpu.models.ldm import CondSpec
+
+    ldm, params, batch = mead_tiny
+    ldm = dataclasses.replace(ldm, cond_specs=list(ldm.cond_specs) + [
+        CondSpec("cached_ctx", None, "crossattn_token", False)])
+    batch = dict(batch)
+    batch["cached_ctx"] = jnp.ones((2, 3, 48))  # ctx width = class16+audio32
+    full = ldm.encode_conditioning(params, batch)["crossattn"]
+    toks = ldm.encode_crossattn_tokens(params, batch)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(toks), atol=1e-6)
+    assert toks.shape[1] >= 4  # the raw 3 tokens joined the context
