@@ -26,8 +26,18 @@ def save_topk(
     """Insert (score, name) into the best-first `topk` list in place, saving
     via save_fn and evicting the worst on overflow. Skips the (multi-GB)
     serialization outright when the score cannot enter the top-k. wait_fn
-    blocks on in-flight async saves before eviction deletes directories."""
+    blocks on in-flight async saves before eviction deletes directories.
+
+    Lightning-legal sentinels: save_top_k == 0 disables monitored
+    checkpointing entirely; save_top_k < 0 keeps every checkpoint."""
     assert mode in ("min", "max")
+    if save_top_k == 0:
+        return
+    if save_top_k < 0:
+        save_fn(name)
+        topk.append((score, name))
+        topk.sort(key=lambda t: t[0], reverse=(mode == "max"))
+        return
     worse = (lambda a, b: a >= b) if mode == "min" else (lambda a, b: a <= b)
     if len(topk) >= save_top_k and worse(score, topk[-1][0]):
         return

@@ -47,7 +47,7 @@ from .train_state import (
 )
 
 
-def _to_jnp_batch(batch: Dict, keys=None):
+def _to_jnp_batch(batch: Dict):
     """Keep array-valued fields (drop str metadata like file paths).
 
     Fields stay on the HOST (numpy): the single host->device transfer happens
@@ -233,9 +233,14 @@ class Trainer:
     def _install_signal_handlers(self):
         def melk(*_a):
             # reference main.py:708-716: dump a rescue checkpoint on signal
+            self._should_stop = True
+            if self._state is None:
+                # signal arrived before the first batch built the state —
+                # nothing to rescue; the stop flag still ends fit() cleanly
+                print("Signal before first step: nothing to checkpoint.")
+                return
             print("Summoning checkpoint (signal).")
             self.save_checkpoint("last", wait=True)
-            self._should_stop = True
 
         def divein(*_a):
             # reference main.py:717-726: SIGUSR2 drops into a debugger on the
@@ -302,9 +307,12 @@ class Trainer:
                 found.append((float(name.rsplit("=", 1)[1]), name))
             except ValueError:
                 continue
-        self._topk = sorted(
-            found, reverse=(self.monitor_mode == "max")
-        )[: self.save_top_k]
+        ranked = sorted(found, reverse=(self.monitor_mode == "max"))
+        # track EVERYTHING found (not ranked[:k]): truncating here would hide
+        # on-disk checkpoints from the bookkeeping forever — the next
+        # save_topk insert evicts down to save_top_k naturally, and
+        # save_top_k < 0 (keep all) must never drop the best entry
+        self._topk = ranked
 
     def restore_checkpoint(self, name: str):
         self.wait_for_checkpoints()
@@ -531,8 +539,12 @@ class Trainer:
         max_batches = self._resolve_val_batches(max_batches, data, lim=limit)
         # the loader yields host-local slices, so the static shape to pad to
         # is the PER-PROCESS batch (comparing against the global batch_size
-        # would misclassify every batch as ragged under multi-process)
-        bs = self.data_cfg.get("batch_size", 4) // max(jax.process_count(), 1)
+        # would misclassify every batch as ragged under multi-process); the
+        # PASSED loader's own batch size wins over the config's (test() or a
+        # caller-supplied loader may batch differently)
+        global_bs = (getattr(data, "batch_size", None)
+                     or self.data_cfg.get("batch_size", 4))
+        bs = global_bs // max(jax.process_count(), 1)
         # ragged tails can only be masked when the loss honors the weights;
         # otherwise padding rows would pollute the means — drop instead
         pad_ok = getattr(self.loss_module, "supports_sample_weights", False)
@@ -583,8 +595,15 @@ class Trainer:
         assert self.train_data is not None
         if epochs is None:
             # YAML-driven epoch count (lightning.trainer.max_epochs); an
-            # explicit argument (CLI --epochs) wins
-            epochs = self.max_epochs or 1
+            # explicit argument (CLI --epochs) wins. Lightning semantics:
+            # max_epochs=0 trains nothing; max_steps with max_epochs unset
+            # trains until the step limit (not one epoch).
+            if self.max_epochs is not None:
+                epochs = self.max_epochs
+            elif self.max_steps is not None:
+                epochs = 10**9  # bounded by _hit_max_steps
+            else:
+                epochs = 1
         if image_every is None:
             # YAML-driven interval (reference ImageLogger batch_frequency)
             image_every = self.image_every
@@ -633,10 +652,18 @@ class Trainer:
         if self._state is not None:
             step = int(self._state.step)
             try:
-                start_epoch = min(step // max(1, len(self.train_data)),
-                                  max(epochs - 1, 0))
+                # NOT clamped to epochs-1: resuming an already-completed run
+                # must exit immediately (empty range), not retrain the final
+                # epoch past the configured schedule
+                start_epoch = step // max(1, len(self.train_data))
             except TypeError:  # unsized iterable loader
                 start_epoch = 0
+            if start_epoch and hasattr(self.train_data, "epoch"):
+                # advance the loader's shuffle-epoch counter so the resumed
+                # epochs draw NEW permutations/augmentation seeds instead of
+                # replaying epochs 0..N-1's (continuous-run fidelity)
+                self.train_data.epoch = max(self.train_data.epoch,
+                                            start_epoch)
         for epoch in range(start_epoch, epochs):
             t_epoch = time.time()
             for batch in self.train_data:
@@ -667,6 +694,11 @@ class Trainer:
 
             epoch_s = time.time() - t_epoch
             run_val = (epoch + 1) % max(1, self.check_val_every_n_epoch) == 0
+            if self._should_stop:
+                # a rescue signal already saved 'last' (melk); running the
+                # full validation pass here risks a hard kill mid-shutdown
+                # under a preemption grace window
+                run_val = False
             if self.val_data is not None and run_val:
                 from .profiling import device_memory_stats
 

@@ -380,3 +380,74 @@ def test_step_profiler_window_is_exact(monkeypatch, tmp_path):
     sp2 = StepProfiler(str(tmp_path), start_step=50, num_steps=4)
     assert drive(sp2, 200, 10) == [201, 202, 203, 204]  # resumed past window
     assert calls == ["start", "stop"]
+
+
+def test_save_topk_lightning_sentinels():
+    """save_top_k=0 disables monitored checkpointing; save_top_k=-1 keeps
+    every checkpoint (both Lightning-legal; both used to IndexError)."""
+    from dsml_thesis_tpu.training.checkpointing import save_topk
+
+    saved, topk = [], []
+    for s in (1.0, 3.0):
+        save_topk(topk, 0, s, f"n{s}", saved.append, "/nonexistent")
+    assert saved == [] and topk == []
+
+    saved, topk = [], []
+    for s in (1.0, 3.0, 2.0, 0.5):
+        save_topk(topk, -1, s, f"n{s}", saved.append, "/nonexistent")
+    assert len(saved) == 4  # everything kept
+    assert [s for s, _ in topk] == [0.5, 1.0, 2.0, 3.0]
+
+
+def test_max_steps_without_max_epochs_spans_epochs(tmp_path):
+    """A run configured ONLY with max_steps must train to the step limit
+    across as many epochs as needed (Lightning), not stop after one epoch;
+    max_epochs=0 trains nothing."""
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = _config(batch=8)  # 2 steps/epoch
+    cfg["lightning"] = {"trainer": {"max_steps": 5, "limit_val_batches": 0}}
+    trainer = Trainer(cfg, str(tmp_path / "run"), seed=0)
+    state = trainer.fit(log_every=100)  # epochs unset anywhere
+    assert int(state.step) == 5  # 2.5 epochs' worth, not 2
+
+    cfg2 = _config(batch=8)
+    cfg2["lightning"] = {"trainer": {"max_epochs": 0}}
+    t2 = Trainer(cfg2, str(tmp_path / "run2"), seed=0)
+    assert t2.fit(log_every=100) is None  # no state: nothing trained
+
+
+def test_resume_of_completed_run_exits_immediately(tmp_path):
+    """Resuming a run whose step count already satisfies max_epochs must
+    exit without retraining the final epoch past the schedule."""
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = _config(batch=8)  # 2 steps/epoch
+    trainer = Trainer(cfg, str(tmp_path / "run"), seed=0)
+    trainer.fit(epochs=2, log_every=100, val_max_batches=0)  # 4 steps
+    trainer.save_checkpoint("last", wait=True)
+
+    t2 = Trainer(cfg, str(tmp_path / "run"), seed=0)
+    t2.init_state(next(iter(t2.train_data)))
+    t2.restore_checkpoint("last")
+    state = t2.fit(epochs=2, log_every=100, val_max_batches=0)
+    assert int(state.step) == 4  # unchanged: empty epoch range
+
+
+def test_resume_advances_loader_shuffle_epoch(tmp_path):
+    """The resumed loader must draw NEW shuffle permutations, not replay
+    epochs 0..N-1's orders (continuous-run fidelity)."""
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = _config(batch=8)
+    trainer = Trainer(cfg, str(tmp_path / "run"), seed=0)
+    trainer.fit(epochs=2, log_every=100, val_max_batches=0)
+    trainer.save_checkpoint("last", wait=True)
+
+    t2 = Trainer(cfg, str(tmp_path / "run"), seed=0)
+    t2.init_state(next(iter(t2.train_data)))
+    t2.restore_checkpoint("last")
+    t2.fit(epochs=3, log_every=100, val_max_batches=0)
+    # continuous run: epoch counter ends at 3 (+1 init peek); the old
+    # behavior left it at the init peek's 1 + 1 = 2
+    assert t2.train_data.epoch >= 3
