@@ -87,10 +87,15 @@ def dpm_solver_sample(
         lam_prev = jnp.take(dpm.lambdas, jnp.maximum(i - 1, 0))
         h = lam_next - lam_cur
         h_last = lam_cur - lam_prev
-        r = jnp.where(h == 0, 1.0, h_last / h)
+        # duplicate ROUNDED timesteps (num_steps near/above the schedule
+        # length) give h_last = 0 -> r = 0 -> 1/(2r) = inf and an all-NaN
+        # sample; degrade that step to first-order instead (x0_prev is the
+        # same node's prediction, so the 2M correction carries no info)
+        degenerate = (h == 0) | (h_last == 0)
+        r = jnp.where(degenerate, 1.0, h_last / h)
         # 2M update: D = (1 + 1/(2r)) x0_cur - 1/(2r) x0_prev (when history valid)
         D = jnp.where(
-            valid_prev,
+            valid_prev & ~degenerate,
             (1.0 + 1.0 / (2.0 * r)) * x0_cur - (1.0 / (2.0 * r)) * x0_prev,
             x0_cur,
         )
@@ -358,6 +363,10 @@ def _time_nodes(vp, skip_type, t_T, t_0, n):
 
 def _singlestep_orders(steps: int, order: int) -> Sequence[int]:
     """DPM-Solver-fast order schedule (dpm_solver.py:470-495)."""
+    if order not in (1, 2, 3):
+        # falling through to the order-1 schedule would silently run plain
+        # first-order updates under a higher-order label (reference raises)
+        raise ValueError(f"order must be 1, 2, or 3 (got {order})")
     if order == 3:
         k = steps // 3 + 1
         return ([3] * (k - 2) + [2, 1] if steps % 3 == 0 else
@@ -391,9 +400,31 @@ def dpm_solver_sample_suite(
     'multistep' runs as one lax.scan, 'singlestep' unrolls the outer steps
     (each with 1-3 inner model evaluations, DPM-Solver-fast order schedule).
     """
+    if solver_type not in ("dpm_solver", "taylor"):
+        # any other string would silently select the taylor numerics in
+        # every update (the reference raises the same way)
+        raise ValueError(f"solver_type must be 'dpm_solver' or 'taylor' "
+                         f"(got {solver_type!r})")
+    if order not in (1, 2, 3):
+        # lax.switch clamps out-of-range indices: order=4 would silently
+        # run third-order under a mislabeled name (reference raises)
+        raise ValueError(f"order must be 1, 2, or 3 (got {order})")
+    if method == "multistep" and steps < order:
+        raise ValueError(f"multistep needs steps >= order "
+                         f"(got steps={steps}, order={order}); the reference "
+                         "asserts the same")
     vp = make_vp_continuous(sched)
     t_T = t_start if t_start is not None else 1.0
     t_0 = t_end if t_end is not None else 1.0 / vp.total_N
+    if not (0 < t_0 < t_T <= 1.0) or t_0 < 1.0 / vp.total_N - 1e-12:
+        # the discrete-mode schedule is only defined on [1/N, 1]: jnp.interp
+        # CLAMPS outside the keypoint grid while the reference's
+        # interpolate_fn extrapolates, so out-of-range t would silently
+        # diverge from the oracle (the reference's t_end=1e-4 advice applies
+        # to its continuous 'linear'/'cosine' modes, not 'discrete')
+        raise ValueError(
+            f"t range [{t_0}, {t_T}] outside the discrete schedule's "
+            f"[{1.0 / vp.total_N}, 1.0]")
     b = shape[0]
     model_fn = _make_model_fn(vp, eps_fn, b, predict_x0)
     if x_T is None:
@@ -497,7 +528,7 @@ def dpm_solver_sample_adaptive(
     x_T: Optional[jnp.ndarray] = None,
     max_iters: int = 200,
     return_info: bool = False,
-) -> jnp.ndarray:
+):  # -> jnp.ndarray, or (jnp.ndarray, dict) when return_info=True
     """Adaptive step-size solver (dpm_solver_adaptive, dpm_solver.py:909-963):
     embedded lower/higher-order pair, accept when the scaled error E <= 1,
     step h <- min(theta h E^{-1/order}, remaining). return_info=True also

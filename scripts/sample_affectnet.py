@@ -35,7 +35,7 @@ def main():
                     choices=["ddim", "plms", "dpm++", "dpm"],
                     help="ddim (reference default), plms, dpm++ (DPM-Solver++ "
                          "multistep, data prediction), dpm (eps prediction)")
-    ap.add_argument("--order", type=int, default=2,
+    ap.add_argument("--order", type=int, default=2, choices=(1, 2, 3),
                     help="dpm/dpm++ solver order (1-3)")
     ap.add_argument("--classes", type=int, nargs="*", default=list(range(8)))
     ap.add_argument("--seed", type=int, default=0)

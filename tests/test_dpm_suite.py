@@ -148,3 +148,41 @@ def test_convergence_order():
     e1, e2, e3 = err(1, 10), err(2, 10), err(3, 10)
     assert e2 < e1
     assert e3 <= e2 * 1.5  # order-3 at worst comparable, usually better
+
+
+def test_dpm_input_validation_and_degenerate_nodes():
+    """Out-of-range solver args raise like the reference (lax.switch would
+    silently clamp); duplicate rounded timesteps no longer NaN the 2M
+    sampler."""
+    import pytest
+
+    from dsml_thesis_tpu.diffusion import make_schedule
+    from dsml_thesis_tpu.diffusion.dpm_solver import (
+        _singlestep_orders, dpm_solver_sample, dpm_solver_sample_suite,
+        make_dpm_schedule)
+
+    sched = make_schedule(timesteps=50, linear_start=0.0015,
+                          linear_end=0.0205)
+    eps = lambda x, t: 0.1 * x
+    with pytest.raises(ValueError, match="order must be 1, 2, or 3"):
+        dpm_solver_sample_suite(sched, eps, (1, 4, 4, 3),
+                                jax.random.PRNGKey(0), steps=6, order=4)
+    with pytest.raises(ValueError, match="solver_type"):
+        dpm_solver_sample_suite(sched, eps, (1, 4, 4, 3),
+                                jax.random.PRNGKey(0), steps=6,
+                                solver_type="dpmsolver")
+    with pytest.raises(ValueError, match="steps >= order"):
+        dpm_solver_sample_suite(sched, eps, (1, 4, 4, 3),
+                                jax.random.PRNGKey(0), steps=2, order=3,
+                                method="multistep")
+    with pytest.raises(ValueError, match="outside the discrete schedule"):
+        dpm_solver_sample_suite(sched, eps, (1, 4, 4, 3),
+                                jax.random.PRNGKey(0), steps=6, t_end=1e-4)
+    with pytest.raises(ValueError, match="order must be"):
+        _singlestep_orders(6, 4)
+
+    # more steps than schedule nodes -> rounded duplicates -> h_last == 0 at
+    # some steps; used to produce an all-NaN sample
+    dpm = make_dpm_schedule(sched, 80)
+    out = dpm_solver_sample(dpm, eps, (1, 4, 4, 3), jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(out)).all()
