@@ -26,7 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def distributed_init(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> None:
+                     process_id: Optional[int] = None,
+                     require_cluster: bool = False) -> None:
     """Idempotent jax.distributed.initialize for multi-host (DCN) runs.
 
     With no arguments, JAX auto-detects the coordinator from the cluster
@@ -47,7 +48,12 @@ def distributed_init(coordinator_address: Optional[str] = None,
             process_id=process_id,
         )
     except ValueError as e:  # auto-detect found no cluster environment
-        if coordinator_address is not None or num_processes is not None:
+        if (require_cluster or coordinator_address is not None
+                or num_processes is not None or process_id is not None):
+            # ANY explicit argument (or an explicit --multihost request)
+            # means the caller expected a cluster — swallowing would leave
+            # every host believing it is process 0 (same logdir, wrong
+            # global batch/LR) instead of failing loudly
             raise
         print(f"distributed_init: staying single-process ({e})")
 
@@ -75,20 +81,33 @@ def make_mesh(
                 "n_data explicitly to subset devices"
             )
         n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices)
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+            f"got {len(devices)}")
+    if jax.process_count() > 1:
+        # the devices list is process-major, so the (n_data, n_model)
+        # reshape puts each model group on n_model CONSECUTIVE devices: a
+        # model axis crossing a host boundary breaks shard_batch's
+        # rows-per-process math (each process would need rows it does not
+        # load). Require TP to fit within a host.
+        per_host = len(devices) // jax.process_count()
+        if n_model > per_host or per_host % n_model:
+            raise ValueError(
+                f"model-parallel degree {n_model} must fit within one "
+                f"host's {per_host} devices under multi-host (the "
+                "process-sharded data loader feeds each host distinct "
+                "batch rows)")
     dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(dev_array, axis_names=("data", "model"))
-
-
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P("data"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, force_global: bool = False):
+def shard_batch(mesh: Mesh, batch, force_global: bool = False,
+                replicated_keys: Sequence[str] = ()):
     """Place a batch dict onto the mesh, sharded along axis 0.
 
     Single-process: a plain device_put with a NamedSharding. Multi-process:
@@ -97,11 +116,18 @@ def shard_batch(mesh: Mesh, batch, force_global: bool = False):
     global jax.Array is assembled across hosts with
     jax.make_array_from_process_local_data. `force_global` exercises the
     multi-process assembly path in single-process tests.
+
+    `replicated_keys`: top-level batch keys whose arrays are NOT batch-major
+    (a PRNG key, a conditioning template) — they replicate instead of being
+    sharded/concatenated along 'data'. Without this, a multi-process run
+    would silently concatenate a replicated-intent leaf process_count times
+    into a bogus global array.
     """
     multiproc = jax.process_count() > 1 or force_global
 
-    def put(x):
-        spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
+    def put(x, replicate_leaf=False):
+        spec = (P() if replicate_leaf or getattr(x, "ndim", 0) < 1
+                else P("data"))
         sharding = NamedSharding(mesh, spec)
         if not multiproc:
             return jax.device_put(x, sharding)
@@ -112,6 +138,14 @@ def shard_batch(mesh: Mesh, batch, force_global: bool = False):
         global_shape = (x.shape[0] * nproc,) + x.shape[1:]
         return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
+    if replicated_keys and isinstance(batch, dict):
+        import functools
+
+        return {
+            k: jax.tree.map(
+                functools.partial(put, replicate_leaf=k in replicated_keys), v)
+            for k, v in batch.items()
+        }
     return jax.tree.map(put, batch)
 
 

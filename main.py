@@ -52,8 +52,13 @@ def main():
     if opt.cpu:
         jax.config.update("jax_platforms", "cpu")
     if opt.multihost:
-        # multi-host: mesh spans all global devices; per-host data loading
-        jax.distributed.initialize()
+        # multi-host: mesh spans all global devices; per-host data loading.
+        # The helper is idempotent (safe under wrapper scripts that already
+        # initialized) — a bare jax.distributed.initialize() would raise on
+        # a second call.
+        from dsml_thesis_tpu.parallel import distributed_init
+
+        distributed_init(require_cluster=True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from dsml_thesis_tpu.config import load_config

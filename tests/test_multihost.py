@@ -144,3 +144,48 @@ def test_dataset_item_rng_reproducible_and_epoch_varying():
     c = _item_rng(7, 1, 5).randint(1000)
     assert a == b
     assert a != c or _item_rng(7, 1, 6).randint(1000) != a
+
+
+def test_mesh_and_init_guards(monkeypatch):
+    """Explicit-intent failures raise instead of degrading silently:
+    device overcommit, TP crossing a host boundary, distributed_init with
+    any explicit argument (or require_cluster) finding no cluster."""
+    import jax
+
+    from dsml_thesis_tpu.parallel import distributed_init, make_mesh
+
+    with pytest.raises(ValueError, match="needs 12 devices"):
+        make_mesh(n_data=4, n_model=3)
+
+    from dsml_thesis_tpu.parallel import mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="fit within one host"):
+        # 8 virtual devices / 2 "hosts" = 4 per host; TP 8 would cross
+        make_mesh(n_model=8)
+    monkeypatch.undo()
+
+    # backend already initialized -> RuntimeError (locked above); explicit
+    # args must NOT be swallowed into single-process mode
+    with pytest.raises(RuntimeError):
+        distributed_init(process_id=3)
+    with pytest.raises(RuntimeError):
+        distributed_init(require_cluster=True)
+
+
+def test_shard_batch_replicated_keys():
+    """replicated_keys leaves replicate (P()) instead of sharding along
+    'data' — e.g. a shape-(2,) PRNG key must not be row-split."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsml_thesis_tpu.parallel import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    batch = {"image": np.zeros((8, 4, 4, 3), np.float32),
+             "key": np.asarray(jax.random.PRNGKey(0))}
+    out = shard_batch(mesh, batch, replicated_keys=("key",))
+    assert "data" in str(out["image"].sharding.spec)
+    assert out["key"].sharding.spec == jax.sharding.PartitionSpec()
+    np.testing.assert_array_equal(np.asarray(out["key"]),
+                                  np.asarray(jax.random.PRNGKey(0)))
