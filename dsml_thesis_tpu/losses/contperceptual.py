@@ -71,13 +71,21 @@ class KLAutoencoderLoss:
             params["lpips"] = self.lpips.init(k2, x, x)["params"]
         return params
 
-    def nll_loss(self, loss_params: Dict, inputs, reconstructions) -> jnp.ndarray:
-        """sum(rec/exp(logvar) + logvar) / batch (contperceptual.py:49-60)."""
-        rec = self.pixelloss_weight * jnp.abs(inputs - reconstructions)
+    def _rec_tensor(self, loss_params: Dict, inputs, reconstructions):
+        """|x - rec| + w_p * lpips, elementwise (contperceptual.py:48-51).
+        pixelloss_weight is deliberately NOT applied: the reference stores
+        pixel_weight but never multiplies it in (dead parameter) — applying
+        it here would diverge from any reference run with the field set."""
+        rec = jnp.abs(inputs - reconstructions)
         if self.lpips is not None:
             p = self.lpips.apply({"params": loss_params["lpips"]},
                                  inputs, reconstructions)
             rec = rec + self.perceptual_weight * p.reshape(-1, 1, 1, 1)
+        return rec
+
+    def nll_loss(self, loss_params: Dict, inputs, reconstructions) -> jnp.ndarray:
+        """sum(rec/exp(logvar) + logvar) / batch (contperceptual.py:49-60)."""
+        rec = self._rec_tensor(loss_params, inputs, reconstructions)
         logvar = loss_params["logvar"]
         nll = rec / jnp.exp(logvar) + logvar
         return jnp.sum(nll) / inputs.shape[0]
@@ -136,6 +144,12 @@ class KLAutoencoderLoss:
         log = {
             "total_loss": loss, "logvar": loss_params["logvar"],
             "kl_loss": kl_loss, "nll_loss": nll,
+            # the reference's monitored metric (contperceptual.py:87) — the
+            # logvar-free reconstruction mean; kl-f4.yaml monitors
+            # val/rec_loss, so checkpoint selection must rank on THIS, not
+            # the H*W*C-scaled (and logvar-drifting) nll
+            "rec_loss": jnp.mean(
+                self._rec_tensor(loss_params, inputs, reconstructions)),
             "d_weight": d_weight, "disc_factor": disc_factor, "g_loss": g_loss,
         }
         return loss, log

@@ -38,16 +38,26 @@ class NLayerDiscriminator(nn.Module):
             h = nn.Conv(self.ndf * nf, (4, 4), strides=(2, 2), padding=1,
                         use_bias=False, kernel_init=_conv_init(),
                         name=f"conv{i}")(h)
-            h = nn.GroupNorm(num_groups=32, name=f"norm{i}")(h)
+            h = nn.GroupNorm(num_groups=_groups_for(self.ndf * nf), name=f"norm{i}")(h)
             h = nn.leaky_relu(h, 0.2)
         nf = min(2**self.n_layers, 8)
         h = nn.Conv(self.ndf * nf, (4, 4), strides=(1, 1), padding=1,
                     use_bias=False, kernel_init=_conv_init(),
                     name=f"conv{self.n_layers}")(h)
-        h = nn.GroupNorm(num_groups=32, name=f"norm{self.n_layers}")(h)
+        h = nn.GroupNorm(num_groups=_groups_for(self.ndf * nf), name=f"norm{self.n_layers}")(h)
         h = nn.leaky_relu(h, 0.2)
         return nn.Conv(1, (4, 4), strides=(1, 1), padding=1,
                        kernel_init=_conv_init(), name="conv_out")(h)
+
+
+def _groups_for(channels: int, cap: int = 32) -> int:
+    """Largest group count <= cap that divides `channels` — the reference's
+    BatchNorm has no divisibility constraint, so ndf values like 24 (48, 96
+    channels) must not crash the GroupNorm substitute."""
+    g = min(cap, channels)
+    while channels % g:
+        g -= 1
+    return g
 
 
 def hinge_d_loss(logits_real: jnp.ndarray, logits_fake: jnp.ndarray) -> jnp.ndarray:

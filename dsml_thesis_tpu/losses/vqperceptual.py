@@ -93,26 +93,41 @@ class VQGANLoss:
         )
         g_loss = -jnp.mean(logits_fake)
 
-        if decode_from_last is not None and last_kernel is not None:
-            nll_g = jax.grad(
-                lambda k: self.nll_loss(loss_params, inputs, decode_from_last(k))
-            )(last_kernel)
-            gan_g = jax.grad(
-                lambda k: -jnp.mean(
+        if not val and decode_from_last is not None and last_kernel is not None:
+            # one shared decoder forward + two cotangent pullbacks (the
+            # contperceptual form) instead of two independent jax.grad
+            # traces that each re-run the decoder
+            rec2, pullback = jax.vjp(decode_from_last, last_kernel)
+            nll_cot = jax.grad(
+                lambda r: self.nll_loss(loss_params, inputs, r)
+            )(rec2)
+            gan_cot = jax.grad(
+                lambda r: -jnp.mean(
                     self.discriminator.apply(
-                        {"params": loss_params["discriminator"]},
-                        decode_from_last(k),
+                        {"params": loss_params["discriminator"]}, r
                     )
                 )
-            )(last_kernel)
+            )(rec2)
+            (nll_g,) = pullback(nll_cot)
+            (gan_g,) = pullback(gan_cot)
             d_weight = jnp.linalg.norm(nll_g.ravel()) / (
                 jnp.linalg.norm(gan_g.ravel()) + 1e-4
             )
             d_weight = jax.lax.stop_gradient(
                 jnp.clip(d_weight, 0.0, 1e4) * self.disc_weight
             )
+        elif not val and self.disc_factor > 0.0:
+            # training with the GAN enabled but no last-layer grad path:
+            # silently substituting a CONSTANT weight (or 0) would train a
+            # different objective than the reference's always-adaptive one
+            raise ValueError(
+                "generator_loss needs decode_from_last/last_kernel during "
+                "training (the adaptive d_weight is not optional while "
+                "disc_factor > 0)")
         else:
-            d_weight = jnp.asarray(0.0 if val else self.disc_weight)
+            # validation (reference calculate_adaptive_weight raises there
+            # -> d_weight 0, GAN term excluded), or disc_factor == 0
+            d_weight = jnp.asarray(0.0)
 
         disc_factor = adopt_weight(self.disc_factor, global_step, self.disc_start)
         loss = nll + d_weight * disc_factor * g_loss + self.codebook_weight * jnp.mean(

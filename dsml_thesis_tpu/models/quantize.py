@@ -90,6 +90,11 @@ class GumbelQuantizer(nn.Module):
         )
         tau = temp if temp is not None else self.temp_init
         if deterministic:
+            # DELIBERATE divergence from the reference: taming's eval path
+            # still samples gumbel noise (F.gumbel_softmax hard=True,
+            # quantize.py:110-210), so two reference eval runs of the same
+            # input can pick different codes near ties. Deterministic argmax
+            # is the standard eval behavior and keeps eval reproducible.
             idx = jnp.argmax(logits, axis=-1)
             one_hot = jax.nn.one_hot(idx, self.n_e)
         else:
@@ -129,14 +134,20 @@ class EMAVectorQuantizer(nn.Module):
         # codebook init from the module's init RNG (a hard-coded key would
         # make every instance/seed share one codebook), plain randn like the
         # reference EmbeddingEMA (quantize.py:290)
-        embedding = self.variable(
-            "vq_stats", "embedding",
-            lambda: jax.random.normal(
-                self.make_rng("params") if self.is_initializing()
-                else jax.random.PRNGKey(0),
-                (self.n_e, self.e_dim),
-            ),
-        )
+        def _init_embedding():
+            if not self.is_initializing():
+                # the variable is being (re)created OUTSIDE init — e.g. a
+                # restore that dropped the vq_stats collection; silently
+                # recreating from a fixed key would hand every instance the
+                # same codebook
+                raise ValueError(
+                    "EMAVectorQuantizer: 'vq_stats' collection missing at "
+                    "apply time — restore it from the checkpoint or re-init "
+                    "the module")
+            return jax.random.normal(self.make_rng("params"),
+                                     (self.n_e, self.e_dim))
+
+        embedding = self.variable("vq_stats", "embedding", _init_embedding)
         cluster_size = self.variable("vq_stats", "cluster_size",
                                      lambda: jnp.zeros((self.n_e,)))
         embed_avg = self.variable("vq_stats", "embed_avg",

@@ -157,7 +157,7 @@ def make_kl_ae_eval_step(model: AutoencoderKL, loss: KLAutoencoderLoss) -> Calla
         )
         d_total, _ = loss.discriminator_loss(lp, x, rec, state.step)
         return {
-            "val/rec_loss": g_log["nll_loss"],
+            "val/rec_loss": g_log["rec_loss"],
             "val/aeloss": g_total,
             "val/kl_loss": g_log["kl_loss"],
             "val/disc_loss": d_total,

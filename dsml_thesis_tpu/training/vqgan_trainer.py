@@ -129,8 +129,13 @@ class VQGANTrainer:
         # GLOBAL batch, so the scale is chip/host-count invariant; honors
         # the --scale_lr flag like the LDM Trainer
         base_lr = config["model"].get("base_learning_rate", 4.5e-6)
-        accumulate = config.get("lightning", {}).get("trainer", {}).get(
-            "accumulate_grad_batches", 1)
+        trainer_cfg = config.get("lightning", {}).get("trainer", {})
+        accumulate = trainer_cfg.get("accumulate_grad_batches", 1)
+        # YAML-driven run length (lightning.trainer), like the LDM Trainer:
+        # a verbatim reference YAML must fully specify the run
+        self.max_epochs = trainer_cfg.get("max_epochs")
+        if self.max_steps is None and trainer_cfg.get("max_steps") is not None:
+            self.max_steps = int(trainer_cfg["max_steps"])
         if config.get("scale_lr", True):
             self.lr = accumulate * self.batch_size * base_lr
         else:
@@ -284,10 +289,19 @@ class VQGANTrainer:
         except Exception:
             pass
 
-    def fit(self, epochs: int = 1, log_every: int = 100,
+    def fit(self, epochs: Optional[int] = None, log_every: int = 100,
             image_every: Optional[int] = None,
             val_max_batches: Optional[int] = None):
         assert self.train_data is not None
+        if epochs is None:
+            # YAML-driven (lightning.trainer.max_epochs); CLI --epochs wins.
+            # max_steps-only runs span epochs until the step limit.
+            if self.max_epochs is not None:
+                epochs = self.max_epochs
+            elif self.max_steps is not None:
+                epochs = 10**9
+            else:
+                epochs = 1
         first_batch = None
         for epoch in range(epochs):
             t0 = time.time()

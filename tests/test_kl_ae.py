@@ -197,3 +197,56 @@ def test_kl_eval_noise_varies_per_batch():
     assert float(m0["val/rec_loss"]) != float(m1["val/rec_loss"])
     np.testing.assert_allclose(float(m0["val/rec_loss"]),
                                float(m0b["val/rec_loss"]))
+
+
+def test_kl_val_rec_loss_is_reference_metric():
+    """val/rec_loss must be the logvar-free reconstruction mean (the
+    reference's monitored metric, contperceptual.py:87) — NOT the
+    H*W*C-scaled nll the KL eval step used to substitute."""
+    from dsml_thesis_tpu.losses.contperceptual import KLAutoencoderLoss
+
+    jl = KLAutoencoderLoss(disc_start=0, kl_weight=1.0, disc_factor=0.0,
+                           disc_num_layers=1, perceptual_weight=0.0)
+    lp = jl.init_params(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 8, 8, 3), jnp.float32)
+    rec = jnp.asarray(rs.randn(2, 8, 8, 3), jnp.float32)
+    from dsml_thesis_tpu.models.autoencoder import DiagonalGaussian
+
+    post = DiagonalGaussian(jnp.zeros((2, 2, 2, 3)), jnp.zeros((2, 2, 2, 3)))
+    _, log = jl.generator_loss(lp, post.kl(), x, rec, 0, val=True)
+    np.testing.assert_allclose(float(log["rec_loss"]),
+                               float(jnp.mean(jnp.abs(x - rec))), rtol=1e-6)
+    # nll = sum(rec + logvar)/B >> rec mean — the two must not be conflated
+    assert float(log["nll_loss"]) > 10 * float(log["rec_loss"])
+
+
+def test_vq_training_without_last_layer_hooks_raises():
+    """Training with the GAN enabled but no adaptive-weight grad path must
+    raise (silently substituting a constant d_weight trains a different
+    objective than the reference's always-adaptive one); validation and
+    disc_factor=0 still work hook-free."""
+    import pytest
+
+    from dsml_thesis_tpu.losses.vqperceptual import VQGANLoss
+
+    vl = VQGANLoss(disc_start=0, disc_num_layers=1, perceptual_weight=0.0)
+    lp = vl.init_params(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    x = jnp.zeros((2, 8, 8, 3))
+    q = jnp.zeros(())
+    with pytest.raises(ValueError, match="decode_from_last"):
+        vl.generator_loss(lp, q, x, x, 0)
+    _, log = vl.generator_loss(lp, q, x, x, 0, val=True)
+    assert float(log["d_weight"]) == 0.0
+
+
+def test_discriminator_accepts_any_ndf():
+    """The reference's BatchNorm has no channel-divisibility constraint; the
+    GroupNorm substitute must pick a dividing group count (ndf=24 -> 48
+    channels used to crash num_groups=32)."""
+    from dsml_thesis_tpu.losses.discriminator import NLayerDiscriminator
+
+    d = NLayerDiscriminator(ndf=24, n_layers=3, input_nc=3)
+    p = d.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    out = d.apply(p, jnp.zeros((2, 32, 32, 3)))
+    assert out.shape[0] == 2 and np.isfinite(np.asarray(out)).all()
