@@ -126,10 +126,16 @@ def affectnet_square_crop(image: np.ndarray, bbox) -> np.ndarray:
 
 def mask_mouth_region(image_m11: np.ndarray, landmarks: np.ndarray,
                       margin: int = 5) -> np.ndarray:
-    """Blank everything below the mouth's top edge (MEAD masking rule)."""
+    """Blank everything below the mouth's top edge (MEAD masking rule).
+
+    Deliberately UNCLAMPED slice start, matching the train-time mask
+    (datasets.MEADTalkingFace._mask_mouth and the reference custom.py:373):
+    a negative min_y masks only the last |min_y| rows. Clamping to 0 would
+    blank the whole frame, so offline-preprocessed masks would diverge from
+    the masks training computes."""
     masked = image_m11.copy()
     min_y = int(np.min(landmarks[MOUTH, 1])) - margin
-    masked[max(min_y, 0):, :, :] = -1.0
+    masked[min_y:, :, :] = -1.0
     return masked
 
 

@@ -173,29 +173,33 @@ class AffectnetDataset(Dataset):
         }
         if self.shape_root is not None:
             name = os.path.splitext(os.path.basename(path))[0]
+            # same rescale+crop pipeline as the target (reference
+            # AffectnetPaths routes shape_image through preprocess_image,
+            # base.py:121-132) — a center-cropped shape render against a
+            # random-cropped target would silently shift the conditioning
             ex["shape_image"] = load_image(
                 os.path.join(self.shape_root, name,
                              self.SHAPE_FILES[self.shape_model]),
-                self.size,
+                self.size, self.random_crop, rng,
             )
         return ex
 
 
 # Reference-config-name aliases (reference ctor params forwarded, not dropped)
 def AffectnetTrain(size=128, training_images_list_file=None, model="emoca",
-                   random_crop=False, **kw):
+                   random_crop=False, seed=0, **kw):
     return AffectnetDataset(training_images_list_file, size=size,
                             random_crop=random_crop,
                             shape_root=kw.get("shape_root"),
-                            shape_model=model)
+                            shape_model=model, seed=seed)
 
 
 def AffectnetTest(size=128, test_images_list_file=None, model="emoca",
-                  random_crop=False, **kw):
+                  random_crop=False, seed=0, **kw):
     return AffectnetDataset(test_images_list_file, size=size,
                             random_crop=random_crop,
                             shape_root=kw.get("shape_root"),
-                            shape_model=model)
+                            shape_model=model, seed=seed)
 
 
 class MEADTalkingFace(Dataset):
@@ -212,7 +216,8 @@ class MEADTalkingFace(Dataset):
     def __init__(self, tuples_path: str, data_root: str, audio_dir: str,
                  audio_window: int = 8, size: int = 128, mode: str = "train",
                  max_shortcut: int = 60, include_landmarks: bool = False,
-                 force_align: bool = False, seed: int = 0):
+                 force_align: bool = False, random_crop: bool = False,
+                 seed: int = 0):
         assert mode in ("train", "sample")
         with open(tuples_path, "rb") as f:
             self.tuples = sorted(list(pickle.load(f)))
@@ -226,6 +231,10 @@ class MEADTalkingFace(Dataset):
         # sample mode: pin the identity frame to frame 0 (reference
         # force_align, custom.py:355-358)
         self.force_align = force_align
+        # reference MEADBase3 builds albumentations.RandomCrop when set
+        # (custom.py:303-306); silently dropping the key would change the
+        # training distribution of a verbatim reference YAML
+        self.random_crop = random_crop
         self.seed = seed
         self._mean_landmarks = None
 
@@ -284,17 +293,43 @@ class MEADTalkingFace(Dataset):
         n = len(frames)
 
         def lm(k):
-            p = os.path.join(lm_dir, frames[k].replace("jpg", "pkl"))
-            return _load_pickle(p) if os.path.exists(p) else None
+            # _load_pickle semantics mirror the reference exactly
+            # (custom.py:364): a MISSING pickle raises FileNotFoundError (a
+            # never-generated landmarks tree must not silently train every
+            # item on mean landmarks); an EMPTY file returns None, which
+            # _mask_mouth turns into the mean-landmark fallback
+            return _load_pickle(
+                os.path.join(lm_dir, frames[k].replace("jpg", "pkl")))
+
+        if audio is None:
+            raise ValueError(
+                f"empty audio features for {subj}/{emotion}/{lvl}/{nbr} — "
+                "regenerate with scripts/mead_audio_features.py")
+        audio = np.asarray(audio)
+        # reference invariant (custom.py:343): one audio row per frame; a
+        # truncated pickle would silently condition frames on wrong rows
+        assert n == audio.shape[0], (
+            f"{subj}/{emotion}/{lvl}/{nbr}: {n} frames but "
+            f"{audio.shape[0]} audio feature rows")
 
         rng = _item_rng(self.seed, getattr(self, "_epoch", 0), idx)
         anchor = rng.randint(n) if self.mode == "train" else 0
-        image = load_image(os.path.join(clip_dir, frames[anchor]), self.size)
         if self.mode == "sample" and self.force_align:
             id_idx = 0
         else:
             id_idx = rng.randint(min(n, anchor + self.max_shortcut))
-        identity = load_image(os.path.join(clip_dir, frames[id_idx]), self.size)
+        if self.mode == "sample" and not self.random_crop:
+            # every frame is decoded anyway: one batched call rides the
+            # native thread pool instead of n sequential decodes
+            all_imgs = load_images(
+                [os.path.join(clip_dir, f) for f in frames], self.size)
+            image, identity = all_imgs[anchor], all_imgs[id_idx]
+        else:
+            all_imgs = None
+            image = load_image(os.path.join(clip_dir, frames[anchor]),
+                               self.size, self.random_crop, rng)
+            identity = load_image(os.path.join(clip_dir, frames[id_idx]),
+                                  self.size, self.random_crop, rng)
 
         ex: Dict = {
             "image": image,
@@ -311,7 +346,7 @@ class MEADTalkingFace(Dataset):
             ex["masked_image"], ex["masked_landmarks"] = self._mask_mouth(
                 image, landmarks
             )
-            ex["audio"] = self._audio_window_at(np.asarray(audio), anchor).astype(
+            ex["audio"] = self._audio_window_at(audio, anchor).astype(
                 np.float32
             )
             if self.include_landmarks:
@@ -322,7 +357,9 @@ class MEADTalkingFace(Dataset):
         else:
             masked, mlms, lms = [], [], []
             for k in range(n):
-                img_k = load_image(os.path.join(clip_dir, frames[k]), self.size)
+                img_k = (all_imgs[k] if all_imgs is not None else load_image(
+                    os.path.join(clip_dir, frames[k]), self.size,
+                    self.random_crop, rng))
                 landmarks = lm(k)
                 m, mlm = self._mask_mouth(img_k, landmarks)
                 masked.append(m)
@@ -340,18 +377,21 @@ class MEADTalkingFace(Dataset):
 
 
 def MEADBase3(audio_window, size=128, tuples_path=None, mode="train",
-              data_root=None, audio_dir=None, force_align=False, **kw):
+              data_root=None, audio_dir=None, force_align=False,
+              random_crop=False, seed=0, **kw):
     return MEADTalkingFace(tuples_path, data_root, audio_dir,
                            audio_window=audio_window, size=size, mode=mode,
-                           force_align=force_align,
-                           max_shortcut=kw.get("max_shortcut", 60))
+                           force_align=force_align, random_crop=random_crop,
+                           seed=seed, max_shortcut=kw.get("max_shortcut", 60))
 
 
 def MEADBase5(audio_window, size=128, tuples_path=None, mode="train",
-              data_root=None, audio_dir=None, force_align=False, **kw):
+              data_root=None, audio_dir=None, force_align=False,
+              random_crop=False, seed=0, **kw):
     return MEADTalkingFace(tuples_path, data_root, audio_dir,
                            audio_window=audio_window, size=size, mode=mode,
                            force_align=force_align, include_landmarks=True,
+                           random_crop=random_crop, seed=seed,
                            max_shortcut=kw.get("max_shortcut", 60))
 
 
@@ -410,15 +450,16 @@ class LatentDataset(Dataset):
 
 
 def LatentTrain(training_precomputed_latents_path=None, training_origin_path=None,
-                training_files_path=None, n_samples=None, size=None, **kw):
+                training_files_path=None, n_samples=None, size=None, seed=0,
+                **kw):
     return LatentDataset(training_precomputed_latents_path, training_origin_path,
-                         training_files_path, n_samples, size)
+                         training_files_path, n_samples, size, seed=seed)
 
 
 def LatentTest(test_precomputed_latents_path=None, test_origin_path=None,
-               test_files_path=None, n_samples=None, size=None, **kw):
+               test_files_path=None, n_samples=None, size=None, seed=0, **kw):
     return LatentDataset(test_precomputed_latents_path, test_origin_path,
-                         test_files_path, n_samples, size)
+                         test_files_path, n_samples, size, seed=seed)
 
 
 class SyntheticDataset(Dataset):

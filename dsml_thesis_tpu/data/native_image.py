@@ -106,6 +106,11 @@ def load_image_batch(paths: Sequence[str], size: int,
     if lib is None:
         return None
     n = len(paths)
+    if n <= 0 or size <= 0:
+        # the C++ entry returns early WITHOUT touching status for these —
+        # an np.empty buffer would come back as 'successfully decoded' junk
+        raise ValueError(f"load_image_batch needs n > 0 and size > 0 "
+                         f"(got n={n}, size={size})")
     out = np.empty((n, size, size, 3), dtype=np.float32)
     status = np.zeros(n, dtype=np.int32)
     arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
