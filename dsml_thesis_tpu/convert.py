@@ -133,6 +133,10 @@ def convert_unet(
     layout (the base-DDPM configs): heads per site follow the model's rule
     (num_head_channels=-1 -> fixed num_heads, else ch // num_head_channels,
     which needs model_channels to derive ch per level)."""
+    if not use_spatial_transformer and num_head_channels > 0 and model_channels <= 0:
+        raise ValueError(
+            "AttentionBlock conversion with num_head_channels needs "
+            "model_channels (heads = level_channels // num_head_channels)")
     p = _P()
     g = lambda k: prefix + k
 
@@ -340,11 +344,7 @@ def load_reference_ldm_checkpoint(ckpt_path: str, ldm, model_cfg: Dict) -> Dict:
     `ldm` is the models.ldm.LatentDiffusion built from `model_cfg` — used for
     cond-spec names/order.
     """
-    import torch
-
-    ckpt = torch.load(ckpt_path, map_location="cpu")
-    sd = ckpt.get("state_dict", ckpt)
-    return load_reference_ldm_checkpoint_from_sd(sd, ldm, model_cfg)
+    return load_ema_or_raw(ckpt_path, ldm, model_cfg, use_ema=False)
 
 
 def load_ema_or_raw(ckpt_path: str, ldm, model_cfg: Dict, use_ema: bool = True) -> Dict:
@@ -359,7 +359,10 @@ def load_ema_or_raw(ckpt_path: str, ldm, model_cfg: Dict, use_ema: bool = True) 
     """
     import torch
 
-    ckpt = torch.load(ckpt_path, map_location="cpu")
+    # weights_only=False: torch>=2.6 defaults to True, which rejects the
+    # non-tensor pickled extras every Lightning .ckpt carries
+    # (hyper_parameters, callbacks) — same fix as load_first_stage_checkpoint
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     sd = dict(ckpt.get("state_dict", ckpt))
     if use_ema:
         live_keys = [k for k in sd if k.startswith("model.diffusion_model.")]
@@ -384,6 +387,13 @@ def load_reference_ldm_checkpoint_from_sd(sd, ldm, model_cfg: Dict) -> Dict:
             attention_resolutions=tuple(up["attention_resolutions"]),
             transformer_depth=up.get("transformer_depth", 1),
             prefix="model.diffusion_model.",
+            # AttentionBlock (base-DDPM) checkpoints need the head rule and
+            # model_channels to locate/split qkv — without forwarding these
+            # the only working path was calling convert_unet by hand
+            use_spatial_transformer=up.get("use_spatial_transformer", True),
+            num_heads=up.get("num_heads", 1),
+            num_head_channels=up.get("num_head_channels", -1),
+            model_channels=up.get("model_channels", 0),
         )
     }
     if any(k.startswith("first_stage_model.") for k in sd):

@@ -111,6 +111,10 @@ def precision_recall(
     block = 4096
 
     def knn_radius(x):
+        if len(x) <= k:
+            raise ValueError(
+                f"precision/recall with k={k} needs more than {k} samples "
+                f"per side (got {len(x)})")
         out = np.empty(len(x), np.float32)
         for s in range(0, len(x), block):
             d = pairwise(x[s:s + block], x)
@@ -143,10 +147,14 @@ def compute_features(
     else:
         from PIL import Image
 
+        exts = ("jpg", "jpeg", "png", "JPG", "JPEG", "PNG")
         paths = sorted(
-            glob.glob(os.path.join(image_dir_or_array, "*.jpg"))
-            + glob.glob(os.path.join(image_dir_or_array, "*.png"))
+            p for e in exts
+            for p in glob.glob(os.path.join(image_dir_or_array, f"*.{e}"))
         )
+        if not paths:
+            raise ValueError(
+                f"no images (*.{'/'.join(exts)}) in {image_dir_or_array}")
 
         def load(p):
             # torch-fidelity/pytorch-fid parity: BILINEAR squash to
@@ -160,5 +168,13 @@ def compute_features(
         arrs = np.stack([load(p) for p in paths])
     out = []
     for s in range(0, len(arrs), batch):
-        out.append(np.asarray(extractor(arrs[s:s + batch])))
+        chunk = arrs[s:s + batch]
+        pad = batch - len(chunk)
+        if pad and s:  # ragged tail: pad to the compiled batch shape (one
+            # jitted program per run — a fresh shape would be a second full
+            # compile, minutes through the axon tunnel) and trim the features
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            out.append(np.asarray(extractor(chunk))[:-pad])
+        else:
+            out.append(np.asarray(extractor(chunk)))
     return np.concatenate(out)

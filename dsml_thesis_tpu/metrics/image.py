@@ -73,6 +73,8 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0,
 
 def cosine_similarity(a: jnp.ndarray, b: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """CSIM building block (identity embeddings, csim.py:17-77)."""
-    an = a / jnp.linalg.norm(a, axis=axis, keepdims=True)
-    bn = b / jnp.linalg.norm(b, axis=axis, keepdims=True)
+    # eps matches torch F.cosine_similarity's clamp: a zero embedding (a
+    # fully masked crop) must contribute 0, not NaN-poison the batch mean
+    an = a / jnp.maximum(jnp.linalg.norm(a, axis=axis, keepdims=True), 1e-8)
+    bn = b / jnp.maximum(jnp.linalg.norm(b, axis=axis, keepdims=True), 1e-8)
     return jnp.sum(an * bn, axis=axis)

@@ -176,8 +176,12 @@ def preprocess(images: jnp.ndarray, size: int = 299) -> jnp.ndarray:
     """[-1,1] NHWC any size -> 299x299 bilinear (pytorch-fid resizes in
     [0,1] with bilinear; equivalent up to the affine range map)."""
     if images.shape[1] != size or images.shape[2] != size:
+        # antialias=False: pytorch-fid resizes with plain F.interpolate
+        # (bilinear, no antialiasing); jax's default antialias=True would
+        # shift features — and FID — whenever inputs DOWNSCALE to 299
         images = jax.image.resize(
-            images, (images.shape[0], size, size, images.shape[3]), "bilinear"
+            images, (images.shape[0], size, size, images.shape[3]),
+            "bilinear", antialias=False,
         )
     return images
 

@@ -83,7 +83,9 @@ def error_rate(refs: Sequence[Sequence], hyps: Sequence[Sequence]) -> float:
 
     Uses the native C++ batch kernel (native/editdist.cc) when available;
     falls back to the pure-Python DP."""
-    assert len(refs) == len(hyps)
+    if len(refs) != len(hyps):  # a bare assert strips under -O and zip
+        # would silently truncate while the denominator sums ALL refs
+        raise ValueError(f"{len(refs)} refs vs {len(hyps)} hyps")
     from .native import edit_distance_batch
 
     dists = edit_distance_batch([list(r) for r in refs], [list(h) for h in hyps])
@@ -158,6 +160,8 @@ def _macro_rate(refs_tok: Sequence[Sequence],
                 hyps_tok: Sequence[Sequence]) -> float:
     """Mean per-utterance rate; distances through the native batch kernel
     when available (one C call for the whole corpus)."""
+    if len(refs_tok) != len(hyps_tok):
+        raise ValueError(f"{len(refs_tok)} refs vs {len(hyps_tok)} hyps")
     from .native import edit_distance_batch
 
     dists = edit_distance_batch([list(r) for r in refs_tok],

@@ -191,3 +191,32 @@ def test_cond_stage_key_null_falls_back():
     cfg["model"]["params"]["cond_stage_key"] = None
     ldm = build_model(cfg["model"])
     assert [s.key for s in ldm.cond_specs] == ["class_label"]
+
+
+def test_lightning_ckpt_with_pickled_extras_loads(tmp_path):
+    """Real Lightning .ckpt files carry non-tensor pickled extras
+    (hyper_parameters, callbacks); torch>=2.6 defaults weights_only=True
+    which rejects them — the loaders must pass weights_only=False."""
+    import argparse
+    import os
+    import sys
+
+    import torch
+    import yaml
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_ldm import TINY_MEAD_CFG
+
+    from dsml_thesis_tpu.config import build_model
+    from dsml_thesis_tpu.convert import load_ema_or_raw
+
+    cfg = yaml.safe_load(TINY_MEAD_CFG)["model"]
+    ldm = build_model(cfg)
+    # no real reference sd needed: an empty state_dict raises KeyError in
+    # conversion, which proves torch.load got PAST the weights_only gate —
+    # with weights_only=True the Namespace raises UnpicklingError first
+    ckpt = {"state_dict": {}, "hyper_parameters": argparse.Namespace(lr=1.0)}
+    p = str(tmp_path / "ref.ckpt")
+    torch.save(ckpt, p)
+    with pytest.raises(KeyError):
+        load_ema_or_raw(p, ldm, cfg)
