@@ -379,7 +379,10 @@ def build_guidance_encoders(p: Dict, edit_attr: Optional[str] = None,
     ):
         from .models import clip as clip_mod
 
-        cfg, params = clip_mod.load_clip_checkpoint(p["clip_ckpt"])
+        # clip_quick_gelu: false selects plain-GELU checkpoints (LAION
+        # ViT-H/bigG HF layout); the default matches OpenAI-lineage ckpts
+        cfg, params = clip_mod.load_clip_checkpoint(
+            p["clip_ckpt"], use_quick_gelu=p.get("clip_quick_gelu", True))
         # param-taking fn + weights routed through the params tree
         # ('frozen/guidance'), so jitted losses receive them as ARGUMENTS
         # instead of closure constants (axon rejects those, CLAUDE.md)

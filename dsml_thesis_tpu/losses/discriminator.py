@@ -77,6 +77,29 @@ def adopt_weight(weight: float, global_step, threshold: int = 0, value: float = 
     return jnp.where(global_step < threshold, value, weight)
 
 
+def adaptive_d_weight(nll_fn, gan_fn, decode_from_last, last_kernel,
+                      disc_weight: float) -> jnp.ndarray:
+    """Reference calculate_adaptive_weight (ldm/modules/losses/
+    vqperceptual.py:85-95, contperceptual.py:32-44):
+    d_w = ||∂nll/∂last|| / (||∂gan/∂last|| + 1e-4), clamped to [0, 1e4],
+    times disc_weight, stop-gradded.
+
+    JAX formulation shared by the VQ and KL losses: ONE decoder forward
+    from the final conv kernel (`decode_from_last(last_kernel) -> rec`)
+    plus two cotangent pullbacks — instead of two independent jax.grad
+    traces that each re-run the decoder. nll_fn/gan_fn map reconstructions
+    to the respective scalar losses."""
+    rec2, pullback = jax.vjp(decode_from_last, last_kernel)
+    nll_cot = jax.grad(nll_fn)(rec2)
+    gan_cot = jax.grad(gan_fn)(rec2)
+    (nll_g,) = pullback(nll_cot)
+    (gan_g,) = pullback(gan_cot)
+    d_weight = jnp.linalg.norm(nll_g.ravel()) / (
+        jnp.linalg.norm(gan_g.ravel()) + 1e-4
+    )
+    return jax.lax.stop_gradient(jnp.clip(d_weight, 0.0, 1e4) * disc_weight)
+
+
 def measure_perplexity(indices: jnp.ndarray, n_embed: int):
     onehot = jax.nn.one_hot(indices.reshape(-1), n_embed)
     avg = onehot.mean(axis=0)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from .discriminator import (
     NLayerDiscriminator,
+    adaptive_d_weight,
     adopt_weight,
     hinge_d_loss,
     vanilla_d_loss,
@@ -94,27 +95,14 @@ class VQGANLoss:
         g_loss = -jnp.mean(logits_fake)
 
         if not val and decode_from_last is not None and last_kernel is not None:
-            # one shared decoder forward + two cotangent pullbacks (the
-            # contperceptual form) instead of two independent jax.grad
-            # traces that each re-run the decoder
-            rec2, pullback = jax.vjp(decode_from_last, last_kernel)
-            nll_cot = jax.grad(
-                lambda r: self.nll_loss(loss_params, inputs, r)
-            )(rec2)
-            gan_cot = jax.grad(
+            d_weight = adaptive_d_weight(
+                lambda r: self.nll_loss(loss_params, inputs, r),
                 lambda r: -jnp.mean(
                     self.discriminator.apply(
                         {"params": loss_params["discriminator"]}, r
                     )
-                )
-            )(rec2)
-            (nll_g,) = pullback(nll_cot)
-            (gan_g,) = pullback(gan_cot)
-            d_weight = jnp.linalg.norm(nll_g.ravel()) / (
-                jnp.linalg.norm(gan_g.ravel()) + 1e-4
-            )
-            d_weight = jax.lax.stop_gradient(
-                jnp.clip(d_weight, 0.0, 1e4) * self.disc_weight
+                ),
+                decode_from_last, last_kernel, self.disc_weight,
             )
         elif not val and self.disc_factor > 0.0:
             # training with the GAN enabled but no last-layer grad path:

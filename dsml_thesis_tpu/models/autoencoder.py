@@ -193,6 +193,8 @@ class Encoder(nn.Module):
     dropout: float = 0.0
     in_channels: int = 3
     out_ch: int = 3  # accepted for config parity (used by Decoder)
+    tanh_out: bool = False  # config parity (used by Decoder); ddconfig is
+    # splatted into BOTH nets, so a tanh_out: true YAML must not crash here
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

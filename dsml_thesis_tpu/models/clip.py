@@ -16,6 +16,7 @@ from utils/text_templates.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -161,6 +162,44 @@ class CLIP(nn.Module):
 # Preprocessing & loss-side helpers
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=16)
+def _bicubic_matrix(in_size: int, out_size: int, a: float = -0.75):
+    """Dense [out_size, in_size] bicubic interpolation matrix matching
+    torch's tensor-path bicubic (antialias=False): cubic convolution kernel
+    with a=-0.75 (torch/torchvision; jax.image.resize's 'cubic' is
+    Catmull-Rom a=-0.5 and measurably differs), half-pixel sample centers,
+    replicate borders via index clamping."""
+    import numpy as np
+
+    scale = in_size / out_size
+    src = (np.arange(out_size) + 0.5) * scale - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    frac = src - i0
+
+    def cub(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1.0, ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0,
+            np.where(x < 2.0, (((x - 5.0) * x + 8.0) * x - 4.0) * a, 0.0))
+
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    for j in range(-1, 3):
+        np.add.at(w, (rows, np.clip(i0 + j, 0, in_size - 1)),
+                  cub(frac - j).astype(np.float32))
+    return w
+
+
+def bicubic_resize_torch(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """NHWC bicubic resize with exact torch F.interpolate(mode='bicubic',
+    align_corners=False, antialias=False) semantics, as two dense
+    MXU-friendly matmuls (separable kernel). Differentiable."""
+    wy = jnp.asarray(_bicubic_matrix(x.shape[1], out_h), x.dtype)
+    wx = jnp.asarray(_bicubic_matrix(x.shape[2], out_w), x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", wy, x)
+    return jnp.einsum("pw,bhwc->bhpc", wx, x)
+
+
 def preprocess_gan_output(images: jnp.ndarray, image_size: int = 224) -> jnp.ndarray:
     """[-1,1] NHWC (any square size) -> CLIP-normalized NHWC at image_size.
 
@@ -169,13 +208,11 @@ def preprocess_gan_output(images: jnp.ndarray, image_size: int = 224) -> jnp.nda
     """
     x = (images + 1.0) * 0.5
     if x.shape[1] != image_size or x.shape[2] != image_size:
-        # antialias=False: the reference's torchvision 0.12 tensor-path
-        # Resize runs plain (aliased) bicubic; antialiased downscale would
-        # feed measurably different pixels into the CLIP loss
-        x = jax.image.resize(
-            x, (x.shape[0], image_size, image_size, x.shape[3]),
-            method="cubic", antialias=False,
-        )
+        # antialias=False + a=-0.75: the reference's torchvision 0.12
+        # tensor-path Resize runs plain (aliased) torch bicubic; both the
+        # antialiased and the Catmull-Rom (a=-0.5) variants feed measurably
+        # different pixels into the CLIP loss (up to ~0.1 in [0,1] units)
+        x = bicubic_resize_torch(x, image_size, image_size)
     mean = jnp.asarray(CLIP_MEAN, x.dtype)
     std = jnp.asarray(CLIP_STD, x.dtype)
     return (x - mean) / std
@@ -422,9 +459,15 @@ def convert_clip_hf(
     return cfg, {"visual": visual, "text": text}
 
 
-def load_clip_checkpoint(path: str) -> Tuple[CLIPConfig, Dict]:
+def load_clip_checkpoint(path: str,
+                         use_quick_gelu: bool = True) -> Tuple[CLIPConfig, Dict]:
     """Load an OpenAI (`clip.load` jit archive or plain state_dict) or HF
-    CLIP checkpoint from disk and convert."""
+    CLIP checkpoint from disk and convert.
+
+    use_quick_gelu only affects HF-layout checkpoints (OpenAI-layout ones
+    are always QuickGELU): pass False for plain-GELU checkpoints (LAION
+    ViT-H/bigG) — the state_dict alone cannot tell the activations apart,
+    and the wrong one silently corrupts every embedding."""
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
@@ -433,5 +476,5 @@ def load_clip_checkpoint(path: str) -> Tuple[CLIPConfig, Dict]:
     if "visual.conv1.weight" in obj:
         return convert_clip_openai(obj)
     if "vision_model.embeddings.patch_embedding.weight" in obj:
-        return convert_clip_hf(obj)
+        return convert_clip_hf(obj, use_quick_gelu=use_quick_gelu)
     raise ValueError(f"unrecognized CLIP checkpoint layout in {path}")

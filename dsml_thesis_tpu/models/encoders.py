@@ -42,6 +42,13 @@ class ClassEmbedder(nn.Module):
     key: str = "class_label"  # config parity (batch key)
 
     def setup(self):
+        if self.freeze_null and self.null_mode != "separate":
+            # only the 'separate' table has a distinct null row to pin
+            # (ClassEmbedder2); silently ignoring the flag would train a
+            # row the config says is frozen
+            raise ValueError(
+                "freeze_null=True requires null_mode='separate' "
+                f"(got null_mode={self.null_mode!r})")
         if self.null_mode == "extra_row":
             self.embedding = nn.Embed(self.n_classes + 1, self.embed_dim)
         elif self.null_mode == "separate":
@@ -51,6 +58,14 @@ class ClassEmbedder(nn.Module):
             assert self.null_mode == "none", self.null_mode
             assert self.p_uncond == 0.0, "null_mode='none' cannot drop labels"
             self.embedding = nn.Embed(self.n_classes, self.embed_dim)
+
+    def frozen_paths(self):
+        """Param sub-trees the optimizer must skip (collected by
+        LDM.frozen_subpaths): the pinned null row is requires_grad=False in
+        the reference (ClassEmbedder2, modules.py:41-43) — stop_gradient
+        zeroes its grads, but AdamW's decoupled weight decay would still
+        shrink it every step without this exclusion."""
+        return ("uncond_embedding",) if self.freeze_null else ()
 
     def _null(self, batch_size: int) -> jnp.ndarray:
         if self.null_mode == "extra_row":

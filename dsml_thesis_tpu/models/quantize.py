@@ -7,11 +7,25 @@ the MXU + argmin, with the |z|^2 / |e|^2 terms fused by XLA. No remap support
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def _nearest_code(flat: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
+    """argmin_k ||flat_i - e_k||^2 via one [BHW, D] x [D, K] MXU matmul.
+
+    Shared by the straight-through and EMA quantizers so the distance
+    expansion (and its fp32 accumulation guard) cannot drift between them.
+    """
+    d = (
+        jnp.sum(flat**2, axis=1, keepdims=True)
+        - 2.0 * jnp.dot(flat, e.T, preferred_element_type=jnp.float32)
+        + jnp.sum(e**2, axis=1)[None, :]
+    )
+    return jnp.argmin(d, axis=1)
 
 
 class VectorQuantizer(nn.Module):
@@ -41,12 +55,7 @@ class VectorQuantizer(nn.Module):
         zf = z.astype(jnp.float32)
         flat = zf.reshape(-1, self.e_dim)
         e = self.embedding
-        d = (
-            jnp.sum(flat**2, axis=1, keepdims=True)
-            - 2.0 * jnp.dot(flat, e.T, preferred_element_type=jnp.float32)
-            + jnp.sum(e**2, axis=1)[None, :]
-        )
-        idx = jnp.argmin(d, axis=1)
+        idx = _nearest_code(flat, e)
         z_q = jnp.take(e, idx, axis=0).reshape(zf.shape)
 
         if self.legacy:
@@ -114,60 +123,73 @@ class GumbelQuantizer(nn.Module):
         kl = self.kl_weight * jnp.mean(
             jnp.sum(probs * jnp.log(probs * self.n_e + 1e-10), axis=-1)
         )
-        return z_q, kl, idx
+        # keep the VectorQuantizer contract: latent dtype == input dtype
+        # (the f32 embedding would otherwise silently promote bf16 pipelines)
+        return z_q.astype(z.dtype), kl, idx
 
 
 class EMAVectorQuantizer(nn.Module):
     """VQ with exponential-moving-average codebook updates (taming
     quantize.py:361-445): the codebook is a non-trainable variable updated
     from batch statistics, with Laplace-smoothed cluster sizes; the encoder
-    still receives the straight-through commitment gradient."""
+    still receives the straight-through commitment gradient.
+
+    Under data parallelism the batch statistics (n, dw) are LOCAL to each
+    shard; without a cross-device reduction every replica would evolve a
+    different codebook. Set `axis_name` to the data mesh axis (the repo
+    convention is "data", parallel/mesh.py) when calling under
+    pmap/shard_map so the EMA update psums the statistics first."""
 
     n_e: int
     e_dim: int
     beta: float = 0.25
     decay: float = 0.99
     eps: float = 1e-5
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, z, update: bool = False):
         # codebook init from the module's init RNG (a hard-coded key would
         # make every instance/seed share one codebook), plain randn like the
         # reference EmbeddingEMA (quantize.py:290)
-        def _init_embedding():
-            if not self.is_initializing():
-                # the variable is being (re)created OUTSIDE init — e.g. a
-                # restore that dropped the vq_stats collection; silently
-                # recreating from a fixed key would hand every instance the
-                # same codebook
-                raise ValueError(
-                    "EMAVectorQuantizer: 'vq_stats' collection missing at "
-                    "apply time — restore it from the checkpoint or re-init "
-                    "the module")
-            return jax.random.normal(self.make_rng("params"),
-                                     (self.n_e, self.e_dim))
+        def _guarded(name, init_fn):
+            # a variable being (re)created OUTSIDE init means a restore
+            # dropped part of the vq_stats collection; silently recreating
+            # it would corrupt the codebook on the next EMA update (zeroed
+            # cluster_size rescales every code by ~1/(1-decay))
+            def _init():
+                if not self.is_initializing():
+                    raise ValueError(
+                        f"EMAVectorQuantizer: 'vq_stats/{name}' missing at "
+                        "apply time — restore the FULL vq_stats collection "
+                        "from the checkpoint or re-init the module")
+                return init_fn()
+            return self.variable("vq_stats", name, _init)
 
-        embedding = self.variable("vq_stats", "embedding", _init_embedding)
-        cluster_size = self.variable("vq_stats", "cluster_size",
-                                     lambda: jnp.zeros((self.n_e,)))
-        embed_avg = self.variable("vq_stats", "embed_avg",
-                                  lambda: jnp.array(embedding.value))
+        embedding = _guarded(
+            "embedding",
+            lambda: jax.random.normal(self.make_rng("params"),
+                                      (self.n_e, self.e_dim)))
+        cluster_size = _guarded("cluster_size",
+                                lambda: jnp.zeros((self.n_e,)))
+        embed_avg = _guarded("embed_avg",
+                             lambda: jnp.array(embedding.value))
 
         zf = z.astype(jnp.float32)
         flat = zf.reshape(-1, self.e_dim)
         e = embedding.value
-        d = (
-            jnp.sum(flat**2, axis=1, keepdims=True)
-            - 2.0 * flat @ e.T
-            + jnp.sum(e**2, axis=1)[None]
-        )
-        idx = jnp.argmin(d, axis=1)
+        idx = _nearest_code(flat, e)
         one_hot = jax.nn.one_hot(idx, self.n_e)
         z_q = jnp.take(e, idx, axis=0).reshape(zf.shape)
 
         if update and not self.is_initializing():
             n = jnp.sum(one_hot, axis=0)
             dw = one_hot.T @ flat
+            if self.axis_name is not None:
+                # global batch statistics: all replicas apply the same EMA
+                # step and the codebooks stay bitwise-identical
+                n = jax.lax.psum(n, self.axis_name)
+                dw = jax.lax.psum(dw, self.axis_name)
             cluster_size.value = (
                 self.decay * cluster_size.value + (1 - self.decay) * n
             )

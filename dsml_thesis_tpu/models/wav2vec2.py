@@ -191,7 +191,12 @@ class AudioEmbedder(nn.Module):
         self.att_fc = nn.Dense(2 * self.win_len + 1, name="att_fc")
 
     def window_pool(self, feats: jnp.ndarray) -> jnp.ndarray:
-        """[B, 2w+1, D] window features -> [B, 1, D] attention-pooled token."""
+        """[B, 2w+1, D] window features -> [B, 1, D] attention-pooled token.
+
+        Same pyramid as encoders.Conv1DTemporalAttention, kept inline on
+        purpose: the param names here ('att_fc') are locked by the torch
+        checkpoint conversion and its oracle test — swapping in the shared
+        module ('att_dense') would break every already-converted ckpt."""
         b = feats.shape[0]
         h = feats  # NLC (torch runs NCL; same convs via channel-last)
         for conv in self.att_convs:
@@ -215,6 +220,13 @@ class AudioEmbedder(nn.Module):
             num_frames = 2 * self.win_len + 1
         if frame_idx is None:
             frame_idx = self.win_len
+        if isinstance(frame_idx, int) and isinstance(num_frames, int):
+            # static indices validate at trace time for free (the reference
+            # asserts frame_idx < num_frames, modules.py:319); traced values
+            # fall back to the clip below (replicate padding)
+            if not 0 <= frame_idx < num_frames:
+                raise ValueError(
+                    f"frame_idx {frame_idx} out of range [0, {num_frames})")
         feats = self.audio_encoder(audio, num_frames=num_frames)
         w = self.win_len
         idx = jnp.clip(
@@ -240,6 +252,11 @@ def config_from_hf(hf_config, ctc: bool = False) -> Wav2Vec2Config:
     assert not getattr(hf_config, "do_stable_layer_norm", False), (
         "only the do_stable_layer_norm=False (base/large-960h) layout is implemented"
     )
+    assert getattr(hf_config, "feat_extract_norm", "group") == "group", (
+        "only the feat_extract_norm='group' extractor layout is implemented "
+        "(per-conv-layer LayerNorm extractors would silently load layer 0's "
+        "LayerNorm into the GroupNorm slot and drop layers 1+'s norms)"
+    )
     return Wav2Vec2Config(
         ctc_vocab=hf_config.vocab_size if ctc else None,
         conv_dim=tuple(hf_config.conv_dim),
@@ -262,6 +279,15 @@ def convert_wav2vec2(sd: Dict, cfg: Wav2Vec2Config = Wav2Vec2Config()) -> Dict:
     if any(k.startswith("wav2vec2.") for k in sd):
         sd = {(k[len("wav2vec2."):] if k.startswith("wav2vec2.") else k): v
               for k, v in sd.items()}
+    if "feature_extractor.conv_layers.1.layer_norm.weight" in sd:
+        # feat_extract_norm='layer' layout: EVERY conv layer carries a
+        # LayerNorm. Layer 0's key collides shape-for-shape with the
+        # group-norm layout's single GroupNorm, so conversion would succeed
+        # and produce silently-garbage features — fail fast instead.
+        raise ValueError(
+            "convert_wav2vec2: state_dict uses the feat_extract_norm='layer' "
+            "extractor layout (per-conv-layer LayerNorms); only the 'group' "
+            "layout (base/large-960h) is implemented")
 
     def np32(k):
         v = sd[k]

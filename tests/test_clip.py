@@ -251,3 +251,39 @@ def test_text_direction_identical_prompts_is_finite_zero():
         lambda im: clip_directional_loss(embed, imgs, im, d)
     )(imgs)
     assert np.all(np.isfinite(np.asarray(g)))
+
+def test_bicubic_resize_matches_torch_exactly():
+    """preprocess_gan_output's resize must be TORCH bicubic (cubic kernel
+    a=-0.75, half-pixel centers, no antialias) — jax.image.resize 'cubic'
+    is Catmull-Rom (a=-0.5) and differs by up to ~0.1 in [0,1] units."""
+    import torch
+    import torch.nn.functional as F
+
+    from dsml_thesis_tpu.models.clip import bicubic_resize_torch
+
+    rng = np.random.RandomState(0)
+    for (h, w, oh, ow) in [(64, 64, 224, 224), (256, 256, 224, 224),
+                           (128, 96, 224, 224), (224, 224, 64, 48)]:
+        x = rng.rand(2, h, w, 3).astype(np.float32)
+        ref = F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(oh, ow),
+            mode="bicubic", align_corners=False, antialias=False,
+        ).permute(0, 2, 3, 1).numpy()
+        got = np.asarray(bicubic_resize_torch(jnp.asarray(x), oh, ow))
+        assert np.abs(got - ref).max() < 1e-4, (h, w, oh, ow)
+
+
+def test_load_clip_checkpoint_forwards_quick_gelu(tmp_path):
+    """HF plain-GELU checkpoints (LAION lineage) must be loadable with
+    use_quick_gelu=False through the file entry point — the state_dict
+    alone cannot tell the activations apart."""
+    import torch
+
+    tm = _tiny_hf_clip()
+    p = tmp_path / "clip.pt"
+    torch.save(tm.state_dict(), str(p))
+    from dsml_thesis_tpu.models.clip import load_clip_checkpoint
+
+    cfg_q, _ = load_clip_checkpoint(str(p))
+    cfg_g, _ = load_clip_checkpoint(str(p), use_quick_gelu=False)
+    assert cfg_q.use_quick_gelu and not cfg_g.use_quick_gelu

@@ -250,3 +250,37 @@ def test_discriminator_accepts_any_ndf():
     p = d.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     out = d.apply(p, jnp.zeros((2, 32, 32, 3)))
     assert out.shape[0] == 2 and np.isfinite(np.asarray(out)).all()
+
+def test_kl_training_without_last_layer_hooks_raises():
+    """Same contract as VQGANLoss (test above): the KL generator loss must
+    fail loudly when training with the GAN enabled but no adaptive-weight
+    grad path (the reference's calculate_adaptive_weight raises there)."""
+    import pytest
+
+    from dsml_thesis_tpu.losses.contperceptual import KLAutoencoderLoss
+
+    kl_loss = KLAutoencoderLoss(disc_start=0, disc_num_layers=1,
+                                perceptual_weight=0.0)
+    lp = kl_loss.init_params(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    x = jnp.zeros((2, 8, 8, 3))
+    kl = jnp.zeros((2,))
+    with pytest.raises(ValueError, match="decode_from_last"):
+        kl_loss.generator_loss(lp, kl, x, x, 0)
+    _, log = kl_loss.generator_loss(lp, kl, x, x, 0, val=True)
+    assert float(log["d_weight"]) == 0.0
+
+
+def test_ddconfig_tanh_out_reaches_decoder():
+    """ddconfig is splatted into BOTH Encoder and Decoder; a config with
+    tanh_out: true must construct (Encoder accepts-and-ignores it) and the
+    decoder output must land in [-1, 1]."""
+    from dsml_thesis_tpu.models.autoencoder import VQModel
+
+    dd = dict(ch=32, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[],
+              resolution=16, z_channels=4, in_channels=3, out_ch=3,
+              double_z=False, tanh_out=True)
+    m = VQModel(ddconfig=dd, n_embed=16, embed_dim=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3)) * 10
+    vars_ = m.init(jax.random.PRNGKey(1), x)
+    rec = m.apply(vars_, x)[0]
+    assert float(jnp.abs(rec).max()) <= 1.0

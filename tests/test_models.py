@@ -175,3 +175,22 @@ def test_unet_head_config_validation():
     with pytest.raises(AssertionError, match="num_heads"):
         m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
                jnp.zeros((1,), jnp.int32), jnp.zeros((1, 1, 16)))
+
+def test_class_embedder_freeze_null_contract():
+    """freeze_null requires the 'separate' null table; the pinned row is
+    exported via frozen_paths so AdamW's decoupled weight decay cannot
+    erode it (the reference's requires_grad=False semantics)."""
+    import pytest
+
+    from dsml_thesis_tpu.models.encoders import ClassEmbedder
+
+    m = ClassEmbedder(embed_dim=8, n_classes=4, null_mode="separate",
+                      freeze_null=True)
+    assert m.frozen_paths() == ("uncond_embedding",)
+    m2 = ClassEmbedder(embed_dim=8, n_classes=4, null_mode="separate")
+    assert m2.frozen_paths() == ()
+
+    bad = ClassEmbedder(embed_dim=8, n_classes=4, null_mode="extra_row",
+                        freeze_null=True)
+    with pytest.raises(ValueError, match="freeze_null"):
+        bad.init(jax.random.PRNGKey(0), jnp.zeros((2,), jnp.int32))

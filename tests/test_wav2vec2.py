@@ -179,3 +179,34 @@ def test_audio_embedder_end_to_end_and_freezing():
     # the frozen feature extractor is addressable for optimizer masking
     assert "feature_extractor" in params["params"]["audio_encoder"]
     assert w2v.AudioEmbedder.frozen_paths() == ("audio_encoder/feature_extractor",)
+
+def test_convert_rejects_layer_norm_extractor_layout():
+    """feat_extract_norm='layer' state_dicts (per-conv-layer LayerNorms)
+    collide shape-for-shape with the group layout at conv layer 0, so the
+    converter must fail fast instead of producing silently-garbage
+    features."""
+    import pytest
+    import torch
+
+    from dsml_thesis_tpu.models.wav2vec2 import convert_wav2vec2
+
+    sd = {"feature_extractor.conv_layers.1.layer_norm.weight":
+          torch.zeros(512)}
+    with pytest.raises(ValueError, match="feat_extract_norm"):
+        convert_wav2vec2(sd)
+
+
+def test_audio_embedder_static_frame_idx_validated():
+    import pytest
+
+    from dsml_thesis_tpu.models.wav2vec2 import AudioEmbedder, Wav2Vec2Config
+
+    cfg = Wav2Vec2Config(conv_dim=(8, 8), conv_kernel=(3, 3),
+                         conv_stride=(2, 2), hidden_size=16, num_layers=1,
+                         num_heads=2, intermediate_size=32,
+                         num_conv_pos_embeddings=4,
+                         num_conv_pos_embedding_groups=2)
+    m = AudioEmbedder(cfg=cfg, win_len=1)
+    audio = jnp.zeros((1, 64))
+    with pytest.raises(ValueError, match="frame_idx"):
+        m.init(jax.random.PRNGKey(0), audio, num_frames=4, frame_idx=4)
