@@ -87,7 +87,6 @@ def progressive_video_sample(
     # 3.420 vs 3.396, fidelity gate unchanged at 46.56 dB. DSML_CFG_DEDUP=0
     # is the kill switch (reverts to the stock batch-doubled CFG).
     import dataclasses
-    import os
 
     dedup = (pair_apply_fn is not None
              and env_flag("DSML_CFG_DEDUP", True))
@@ -112,8 +111,9 @@ def progressive_video_sample(
 
         if use_cfg and dedup:
             # CFG pair dedup: both halves share x, t, and the concat latents
-            # (cc_in above is literally [concat; concat]) — hand the UNet the
-            # B-batch inputs plus the 2B context pair and let it compute the
+            # (the stock batch-doubled path below builds its cc_in as
+            # literally [concat; concat]) — hand the UNet the B-batch inputs
+            # plus the 2B context pair and let it compute the
             # pre-cross-attention prefix once (models/unet.py cfg_pairs)
             ctx_in = jnp.concatenate([uctx, ctx], axis=0)
 

@@ -43,6 +43,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = [
+    "BadRequest",
     "MicroBatcher",
     "Overloaded",
     "PipelineServer",
@@ -54,6 +55,15 @@ __all__ = [
 class Overloaded(RuntimeError):
     """Raised by MicroBatcher.submit when the queue-depth cap is hit —
     load shedding at admission, mapped to HTTP 503 by PipelineServer."""
+
+
+class BadRequest(ValueError):
+    """Client-fault errors (unparseable body, tier-shape mismatch) — the ONLY
+    exception PipelineServer maps to HTTP 400. Server-side failures that
+    happen to raise ValueError/KeyError (a drifted params tree rejected by
+    Exported.call, a sharding error in run_batch) stay 500s: mapping them to
+    400 would blame the client for a server misconfiguration and suppress
+    retries. Subclasses ValueError so callers catching ValueError still work."""
 
 
 def batch_key(seed: int, batch_index: int):
@@ -131,11 +141,15 @@ class MicroBatcher:
                 f"queue depth >= {self.max_queue}; retry later")
         p = _Pending(inputs)
         self._q.put(p)
-        if self._stop.is_set() and not p.done.is_set():
-            # closes the submit/shutdown race: if shutdown drained the queue
+        if (self._stop.is_set() and not self._worker.is_alive()
+                and not p.done.is_set()):
+            # closes the submit/shutdown race: if shutdown's drain finished
             # between our is_set check and the put, nobody will ever complete
-            # p — fail it here instead of hanging until the timeout (both
-            # this path and the drain may fire; done.set() is idempotent)
+            # p — fail it here instead of hanging until the timeout. The
+            # worker-liveness guard keeps this from firing on a request the
+            # worker already collected and WILL complete (a live worker either
+            # processes p or exits, after which shutdown's post-join drain
+            # fails it; done.set() is idempotent either way).
             p.error = RuntimeError("MicroBatcher is shut down")
             p.done.set()
         if not p.done.wait(timeout):
@@ -143,6 +157,10 @@ class MicroBatcher:
             with self._lock:
                 self.n_cancelled += 1
             raise TimeoutError("synthesis request timed out")
+        if p.result is not None:
+            # result wins over a spurious shutdown-race error write: if the
+            # worker completed the batch, the computed frames ARE the answer
+            return p.result
         if p.error is not None:
             raise p.error
         return p.result
@@ -217,14 +235,19 @@ class MicroBatcher:
             if not group:
                 continue
             n_real = len(group)
-            # pad the ragged tail by repeating the last row; padded rows are
-            # sliced off below, so they only cost device time, never results
-            rows = group + [group[-1]] * (self.batch_size - n_real)
-            stacked = {
-                k: np.stack([r.inputs[k] for r in rows])
-                for k in group[0].inputs
-            }
             try:
+                # pad the ragged tail by repeating the last row; padded rows
+                # are sliced off below, so they only cost device time, never
+                # results. Assembly lives INSIDE the try: direct MicroBatcher
+                # users can submit mismatched keys/shapes, and a KeyError/
+                # ValueError here must fail this group, not kill the one
+                # dispatcher thread (which would hang every future submit
+                # while /healthz keeps reporting ok).
+                rows = group + [group[-1]] * (self.batch_size - n_real)
+                stacked = {
+                    k: np.stack([r.inputs[k] for r in rows])
+                    for k in group[0].inputs
+                }
                 out = np.asarray(self.run_batch(stacked, batch_index))
                 if out.shape[0] != self.batch_size:
                     raise RuntimeError(
@@ -310,10 +333,22 @@ class PipelineServer:
 
     def __init__(self, batcher: MicroBatcher,
                  clip_shapes: Dict[str, Tuple[int, ...]],
-                 request_timeout_s: float = 600.0):
+                 request_timeout_s: float = 600.0,
+                 max_body_bytes: int = 1 << 30):
         self.batcher = batcher
         self.clip_shapes = dict(clip_shapes)
+        missing = [k for k in _REQUIRED_FIELDS if k not in self.clip_shapes]
+        if missing:
+            # a server CONFIG bug — fail at construction, not as a per-request
+            # KeyError that the 400 net would misattribute to the client
+            raise ValueError(
+                f"clip_shapes missing required fields {missing}; "
+                f"required: {list(_REQUIRED_FIELDS)}")
         self.request_timeout_s = request_timeout_s
+        # upper bound on request bodies: without it a single client's declared
+        # multi-GB Content-Length is read fully into memory, defeating the
+        # max_queue/Overloaded load-shedding design
+        self.max_body_bytes = max_body_bytes
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
 
@@ -321,14 +356,14 @@ class PipelineServer:
     def _validate(self, arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         missing = [k for k in _REQUIRED_FIELDS if k not in arrays]
         if missing:
-            raise ValueError(f"missing npz fields: {missing}; "
+            raise BadRequest(f"missing npz fields: {missing}; "
                              f"required: {list(_REQUIRED_FIELDS)}")
         out = {}
         for k in _REQUIRED_FIELDS:
             a = np.asarray(arrays[k])
             want = self.clip_shapes[k]
             if tuple(a.shape) != tuple(want):
-                raise ValueError(
+                raise BadRequest(
                     f"field '{k}' has shape {tuple(a.shape)}; this server's "
                     f"compiled tier requires {tuple(want)}")
             out[k] = (a.astype(np.int32) if k == "class_label"
@@ -340,9 +375,9 @@ class PipelineServer:
             arrays = dict(np.load(io.BytesIO(body), allow_pickle=False))
         except Exception as e:  # zipfile.BadZipFile / OSError / EOFError / …
             # any failure to PARSE the body is the client's malformed upload,
-            # not a server fault — normalize to ValueError so do_POST maps it
+            # not a server fault — normalize to BadRequest so do_POST maps it
             # to 400 instead of 500
-            raise ValueError(f"request body is not a readable npz: {e}")
+            raise BadRequest(f"request body is not a readable npz: {e}")
         inputs = self._validate(arrays)
         frames = self.batcher.submit(inputs, timeout=self.request_timeout_s)
         buf = io.BytesIO()
@@ -388,11 +423,36 @@ class PipelineServer:
                 if self.path != "/synthesize":
                     self._reply_json(404, {"error": f"no route {self.path}"})
                     return
+                raw_len = self.headers.get("Content-Length", "0")
                 try:
-                    n = int(self.headers.get("Content-Length", "0"))
+                    n = int(raw_len)
+                except ValueError:
+                    n = -1
+                if n < 0 or n > server.max_body_bytes:
+                    # reject BEFORE reading: rfile.read(-1) would block until
+                    # an EOF that never comes under keep-alive (one leaked
+                    # handler thread per request), and an unbounded declared
+                    # length would be read fully into memory, defeating the
+                    # max_queue/Overloaded load-shedding design. The body was
+                    # not consumed, so the connection must close (keep-alive
+                    # would misparse the unread body as the next request).
+                    self.close_connection = True
+                    if n > server.max_body_bytes:
+                        self._reply_json(
+                            413, {"error": f"body of {n} bytes exceeds the "
+                                  f"{server.max_body_bytes}-byte cap"})
+                    else:
+                        self._reply_json(
+                            400,
+                            {"error": f"bad Content-Length {raw_len!r}"})
+                    return
+                try:
                     body = self.rfile.read(n)
                     out = server.handle_synthesize(body)
-                except (ValueError, KeyError) as e:
+                except BadRequest as e:
+                    # ONLY client faults (parse/validate) — a ValueError out
+                    # of run_batch/submit is a server fault and falls through
+                    # to the 500 arm below
                     self._reply_json(400, {"error": str(e)})
                 except Overloaded as e:
                     self._reply_json(503, {"error": str(e)})

@@ -345,3 +345,136 @@ def test_queue_cap_sheds_load_with_overloaded():
         for t in ts:
             t.join(timeout=5.0)
         mb.shutdown()
+
+
+def test_mismatched_inputs_fail_batch_not_worker():
+    """Two direct-API requests with mismatched keys/shapes must fail THAT
+    group only: batch assembly (np.stack over shared keys) runs inside the
+    worker's try, so the dispatcher thread survives and later well-formed
+    requests still complete (it used to die, hanging every future submit
+    while /healthz kept reporting ok)."""
+    mb = MicroBatcher(lambda s, i: s["x"] * 2.0, batch_size=2,
+                      max_wait_ms=200.0)
+    try:
+        errs, outs = [], []
+
+        def client(inputs):
+            try:
+                outs.append(mb.submit(inputs, timeout=10.0))
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=client, args=(inp,)) for inp in (
+            {"x": np.zeros((3,), np.float32)},
+            {"y": np.zeros((3,), np.float32)},  # wrong key -> KeyError
+        )]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=10.0)
+        assert len(errs) == 2 and not outs
+        assert mb._worker.is_alive()
+        out = mb.submit({"x": np.full((3,), 1.0, np.float32)}, timeout=10.0)
+        np.testing.assert_array_equal(out, np.full((3,), 2.0))
+    finally:
+        mb.shutdown()
+
+
+def test_shutdown_race_after_put_returns_completed_result():
+    """If shutdown sets _stop between submit's put and its post-put check
+    while the worker has already collected the request, the computed result
+    must win — the old check blindly wrote p.error and the client got a 500
+    for a synthesis that completed."""
+    mb = MicroBatcher(lambda s, i: s["x"] + 1.0, batch_size=1,
+                      max_wait_ms=5.0)
+    try:
+        time.sleep(0.3)  # let the worker block inside queue.get
+        orig_put = mb._q.put
+
+        def put_then_stop(p, *a, **kw):
+            orig_put(p, *a, **kw)
+            mb._stop.set()  # the worker (blocked in get) still collects p
+
+        mb._q.put = put_then_stop
+        out = mb.submit({"x": np.zeros((2,), np.float32)}, timeout=10.0)
+        np.testing.assert_array_equal(out, np.ones((2,)))
+    finally:
+        mb._q.put = orig_put
+        mb.shutdown()
+
+
+def test_pipeline_server_rejects_incomplete_clip_shapes():
+    """A clip_shapes map missing a required field is a server CONFIG bug —
+    it must fail at construction, not surface per-request as a KeyError
+    that the old 400 net blamed on the client."""
+    mb = MicroBatcher(lambda s, i: s["masked_frames"], batch_size=1,
+                      max_wait_ms=5.0)
+    try:
+        with pytest.raises(ValueError, match="identity"):
+            PipelineServer(mb, clip_shapes={
+                "masked_frames": (F, SIZE, SIZE, 3),
+                "audio": (ASEQ, ADIM),
+                "class_label": (),
+            })
+    finally:
+        mb.shutdown()
+
+
+def _tiny_http_server(run_batch, **server_kw):
+    mb = MicroBatcher(run_batch, batch_size=1, max_wait_ms=5.0)
+    server = PipelineServer(mb, clip_shapes={
+        "masked_frames": (F, SIZE, SIZE, 3),
+        "audio": (ASEQ, ADIM),
+        "identity": (SIZE, SIZE, 3),
+        "class_label": (),
+    }, **server_kw)
+    port = server.start(port=0)
+    return server, f"http://127.0.0.1:{port}"
+
+
+def test_server_side_valueerror_is_500_not_400():
+    """run_batch failures that happen to raise ValueError (a drifted params
+    tree rejected by Exported.call, a mesh-divisibility error) are SERVER
+    faults: the client's tier-valid upload must get a 500 (retryable), not a
+    400 blaming its request."""
+    server, base = _tiny_http_server(
+        lambda s, i: (_ for _ in ()).throw(
+            ValueError("params tree drifted from the exported artifact")))
+    try:
+        clip = _clip(np.random.RandomState(7))
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/synthesize", _npz_bytes(**clip))
+        assert ei.value.code == 500
+        assert "drifted" in ei.value.read().decode()
+    finally:
+        server.stop()
+
+
+def test_content_length_abuse_rejected():
+    """A negative Content-Length must be rejected up front (rfile.read(-1)
+    blocks until an EOF that never comes under keep-alive — one leaked
+    handler thread per request), and a declared length over max_body_bytes
+    is a 413 WITHOUT reading the body into memory."""
+    import http.client
+
+    server, base = _tiny_http_server(lambda s, i: s["masked_frames"],
+                                     max_body_bytes=1024)
+    host = base[len("http://"):]
+    try:
+        for raw_len, want in (("-1", 400), ("2048", 413), ("junk", 400)):
+            conn = http.client.HTTPConnection(host, timeout=10)
+            try:
+                conn.putrequest("POST", "/synthesize")
+                conn.putheader("Content-Length", raw_len)
+                conn.endheaders()
+                # no body sent: the server must answer from the header alone
+                resp = conn.getresponse()
+                assert resp.status == want, (raw_len, resp.status)
+                resp.read()
+            finally:
+                conn.close()
+        # server still healthy afterwards
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            assert yaml.safe_load(r.read())["status"] == "ok"
+    finally:
+        server.stop()
