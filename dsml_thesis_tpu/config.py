@@ -441,6 +441,42 @@ def build_guidance_encoders(p: Dict, edit_attr: Optional[str] = None,
         affine = "output_layer.4.weight" in sd
         out["arcface_embed"] = make_id_embed_apply(model=IRSE(affine=affine))
         frozen["irse"] = {"params": ip, "batch_stats": istats}
+    if p.get("cls_ckpt") and "classifier_logits" not in skip:
+        import dataclasses as _dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from .models.efficientnet import (
+            affectnet_to_head,
+            convert_enet,
+            load_enet_state_dict,
+            make_enet_logits_apply,
+        )
+
+        # HSEmotion enet_b2_7/8 (clsloss.py:80-114); knobs cover the non-tf
+        # timm lineage (cls_pad_same: false, cls_bn_eps: 1e-5)
+        ecfg, ep, estats = convert_enet(load_enet_state_dict(p["cls_ckpt"]))
+        ecfg = _dc.replace(
+            ecfg,
+            pad_same=bool(p.get("cls_pad_same", True)),
+            bn_eps=float(p.get("cls_bn_eps", 1e-3)),
+            input_size=int(p.get("cls_input_size", 260)),
+        )
+        raw_logits = make_enet_logits_apply(ecfg)
+        # reorder head logits into AffectNet label order (the reference
+        # instead remaps the TARGET through IDX_TO_CLASS/CLASS_TO_IDX,
+        # clsloss.py:111-113 — exact under softmax permutation equivariance)
+        perm = jnp.asarray(affectnet_to_head(ecfg.num_classes))
+
+        def _cls_logits(variables, images, _raw=raw_logits, _perm=perm):
+            return _raw(variables, images)[:, _perm]
+
+        out["classifier_logits"] = _cls_logits
+        frozen["classifier"] = {
+            "params": jax.tree.map(jnp.asarray, ep),
+            "batch_stats": jax.tree.map(jnp.asarray, estats),
+        }
     if frozen:
         out["frozen_params"] = frozen
     return out

@@ -163,6 +163,31 @@ def test_emorec_cli(tmp_path):
     assert "class 3: acc 1.000" in out
 
 
+def test_emorec_cli_jax_enet(tmp_path):
+    """Torch-free path: --enet converts the HSEmotion checkpoint to the
+    in-tree Flax tower; head-order predictions remap to AffectNet labels."""
+    import torch
+
+    from dsml_thesis_tpu.models.efficientnet import EffNetConfig, affectnet_to_head
+    from tests.enet_torch import EffNetTorch
+
+    cfg = EffNetConfig(width_mult=0.35, depth_mult=0.35, num_classes=7)
+    tm = EffNetTorch(cfg).eval()
+    with torch.no_grad():
+        # rig the head so every input lands on AffectNet class 3 (Surprise)
+        tm.classifier.weight.zero_()
+        tm.classifier.bias.zero_()
+        tm.classifier.bias[int(affectnet_to_head(7)[3])] = 10.0
+    torch.save(tm.state_dict(), str(tmp_path / "enet_b2_7.pt"))
+    rs = np.random.RandomState(0)
+    np.save(tmp_path / "class_3.npy",
+            (rs.rand(4, 16, 16, 3) * 2 - 1).astype(np.float32))
+    out = run(["scripts/emorec.py", "--samples", str(tmp_path),
+               "--enet", str(tmp_path / "enet_b2_7.pt"),
+               "--input-size", "66"])
+    assert "class 3: acc 1.000" in out
+
+
 def test_migration_doc_cites_real_scripts_and_flags():
     """Doc-rot guard: every `python <script> --flag ...` in the 'ours' column
     of docs/MIGRATION.md names a script that exists and flags its argparse
