@@ -527,11 +527,32 @@ def build_finetune(model_cfg: Dict, ldm: Optional[LatentDiffusion] = None,
     if target.endswith("ddpm2condtune.LatentDiffusion"):
         from .models.lipread_tune import LipreadFinetune
 
+        lipreader_fn = encoder_fns.get("lipreader_fn")
+        frozen = None
+        if lipreader_fn is None and p.get("lipread_ckpt"):
+            # in-tree Conv3dResNet frontend (models/lipreader.py) replacing
+            # the reference's uncheckedout VSR submodule
+            # (ddpm2condtune.py:498-535); weights ride 'frozen/guidance' as
+            # jit arguments, like the CLIP/ArcFace towers
+            from .models.lipreader import (
+                load_lipreader_checkpoint,
+                make_lipreader_apply,
+            )
+
+            lipreader_fn = make_lipreader_apply(
+                p.get("lipread_relu_type", "swish"))
+            frozen = {"lipreader": load_lipreader_checkpoint(p["lipread_ckpt"])}
         return LipreadFinetune(
             ldm,
-            lipreader_fn=encoder_fns.get("lipreader_fn"),
+            lipreader_fn=lipreader_fn,
+            frozen_params=frozen,
             lr_loss_weight=p.get("lr_loss_w", 1.0),
             start_lr_loss=p.get("start_lr_loss", 0),
+            # reference constants (ddpm2condtune.py:515-521); overridable so
+            # tiny test configs can drive the full mouth chain
+            mouth_crop=p.get("mouth_crop", 72),
+            mouth_center_crop=p.get("mouth_center_crop", 64),
+            mouth_size=p.get("mouth_size", 88),
         )
     raise NotImplementedError(f"finetune target {target}")
 

@@ -72,6 +72,12 @@ class LipreadFinetune:
 
     ldm: LatentDiffusion
     lipreader_fn: Optional[Callable] = None
+    # frozen tower weights keyed 'lipreader': merged into the params tree as
+    # 'frozen/guidance' by FinetuneTrainer so the jitted loss receives them
+    # as ARGUMENTS (axon rejects closure-constant weights, CLAUDE.md); the
+    # matching lipreader_fn then takes (weights, mouths). Plain single-arg
+    # callables (tests, external torch towers on CPU) remain supported.
+    frozen_params: Optional[Dict] = None
     decode_steps: int = 8          # DDIM-8 sampler (ddpm2condtune.py:534-535)
     lr_loss_weight: float = 1.0    # lr_loss_w (mead-128-ldm-f4-tune.yaml:20)
     start_lr_loss: int = 0         # warmup threshold (yaml:19)
@@ -90,6 +96,14 @@ class LipreadFinetune:
         # reverse step adds sigma-scaled noise (rng passed in training_loss)
         self.ddim = make_ddim_schedule(self.ldm.schedule, self.decode_steps,
                                        eta=1.0)
+
+    def _lipreader(self, params: Dict) -> Callable:
+        """Bind the lipreader to its frozen weights from `params` (mirrors
+        DiffusionCLIPFinetune._enc)."""
+        gp = params.get("frozen/guidance", self.frozen_params or {})
+        if "lipreader" in gp:
+            return lambda m: self.lipreader_fn(gp["lipreader"], m)
+        return self.lipreader_fn
 
     def _prep_mouths(self, images: jnp.ndarray, landmarks: jnp.ndarray):
         m = cut_mouth(images, landmarks, crop=self.mouth_crop)
@@ -140,9 +154,10 @@ class LipreadFinetune:
                 -1, 1,
             )
             lm = batch["landmarks"][..., :2]
-            f_pred = self.lipreader_fn(self._prep_mouths(x_pred, lm))
+            reader = self._lipreader(params)
+            f_pred = reader(self._prep_mouths(x_pred, lm))
             f_gt = jax.lax.stop_gradient(
-                self.lipreader_fn(self._prep_mouths(x_gt, lm))
+                reader(self._prep_mouths(x_gt, lm))
             )
             cos = jnp.sum(f_pred * f_gt, axis=-1) / (
                 jnp.linalg.norm(f_pred, axis=-1) * jnp.linalg.norm(f_gt, axis=-1)
