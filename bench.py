@@ -9,15 +9,20 @@ VQ encodes, identity encode, audio-window conditioning encoder, class + CFG
 null embeddings, the DDIM reverse chain, and the per-frame VQGAN decode to
 pixels — compiled as one program (diffusion.video.make_video_pipeline).
 
-Prints ONE JSON line:
+Prints one JSON line per measured config. The default (driver) invocation
+measures BOTH the headline config and the reference-faithful [4,2,1]
+attention config (mead-256-ldm-f4-fullattn.yaml), so the round record
+documents the faithful number the 3.125 target is judged on:
   {"metric": "frames_per_sec_per_chip_ddim50_256px", "value": N,
-   "unit": "frames/s/chip", "vs_baseline": N}
+   "unit": "frames/s/chip", "vs_baseline": N, "faithful_value": M}
+  {"metric": "frames_per_sec_per_chip_ddim50_256px_faithful", "value": M, ...}
 
 vs_baseline: BASELINE.json's target is >=25 frames/s on a v5e-8 => 3.125
 frames/s/chip. vs_baseline = value / 3.125.
 
-Flags: --tiny (CPU smoke), --steps, --frames, --batch, --res, --hot-only
-(legacy pre-encoded-latents timing, round-1 comparable).
+Flags: --tiny (CPU smoke), --steps, --frames, --batch, --res, --no-faithful
+(skip the second config), --hot-only (legacy pre-encoded-latents timing,
+round-1 comparable).
 """
 import argparse
 import json
@@ -49,6 +54,9 @@ def parse_args():
     ap.add_argument("--config", default=None,
                     help="override the model yaml (e.g. the reference-faithful "
                          "mead-256-ldm-f4-fullattn.yaml)")
+    ap.add_argument("--no-faithful", action="store_true",
+                    help="headline invocations only: skip the second, "
+                         "reference-faithful [4,2,1] measurement")
     add_sampler_args(ap, note="non-headline metric")
     return ap.parse_args()
 
@@ -84,38 +92,14 @@ def _probe_backend_with_retry():
         time.sleep(sleep_s)
 
 
-def main():
-    args = parse_args()
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    if args.tiny:
-        jax.config.update("jax_platforms", "cpu")
-    else:
-        _probe_backend_with_retry()
-
-    from dsml_thesis_tpu.config import build_model, load_config
+def measure(args, cfg, lat):
+    """Build the model from cfg and time the full pipeline; returns f/s/chip."""
+    from dsml_thesis_tpu.config import build_model
     from dsml_thesis_tpu.diffusion import (
         make_ddim_schedule,
         make_video_pipeline,
         progressive_video_sample,
     )
-
-    if args.tiny:
-        import yaml
-
-        sys.path.insert(0, os.path.join(REPO, "tests"))
-        from test_ldm import TINY_MEAD_CFG
-
-        cfg = yaml.safe_load(TINY_MEAD_CFG)
-        args.res, args.batch, args.frames, args.steps = 16, 1, 2, 4
-        lat = 8
-    else:
-        cfg = load_config([
-            args.config or os.path.join(
-                REPO, f"configs/latent-diffusion/mead-{args.res}-ldm-f4.yaml"
-            )
-        ])
-        lat = args.res // 4
 
     ldm = build_model(cfg["model"])
     ctx_dim = cfg["model"]["params"]["unet_config"]["params"]["context_dim"]
@@ -214,10 +198,42 @@ def main():
         )
     dt = (time.time() - t0) / n_rep
     fps = B * F / dt
+    return fps / n_chips
 
-    fps_chip = fps / n_chips
+
+def main():
+    args = parse_args()
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        _probe_backend_with_retry()
+
+    from dsml_thesis_tpu.config import load_config
+
+    if args.tiny:
+        import yaml
+
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        from test_ldm import TINY_MEAD_CFG
+
+        cfg = yaml.safe_load(TINY_MEAD_CFG)
+        args.res, args.batch, args.frames, args.steps = 16, 1, 2, 4
+        lat = 8
+    else:
+        cfg = load_config([
+            args.config or os.path.join(
+                REPO, f"configs/latent-diffusion/mead-{args.res}-ldm-f4.yaml"
+            )
+        ])
+        lat = args.res // 4
+
+    fps_chip = measure(args, cfg, lat)
+
     # metric name reflects what was actually measured; vs_baseline (the
-    # 3.125 full-pipeline target) only applies to the headline config
+    # 3.125 full-pipeline target) applies to the headline + faithful configs
+    S = args.steps
     chain = ("ddim" + str(S) if args.sampler == "ddim"
              else f"dpm{args.sampler_steps}o{args.sampler_order}")
     metric = f"frames_per_sec_per_chip_{chain}_{args.res}px"
@@ -233,7 +249,22 @@ def main():
     rec = {"metric": metric, "value": round(fps_chip, 3),
            "unit": "frames/s/chip",
            "vs_baseline": round(fps_chip / 3.125, 3) if headline else None}
-    print(json.dumps(rec))
+
+    if headline and not args.no_faithful:
+        # second measurement on the reference-faithful [4,2,1] attention
+        # config, so the round record documents the number the 3.125
+        # north-star is judged on (VERDICT r3 weak #2)
+        faithful_cfg = load_config([os.path.join(
+            REPO, "configs/latent-diffusion/mead-256-ldm-f4-fullattn.yaml")])
+        faithful_fps = measure(args, faithful_cfg, lat)
+        rec["faithful_value"] = round(faithful_fps, 3)
+        print(json.dumps(rec))
+        print(json.dumps({
+            "metric": f"frames_per_sec_per_chip_{chain}_{args.res}px_faithful",
+            "value": round(faithful_fps, 3), "unit": "frames/s/chip",
+            "vs_baseline": round(faithful_fps / 3.125, 3)}))
+    else:
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":
