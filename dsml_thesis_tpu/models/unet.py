@@ -463,7 +463,8 @@ class BasicTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, deterministic: bool = True):
+    def __call__(self, x, context=None, deterministic: bool = True,
+                 tile_pairs: bool = False):
         # torch nn.LayerNorm default eps (reference attention.py:203-205);
         # flax defaults to 1e-6, which drifts low-variance token rows
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
@@ -471,6 +472,13 @@ class BasicTransformerBlock(nn.Module):
         x = CrossAttention(
             self.heads, self.dim_head, self.dropout, self.dtype, name="attn1"
         )(ln("norm1")(x), None, deterministic) + x
+        if tile_pairs:
+            # CFG pair dedup THROUGH the first self-attention: the [uncond;
+            # cond] halves are bitwise-identical until the first context
+            # consumption, which is attn2 right here — so norm1+attn1 ran at
+            # B and the pair materializes only now (exact; attn1 is
+            # per-sample and both halves share its input)
+            x = jnp.concatenate([x, x], axis=0)
         x = CrossAttention(
             self.heads, self.dim_head, self.dropout, self.dtype, name="attn2"
         )(ln("norm2")(x), context, deterministic) + x
@@ -531,8 +539,14 @@ class SpatialTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True,
-                 in_stats=None):
+                 in_stats=None, tile_pairs: bool = False):
+        # tile_pairs: x/in_stats arrive at B (the shared CFG prefix) while
+        # context is the [uncond; cond] pair at 2B; the pair materializes
+        # inside block_0 just before its cross-attention, so this module's
+        # norm, proj_in, and first self-attention all run once per pair
         b, h, w, c = x.shape
+        if tile_pairs:
+            assert context is not None and context.shape[0] == 2 * b
         inner = self.heads * self.dim_head
         x_in = x
         epi_in = _gn_epilogue_mode(full=True)
@@ -556,7 +570,10 @@ class SpatialTransformer(nn.Module):
             x = BasicTransformerBlock(
                 self.heads, self.dim_head, self.dropout, self.dtype,
                 name=f"block_{d}",
-            )(x, context, deterministic)
+            )(x, context, deterministic, tile_pairs and d == 0)
+        if tile_pairs:
+            b = 2 * b
+            x_in = jnp.concatenate([x_in, x_in], axis=0)
         x = x.reshape(b, h, w, inner)
         if epi_in is not None:
             # fused proj_out (1x1) + residual, stats in the epilogue for the
@@ -718,8 +735,10 @@ class UNetModel(nn.Module):
         # the reference checkpoints every BasicTransformerBlock too
         # (attention.py:206); remat at the SpatialTransformer boundary —
         # at 4096 tokens its activations dominate backward memory
+        # static args: deterministic (3) and tile_pairs (5) — both python
+        # bools at every call site
         st_cls = (
-            nn.remat(SpatialTransformer, static_argnums=(3,))
+            nn.remat(SpatialTransformer, static_argnums=(3, 5))
             if self.use_checkpoint else SpatialTransformer
         )
 
@@ -734,7 +753,7 @@ class UNetModel(nn.Module):
                 dtype=self.dtype, name=name, **kw,
             )(h, e, deterministic, st)
 
-        def attn(h, st, ctx, ch, name):
+        def attn(h, st, ctx, ch, name, tile_pairs=False):
             heads, dim_head = self._heads(ch)
             if not self.use_spatial_transformer:
                 # consumes incoming stats in its norm; its Dense-param
@@ -749,17 +768,18 @@ class UNetModel(nn.Module):
             return st_cls(
                 heads, dim_head, self.transformer_depth, self.dropout,
                 self.dtype, name=name,
-            )(h, ctx, deterministic, st)
+            )(h, ctx, deterministic, st, tile_pairs)
 
         _tile = lambda a: jnp.concatenate([a, a], axis=0)
         diverged = not cfg_pairs  # stock mode: already at the full batch
 
-        def _diverge(h, st, emb, hs):
-            """Tile the shared CFG prefix (running h, its stats, the time
-            embedding, and every stored skip) to the 2B pair batch."""
+        def _diverge_rest(emb, hs):
+            """Tile the rest of the shared CFG prefix (the time embedding and
+            every stored skip) to the 2B pair batch. The running h/st cross
+            to 2B INSIDE the first SpatialTransformer (tile_pairs), so its
+            norm + proj_in + first self-attention also run once per pair."""
             hs_t = [jax.tree.map(_tile, e) for e in hs]  # None st stay None
-            st_t = jax.tree.map(_tile, st)
-            return _tile(h), st_t, _tile(emb), hs_t
+            return _tile(emb), hs_t
 
         # --- input blocks ---
         hs = []
@@ -788,10 +808,12 @@ class UNetModel(nn.Module):
                 ch = mult * self.model_channels
                 h, st = res(h, st, emb, ch, f"down_{level}_{i}_res")
                 if ds in self.attention_resolutions:
-                    if not diverged and self.use_spatial_transformer:
-                        h, st, emb, hs = _diverge(h, st, emb, hs)
+                    first_pair = not diverged and self.use_spatial_transformer
+                    h, st = attn(h, st, context, ch, f"down_{level}_{i}_attn",
+                                 tile_pairs=first_pair)
+                    if first_pair:
+                        emb, hs = _diverge_rest(emb, hs)
                         diverged = True
-                    h, st = attn(h, st, context, ch, f"down_{level}_{i}_attn")
                 hs.append((h, st))
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
@@ -806,11 +828,12 @@ class UNetModel(nn.Module):
 
         # --- middle ---
         h, st = res(h, st, emb, ch, "mid_res1")
-        if not diverged and self.use_spatial_transformer:
-            # no attention in the input blocks: the pair diverges here
-            h, st, emb, hs = _diverge(h, st, emb, hs)
+        first_pair = not diverged and self.use_spatial_transformer
+        # no attention in the input blocks: the pair diverges inside mid_attn
+        h, st = attn(h, st, context, ch, "mid_attn", tile_pairs=first_pair)
+        if first_pair:
+            emb, hs = _diverge_rest(emb, hs)
             diverged = True
-        h, st = attn(h, st, context, ch, "mid_attn")
         h, st = res(h, st, emb, ch, "mid_res2")
 
         # --- output blocks ---
