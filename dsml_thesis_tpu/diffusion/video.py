@@ -210,7 +210,10 @@ def make_video_pipeline(ldm, ddim: DDIMSchedule, audio_window: int,
     fewer-steps serving mode; `ddim` still sets the chain when sampler="ddim".
     """
 
-    def pipeline(params, masked_frames, audio_feats, identity, class_label, key):
+    def pipeline(params, masked_frames, audio_feats, identity, class_label,
+                 key, x_T=None):
+        # x_T [B, F, h, w, c]: optional per-frame init noise override (torch
+        # A/B parity, scripts/parity_e2e.py); None draws from `key` as usual
         B, F = masked_frames.shape[:2]
         m_lat = ldm.encode_first_stage(
             params, masked_frames.reshape((B * F,) + masked_frames.shape[2:])
@@ -244,7 +247,7 @@ def make_video_pipeline(ldm, ddim: DDIMSchedule, audio_window: int,
         frames = progressive_video_sample(
             ddim, apply_fn, m_lat, ctxs, z_id0, key,
             uncond_contexts=uctxs, guidance_scale=guidance_scale,
-            pair_apply_fn=pair_fn,
+            pair_apply_fn=pair_fn, x_T=x_T,
             sampler=sampler, sched=ldm.schedule,
             sampler_steps=sampler_steps, sampler_order=sampler_order,
         )

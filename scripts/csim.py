@@ -21,6 +21,44 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def build_tower(weights: str, network: str = "iresnet18"):
+    """weights + network name -> embed fn ([N,112,112,3] in [-1,1] -> [N,D]).
+    Shared by the CLI below and scripts/parity_e2e.py's CSIM budget."""
+    import torch
+
+    from dsml_thesis_tpu.models import insight_face as inf
+    from dsml_thesis_tpu.models.arcface import _BLOCKS, convert_iresnet, iresnet
+
+    sd = torch.load(weights, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if network in _BLOCKS:
+        params, stats = convert_iresnet(sd, _BLOCKS[network])
+        model = iresnet(network)
+    elif network in ("ir_se50", "ir50"):
+        mode = "ir_se" if network == "ir_se50" else "ir"
+        affine = "output_layer.4.weight" in sd
+        params, stats = inf.convert_irse(sd, num_layers=50)
+        model = inf.IRSE(num_layers=50, mode=mode, affine=affine)
+    elif network in ("mbf", "mbf_large"):
+        blocks = (1, 4, 6, 2) if network == "mbf" else (2, 8, 12, 4)
+        scale = 2 if network == "mbf" else 4
+        params, stats = inf.convert_mobilefacenet(sd, blocks=blocks)
+        model = inf.MobileFaceNet(blocks=blocks, scale=scale)
+    elif network in inf.FACE_VIT_FACTORIES:
+        kw = inf.FACE_VIT_FACTORIES[network]
+        params, stats = inf.convert_face_vit(sd, depth=kw["depth"])
+        model = inf.FaceViT(**kw)
+    else:
+        raise SystemExit(f"unknown network {network!r}")
+
+    # variables as jit ARGUMENTS (a closure embeds them as HLO constants —
+    # HTTP 413 on the axon remote compiler, CLAUDE.md)
+    embed_jit = jax.jit(lambda v, x: model.apply(v, x))
+    variables = {"params": params, "batch_stats": stats}
+    return lambda x: embed_jit(variables, x)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir-a", required=True)
@@ -36,43 +74,10 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    import torch
-
     from dsml_thesis_tpu.data import load_image
     from dsml_thesis_tpu.metrics import cosine_similarity
-    from dsml_thesis_tpu.models import insight_face as inf
-    from dsml_thesis_tpu.models.arcface import _BLOCKS, convert_iresnet, iresnet
 
-    sd = torch.load(args.weights, map_location="cpu", weights_only=False)
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
-    if args.network in _BLOCKS:
-        params, stats = convert_iresnet(sd, _BLOCKS[args.network])
-        model = iresnet(args.network)
-    elif args.network in ("ir_se50", "ir50"):
-        mode = "ir_se" if args.network == "ir_se50" else "ir"
-        affine = "output_layer.4.weight" in sd
-        params, stats = inf.convert_irse(sd, num_layers=50)
-        model = inf.IRSE(num_layers=50, mode=mode, affine=affine)
-    elif args.network in ("mbf", "mbf_large"):
-        blocks = (1, 4, 6, 2) if args.network == "mbf" else (2, 8, 12, 4)
-        scale = 2 if args.network == "mbf" else 4
-        params, stats = inf.convert_mobilefacenet(sd, blocks=blocks)
-        model = inf.MobileFaceNet(blocks=blocks, scale=scale)
-    elif args.network in inf.FACE_VIT_FACTORIES:
-        kw = inf.FACE_VIT_FACTORIES[args.network]
-        params, stats = inf.convert_face_vit(sd, depth=kw["depth"])
-        model = inf.FaceViT(**kw)
-    else:
-        raise SystemExit(f"unknown network {args.network!r}")
-
-    # variables as jit ARGUMENTS (a closure embeds them as HLO constants —
-    # HTTP 413 on the axon remote compiler, CLAUDE.md)
-    embed_jit = jax.jit(lambda v, x: model.apply(v, x))
-    variables = {"params": params, "batch_stats": stats}
-
-    def embed(x):
-        return embed_jit(variables, x)
+    embed = build_tower(args.weights, args.network)
 
     def list_imgs(d):
         return sorted(
