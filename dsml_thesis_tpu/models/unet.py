@@ -727,10 +727,21 @@ class UNetModel(nn.Module):
             "set one of num_heads / num_head_channels (openaimodel.py:456)"
         )
 
+        # DSML_REMAT tunes the rematerialization the config's use_checkpoint
+        # requests (training-perf A/B lever; PROFILE.md round 4):
+        #   full (default) = remat every ResBlock/SpatialTransformer
+        #   dots = remat but save dot/matmul outputs (recompute elementwise
+        #          only — jax dots_with_no_batch_dims_saveable policy)
+        #   none = no remat (costs activation memory, saves recompute FLOPs)
+        remat_mode = env_mode("DSML_REMAT", "full", ("full", "dots", "none"))
+        use_ckpt = self.use_checkpoint and remat_mode != "none"
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if remat_mode == "dots" else None)
         # flax counts `self` as argument 0 in static_argnums, so index 3 is
         # `deterministic` (index 2 would wrongly pin the traced emb array)
         res_cls = (
-            nn.remat(ResBlock, static_argnums=(3,)) if self.use_checkpoint else ResBlock
+            nn.remat(ResBlock, static_argnums=(3,), policy=policy)
+            if use_ckpt else ResBlock
         )
         # the reference checkpoints every BasicTransformerBlock too
         # (attention.py:206); remat at the SpatialTransformer boundary —
@@ -738,8 +749,8 @@ class UNetModel(nn.Module):
         # static args: deterministic (3) and tile_pairs (5) — both python
         # bools at every call site
         st_cls = (
-            nn.remat(SpatialTransformer, static_argnums=(3, 5))
-            if self.use_checkpoint else SpatialTransformer
+            nn.remat(SpatialTransformer, static_argnums=(3, 5), policy=policy)
+            if use_ckpt else SpatialTransformer
         )
 
         # `st` threads the per-channel (sum, sum_sq) of the tensor flowing
@@ -762,8 +773,8 @@ class UNetModel(nn.Module):
                 # the reference remats this block too (openaimodel.py:278
                 # AttentionBlock.forward wraps checkpoint()); no static args
                 # beyond self — x/in_stats are both traced
-                blk_cls = (nn.remat(AttentionBlock) if self.use_checkpoint
-                           else AttentionBlock)
+                blk_cls = (nn.remat(AttentionBlock, policy=policy)
+                           if use_ckpt else AttentionBlock)
                 return blk_cls(heads, self.dtype, name=name)(h, st), None
             return st_cls(
                 heads, dim_head, self.transformer_depth, self.dropout,

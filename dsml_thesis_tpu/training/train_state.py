@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from ..flags import env_flag
 from ..models.ldm import LatentDiffusion
 from .ema import ema_update
 
@@ -57,7 +58,12 @@ def make_optimizer(
     else:
         lr = base_lr
     # torch.optim.AdamW defaults (ddpm.py:1371): betas (0.9, 0.999), wd 0.01
-    tx = optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=weight_decay)
+    # DSML_OPT_BF16_M=1: keep the first Adam moment in bf16 (halves one of
+    # the two optimizer-state HBM streams; m is noise-dominated so bf16
+    # rounding is benign — v stays fp32, its dynamic range matters)
+    mu_dtype = "bfloat16" if env_flag("DSML_OPT_BF16_M", False) else None
+    tx = optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=weight_decay,
+                     mu_dtype=mu_dtype)
     labels = ldm.trainable_filter(params)
     # sub-module freeze declarations (e.g. wav2vec2's conv extractor inside
     # a trainable cond stage): stop_gradient zeroes their grads, but AdamW's

@@ -151,6 +151,12 @@ class Trainer:
         self._log_images_fn = None
         self._should_stop = False
         self._metrics_file = open(os.path.join(logdir, "metrics.jsonl"), "a")
+        # reference-style selectable logger backend (main.py:552-576) layered
+        # over the always-on jsonl; rank-zero only like the reference
+        from .loggers import build_logger
+
+        self._ext_logger = (build_logger(self.lightning_cfg, logdir)
+                            if is_main_process() else None)
         # top-k checkpoint tracking (reference ModelCheckpoint save_top_k=5
         # with metric-embedded filenames, main.py:580-599)
         mc = self.lightning_cfg.get("modelcheckpoint", {}).get("params", {})
@@ -361,6 +367,8 @@ class Trainer:
         rec.update({k: float(v) for k, v in metrics.items()})
         self._metrics_file.write(json.dumps(rec) + "\n")
         self._metrics_file.flush()
+        if self._ext_logger is not None:
+            self._ext_logger.log_metrics(metrics, step, split)
 
     def _make_log_images_fn(self, n: int, ddim_steps: int):
         """One jitted program for the whole image-logging pass — on the axon
@@ -630,6 +638,11 @@ class Trainer:
         finally:
             if profiler is not None:
                 profiler.ensure_stopped()
+            if self._ext_logger is not None:
+                try:
+                    self._ext_logger.finalize()
+                finally:
+                    self._ext_logger = None
         self.wait_for_checkpoints()
         return self._state
 

@@ -451,3 +451,32 @@ def test_resume_advances_loader_shuffle_epoch(tmp_path):
     # continuous run: epoch counter ends at 3 (+1 init peek); the old
     # behavior left it at the init peek's 1 + 1 = 2
     assert t2.train_data.epoch >= 3
+
+
+def test_logger_backend_csv_and_wandb_fallback(tmp_path):
+    """lightning.logger selects the backend (reference main.py:552-576):
+    TestTubeLogger -> csv next to metrics.jsonl; WandbLogger without wandb
+    installed degrades to csv instead of crashing."""
+    import csv
+
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = _config()
+    cfg["lightning"] = {"logger": {
+        "target": "pytorch_lightning.loggers.TestTubeLogger", "params": {}}}
+    t = Trainer(cfg, str(tmp_path / "run"), seed=0, max_steps=2)
+    t.fit(epochs=1, log_every=1)
+    csv_path = tmp_path / "run" / "metrics.csv"
+    assert csv_path.exists()
+    rows = list(csv.reader(open(csv_path)))
+    assert rows[0] == ["step", "split", "metric", "value"]
+    assert any(r[1] == "train" for r in rows[1:])
+    # jsonl spine still written
+    assert (tmp_path / "run" / "metrics.jsonl").exists()
+
+    cfg2 = _config()
+    cfg2["lightning"] = {"logger": {
+        "target": "pytorch_lightning.loggers.WandbLogger",
+        "params": {"offline": True}}}
+    t2 = Trainer(cfg2, str(tmp_path / "run2"), seed=0, max_steps=1)
+    assert type(t2._ext_logger).__name__ == "CsvBackend"  # wandb absent

@@ -183,3 +183,55 @@ def test_unet_dropout_active_in_training_loss():
     d1 = ldm.apply_model(params, x_t, t, cond)
     d2 = ldm.apply_model(params, x_t, t, cond)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_remat_modes_are_value_identical(monkeypatch):
+    """DSML_REMAT full/dots/none is a memory/recompute trade only — the
+    loss and gradients must match bitwise-insensitively across modes."""
+    cfg = yaml.safe_load(TINY_MEAD_CFG)
+    cfg["model"]["params"]["unet_config"]["params"]["use_checkpoint"] = True
+    outs = {}
+    for mode in ("full", "dots", "none"):
+        monkeypatch.setenv("DSML_REMAT", mode)
+        ldm = build_model(cfg["model"])
+        batch = {
+            "image": jnp.ones((2, 16, 16, 3)) * 0.1,
+            "masked_image": jnp.zeros((2, 16, 16, 3)),
+            "identity": jnp.zeros((2, 16, 16, 3)),
+            "class_label": jnp.zeros((2,), jnp.int32),
+            "audio": jnp.zeros((2, 5, 32)),
+        }
+        params = ldm.init_params(jax.random.PRNGKey(0), batch)
+        loss, grads = jax.value_and_grad(
+            lambda p: ldm.training_loss(p, batch, jax.random.PRNGKey(1))[0]
+        )(params)
+        gnorm = jax.tree_util.tree_reduce(
+            lambda a, g: a + jnp.sum(g.astype(jnp.float32) ** 2), grads, 0.0)
+        outs[mode] = (float(loss), float(gnorm))
+    for mode in ("dots", "none"):
+        np.testing.assert_allclose(outs[mode][0], outs["full"][0], rtol=1e-6)
+        np.testing.assert_allclose(outs[mode][1], outs["full"][1], rtol=1e-5)
+
+
+def test_opt_bf16_first_moment(monkeypatch):
+    """DSML_OPT_BF16_M=1 stores Adam's mu in bf16 (nu stays fp32) and the
+    step still updates trainable params."""
+    monkeypatch.setenv("DSML_OPT_BF16_M", "1")
+    ldm, params, batch = _tiny()
+    tx = make_optimizer(ldm, params, base_lr=1e-3)
+    state = create_train_state(ldm, params, tx)
+    mus, nus = [], []
+
+    def collect(node):
+        if hasattr(node, "mu"):
+            mus.extend(jax.tree_util.tree_leaves(node.mu))
+            nus.extend(jax.tree_util.tree_leaves(node.nu))
+
+    jax.tree_util.tree_map(
+        collect, state.opt_state,
+        is_leaf=lambda n: hasattr(n, "mu"))
+    assert mus and all(m.dtype == jnp.bfloat16 for m in mus)
+    assert all(n.dtype == jnp.float32 for n in nus)
+    step = make_train_step(ldm, tx)
+    new_state, aux = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(aux["train/loss"]))
