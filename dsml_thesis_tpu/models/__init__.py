@@ -24,3 +24,16 @@ from .insight_face import (
     convert_mobilefacenet,
     make_embed_fn,
 )
+from .efficientnet import (
+    EffNetConfig,
+    EfficientNet,
+    convert_enet,
+    load_enet_checkpoint,
+    make_enet_logits_apply,
+)
+from .lipreader import (
+    LipreaderFrontend,
+    convert_lipreader,
+    load_lipreader_checkpoint,
+    make_lipreader_apply,
+)
