@@ -323,6 +323,28 @@ class _HeadMerge(nn.Module):
         return jnp.einsum("bhnd,hdc->bnc", o.astype(self.dtype), k3) + bias.astype(self.dtype)
 
 
+class _OutParams(nn.Module):
+    """Bare kernel+bias with the SAME param tree as `nn.Dense(features)` —
+    the fused-projection path reads to_out's weights without applying them
+    (checkpoint layout stays byte-identical)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+def _attention_mesh_size() -> int:
+    from ..ops import attention as _att
+
+    return _att._ATTN_MESH.size if _att._ATTN_MESH is not None else 1
+
+
 class CrossAttention(nn.Module):
     """Multi-head attention; self-attn if context is None (attention.py:152-193)."""
 
@@ -376,6 +398,27 @@ class CrossAttention(nn.Module):
                              name="to_out")(out)
             return nn.Dropout(self.dropout)(out, deterministic=deterministic)
         is_self = context is x
+        if (is_self and env_flag("DSML_ATTN_FUSED_PROJ", False)
+                and env_flag("DSML_ATTN_PACKED", True)
+                and _attention_mesh_size() <= 1):
+            # projection-FUSED self-attention (ops/attention.py
+            # fused_proj_self_attention): the Pallas kernel reads the normed
+            # stream once and computes qkv-proj + per-head attention +
+            # to_out entirely in VMEM — q/k/v and the attention output never
+            # round-trip HBM. Param tree byte-identical (bare kernels below
+            # mirror nn.Dense). Composed-op fallback handles CPU/no-fit;
+            # custom VJP recomputes through the composed formula, so
+            # gradients remain available (the sampler is the target path).
+            from ..ops.attention import fused_proj_self_attention
+
+            wq = _ProjParams(inner, name="to_q")(q_dim)
+            wk = _ProjParams(inner, name="to_k")(q_dim)
+            wv = _ProjParams(inner, name="to_v")(q_dim)
+            wo, bo = _OutParams(q_dim, name="to_out")(inner)
+            out = fused_proj_self_attention(
+                x.astype(self.dtype), wq, wk, wv, wo, bo, self.heads,
+                scale=self.dim_head**-0.5)
+            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
         fused_qkv = env_flag("DSML_ATTN_FUSED_QKV", False)
         # Packed default ON: +5.3% inference / +23% training on-chip
         # (PROFILE.md round-3e). The fused-qkv branch stays on split-head

@@ -358,6 +358,19 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     q = q_ref[0]  # [Bq, H*D]
     k = k_ref[0]  # [Nk, H*D]
     v = v_ref[0]  # [Nk, H*D]
+    # one full-width store (a VMEM repack) instead of H lane-sliced stores
+    o_ref[0] = _packed_heads_attend(
+        q, k, v, heads=heads, out_dtype=o_ref.dtype, scale=scale,
+        defer_div=defer_div, pv_transpose=pv_transpose,
+        norm_bound=norm_bound, staged=staged)
+
+
+def _packed_heads_attend(q, k, v, *, heads: int, out_dtype, scale: float,
+                         defer_div: bool, pv_transpose: bool,
+                         norm_bound: bool, staged: bool):
+    """Sequential per-head attention over packed [_, H*D] VMEM tensors —
+    the body shared by _flash_kernel_packed and the fused-projection
+    kernel. Returns the concatenated [Bq, H*D] output."""
     d = q.shape[-1] // heads
     if staged and defer_div and heads > 1:
         outs = [None] * heads
@@ -370,11 +383,11 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                 pv_sl = slice(prev_h * d, (prev_h + 1) * d)
                 outs[prev_h] = _pv_stage(
                     prev_p, v[:, pv_sl], pv_transpose=pv_transpose,
-                    out_dtype=o_ref.dtype)
+                    out_dtype=out_dtype)
             prev_h, prev_p = h, _exp_stage(sim, m, v.dtype)
         outs[prev_h] = _pv_stage(
             prev_p, v[:, prev_h * d:(prev_h + 1) * d],
-            pv_transpose=pv_transpose, out_dtype=o_ref.dtype)
+            pv_transpose=pv_transpose, out_dtype=out_dtype)
     else:
         outs = []
         for h in range(heads):
@@ -382,10 +395,9 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
             outs.append(_attend_one_head(
                 q[:, sl], k[:, sl], v[:, sl], scale=scale, defer_div=defer_div,
                 pv_transpose=pv_transpose, norm_bound=norm_bound,
-                out_dtype=o_ref.dtype,
+                out_dtype=out_dtype,
             ))
-    # one full-width store (a VMEM repack) instead of H lane-sliced stores
-    o_ref[0] = jnp.concatenate(outs, axis=-1)
+    return jnp.concatenate(outs, axis=-1)
 
 
 def flash_attention(q, k, v, scale=None, block_q: int = 256, interpret: bool = False):
@@ -933,6 +945,173 @@ def flash_attention_packed(q, k, v, heads: int, scale=None,
     if pad_q:
         out = out[:, :nq]
     return out
+
+
+def _flash_kernel_packed_fproj(hq_ref, hkv_ref, wq_ref, wk_ref, wv_ref,
+                               wo_ref, bo_ref, o_ref, *, scale: float,
+                               heads: int, defer_div: bool,
+                               pv_transpose: bool, norm_bound: bool,
+                               staged: bool):
+    """One (batch, q-block) program of the PROJECTION-FUSED self-attention:
+    the kernel reads the normed residual stream h ONCE and computes
+        out = concat_h(softmax(hWq (hWk)^T * scale) hWv) @ Wo + bo
+    entirely in VMEM — q/k/v/attn-out never exist in HBM. K/V are
+    recomputed per q-block (nq/bq times); at the flagship shapes that is
+    ~2% extra MXU work against ~15 HBM tensor passes saved around the
+    stock path (projection writes+reads, attn-out round trip)."""
+    hq = hq_ref[0]            # [Bq, C] rows of h for this q-block
+    hkv = hkv_ref[0]          # [N, C] full stream for K/V
+    f32 = jnp.float32
+    q = jnp.dot(hq, wq_ref[...], preferred_element_type=f32).astype(hq.dtype)
+    k = jnp.dot(hkv, wk_ref[...], preferred_element_type=f32).astype(hq.dtype)
+    v = jnp.dot(hkv, wv_ref[...], preferred_element_type=f32).astype(hq.dtype)
+    att = _packed_heads_attend(
+        q, k, v, heads=heads, out_dtype=hq.dtype, scale=scale,
+        defer_div=defer_div, pv_transpose=pv_transpose,
+        norm_bound=norm_bound, staged=staged)
+    out = jnp.dot(att, wo_ref[...], preferred_element_type=f32) + bo_ref[0]
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _fproj_fwd_bytes(bq: int, n: int, c: int, hd: int, itemsize: int) -> int:
+    """Working-set bytes of one fused-projection program: h stream (+ double
+    buffers), computed q/k/v, the packed per-head score budget (same 4-score
+    allowance as _packed_fwd_bytes), attn/out blocks, weights."""
+    return (
+        2 * n * c * itemsize          # hkv + pipeline double buffer
+        + 2 * bq * c * itemsize       # hq block (+ buffer)
+        + (bq + 2 * n) * hd * itemsize  # computed q, k, v
+        + 4 * bq * n * 4              # score matrices (fp32), staged depth
+        + 2 * bq * max(c, hd) * 4     # att + out in fp32 before cast
+        + (3 * c * hd + hd * c + c) * 4  # weight operands
+        + (1 << 21)
+    )
+
+
+def _fit_block_q_fproj(n: int, c: int, hd: int, requested: int):
+    """Largest block_q <= requested whose fused-projection program fits the
+    VMEM ceiling; None = no fit (caller falls back to the composed path)."""
+    bq = min(requested, n)
+    while bq >= 256:
+        if n % bq == 0 and _fproj_fwd_bytes(
+                bq, n, c, hd, 2) <= _VMEM_BUDGET:
+            return bq
+        bq //= 2
+    return None
+
+
+def flash_attention_fproj(h, wq, wk, wv, wo, bo, heads: int, scale=None,
+                          block_q: int = 1024, interpret: bool = False):
+    """Projection-fused packed self-attention. h: [B, N, C] (the LayerNorm
+    output), wq/wk/wv: [C, H*D], wo: [H*D, C], bo: [C] -> [B, N, C]."""
+    b, n, c = h.shape
+    hd = wq.shape[-1]
+    d = hd // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    defer_div, pv_transpose, norm_bound, staged = _flash_flags(n)
+    block_q = min(block_q, n)
+    grid = (b, n // block_q)
+    vmem_limit = _vmem_limit(
+        _fproj_fwd_bytes(block_q, n, c, hd, jnp.dtype(h.dtype).itemsize))
+    return pl.pallas_call(
+        functools.partial(
+            _flash_kernel_packed_fproj, scale=scale, heads=heads,
+            defer_div=defer_div, pv_transpose=pv_transpose,
+            norm_bound=norm_bound, staged=staged),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), h.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, hd), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, hd), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, hd), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(h, h, wq, wk, wv, wo, bo[None, :])
+
+
+def _fproj_reference(h, wq, wk, wv, wo, bo, heads: int, scale: float):
+    """Composed formula the fused kernel implements — the fallback path and
+    the custom-VJP backward (differentiable). Weights arrive pre-cast to
+    the activation dtype (dispatch casts once, like nn.Dense dtype=)."""
+    q = h @ wq
+    k = h @ wk
+    v = h @ wv
+    b, n, hd = q.shape
+    d = hd // heads
+    split = lambda t: t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+    out = attention_reference(split(q), split(k), split(v), scale=scale)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, hd).astype(h.dtype)
+    return out @ wo + bo
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _fproj_attention_diff(h, wq, wk, wv, wo, bo, heads, scale, block_q,
+                          interpret):
+    return flash_attention_fproj(h, wq, wk, wv, wo, bo, heads, scale,
+                                 block_q, interpret)
+
+
+def _fproj_fwd(h, wq, wk, wv, wo, bo, heads, scale, block_q, interpret):
+    out = flash_attention_fproj(h, wq, wk, wv, wo, bo, heads, scale,
+                                block_q, interpret)
+    return out, (h, wq, wk, wv, wo, bo)
+
+
+def _fproj_bwd(heads, scale, block_q, interpret, res, g):
+    # sampling is the fused path's target; gradients recompute through the
+    # composed formula (exact same math, standard XLA kernels)
+    h, wq, wk, wv, wo, bo = res
+    _, vjp = jax.vjp(
+        lambda *a: _fproj_reference(*a, heads=heads, scale=scale),
+        h, wq, wk, wv, wo, bo)
+    return vjp(g)
+
+
+_fproj_attention_diff.defvjp(_fproj_fwd, _fproj_bwd)
+
+
+def fused_proj_self_attention(h, wq, wk, wv, wo, bo, heads: int, scale=None,
+                              use_pallas=None, interpret=False):
+    """Dispatch for the projection-fused self-attention block
+    (models/unet.py DSML_ATTN_FUSED_PROJ=1): Pallas kernel when the shape
+    fits, composed XLA ops otherwise. Mesh callers are NOT routed here (the
+    module falls back to the stock packed path under a mesh)."""
+    d = wq.shape[-1] // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    # one cast to the activation dtype (matching nn.Dense dtype= behavior);
+    # gradients flow back through the casts to the fp32 params
+    wq, wk, wv, wo, bo = (w.astype(h.dtype) for w in (wq, wk, wv, wo, bo))
+    if use_pallas is None:
+        enabled = (_FLASH_OVERRIDE if _FLASH_OVERRIDE is not None
+                   else env_flag("DSML_FLASH_ATTN", True))
+        if env_flag("DSML_FLASH_INTERPRET", False):
+            use_pallas, interpret = enabled, True
+        else:
+            use_pallas = enabled and _on_tpu() and h.shape[1] >= 256
+    if use_pallas:
+        requested_bq = int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024"))
+        block_q = _fit_block_q_fproj(h.shape[1], h.shape[2], wq.shape[-1],
+                                     requested_bq)
+        if block_q is not None:
+            return _fproj_attention_diff(h, wq, wk, wv, wo, bo, heads,
+                                         scale, block_q, interpret)
+    return _fproj_reference(h, wq, wk, wv, wo, bo, heads=heads, scale=scale)
 
 
 def _attend_one_head_bwd(q, k, v, do, *, scale: float,

@@ -1040,3 +1040,71 @@ def test_env_flag_strict_parsing(monkeypatch):
     monkeypatch.setenv("DSML_GN_EPILOGUE", "res_interpret")
     with pytest.raises(ValueError, match="DSML_GN_EPILOGUE"):
         _gn_epilogue_mode()
+
+
+def test_fused_proj_self_attention_matches_composed():
+    """The projection-fused kernel (h -> qkv-proj + heads + to_out in one
+    VMEM program) matches the composed formula, in fwd AND through its
+    recompute custom VJP."""
+    from dsml_thesis_tpu.ops.attention import (
+        _fproj_reference,
+        flash_attention_fproj,
+        fused_proj_self_attention,
+    )
+
+    rs = np.random.RandomState(0)
+    heads, d, c, n, b = 2, 32, 64, 512, 2
+    hd = heads * d
+    h = jnp.asarray(rs.randn(b, n, c).astype(np.float32)) * 0.3
+    wq = jnp.asarray(rs.randn(c, hd).astype(np.float32)) * 0.1
+    wk = jnp.asarray(rs.randn(c, hd).astype(np.float32)) * 0.1
+    wv = jnp.asarray(rs.randn(c, hd).astype(np.float32)) * 0.1
+    wo = jnp.asarray(rs.randn(hd, c).astype(np.float32)) * 0.1
+    bo = jnp.asarray(rs.randn(c).astype(np.float32)) * 0.1
+
+    ref = _fproj_reference(h, wq, wk, wv, wo, bo, heads=heads,
+                           scale=d ** -0.5)
+    out = flash_attention_fproj(h, wq, wk, wv, wo, bo, heads,
+                                block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # dispatch entry: grads come from the recompute VJP over the composed
+    # formula and must match jax.grad of that formula directly
+    def loss_fused(*a):
+        return jnp.sum(fused_proj_self_attention(
+            *a, heads, use_pallas=True, interpret=True) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(_fproj_reference(*a, heads=heads, scale=d ** -0.5) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(6)))(h, wq, wk, wv, wo, bo)
+    gr = jax.grad(loss_ref, argnums=tuple(range(6)))(h, wq, wk, wv, wo, bo)
+    for g, r in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_fused_proj_flag_matches_stock_crossattention(monkeypatch):
+    """DSML_ATTN_FUSED_PROJ=1 reproduces the stock CrossAttention self-attn
+    output with an unchanged param tree."""
+    from dsml_thesis_tpu.models.unet import CrossAttention
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, 512, 64).astype(np.float32)) * 0.5
+    m = CrossAttention(heads=2, dim_head=32)
+    params = m.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.delenv("DSML_ATTN_FUSED_PROJ", raising=False)
+    stock = m.apply(params, x)
+    monkeypatch.setenv("DSML_ATTN_FUSED_PROJ", "1")
+    monkeypatch.setenv("DSML_FLASH_INTERPRET", "1")
+    fused = m.apply(params, x)
+    monkeypatch.delenv("DSML_FLASH_INTERPRET")
+    fused_fallback = m.apply(params, x)  # composed-op fallback path
+
+    # identical param tree is implied by apply() accepting the same params
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(stock),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(fused_fallback), np.asarray(stock),
+                               atol=2e-5, rtol=2e-5)
