@@ -345,6 +345,16 @@ def _attention_mesh_size() -> int:
     return _att._ATTN_MESH.size if _att._ATTN_MESH is not None else 1
 
 
+def _fproj_shape_ok(n: int, c: int, hd: int) -> bool:
+    """Route through the fused-projection kernel only where it WINS: a
+    single whole-N q-block (multi-block shapes pay K/V recompute and lost
+    the on-chip A/B; they stay on the stock packed kernel, which is also
+    the right fallback — not the composed path)."""
+    from ..ops.attention import fproj_eligible
+
+    return fproj_eligible(n, c, hd)
+
+
 class CrossAttention(nn.Module):
     """Multi-head attention; self-attn if context is None (attention.py:152-193)."""
 
@@ -398,9 +408,10 @@ class CrossAttention(nn.Module):
                              name="to_out")(out)
             return nn.Dropout(self.dropout)(out, deterministic=deterministic)
         is_self = context is x
-        if (is_self and env_flag("DSML_ATTN_FUSED_PROJ", False)
+        if (is_self and env_flag("DSML_ATTN_FUSED_PROJ", True)
                 and env_flag("DSML_ATTN_PACKED", True)
-                and _attention_mesh_size() <= 1):
+                and _attention_mesh_size() <= 1
+                and _fproj_shape_ok(x.shape[1], q_dim, inner)):
             # projection-FUSED self-attention (ops/attention.py
             # fused_proj_self_attention): the Pallas kernel reads the normed
             # stream once and computes qkv-proj + per-head attention +

@@ -989,15 +989,22 @@ def _fproj_fwd_bytes(bq: int, n: int, c: int, hd: int, itemsize: int) -> int:
 
 
 def _fit_block_q_fproj(n: int, c: int, hd: int, requested: int):
-    """Largest block_q <= requested whose fused-projection program fits the
-    VMEM ceiling; None = no fit (caller falls back to the composed path)."""
-    bq = min(requested, n)
-    while bq >= 256:
-        if n % bq == 0 and _fproj_fwd_bytes(
-                bq, n, c, hd, 2) <= _VMEM_BUDGET:
-            return bq
-        bq //= 2
+    """SINGLE-q-block fit only (block_q == N): with more than one q-block
+    the in-kernel K/V projections recompute per block, and the on-chip A/B
+    showed that loses at N=4096 (3.513 vs 3.646 f/s) while the one-block
+    shapes win (headline 7.246 vs 7.188) — so multi-block shapes stay on
+    the stock packed kernel. None = ineligible."""
+    del requested  # the only admissible block is the whole N
+    if _fproj_fwd_bytes(n, n, c, hd, 2) <= _VMEM_BUDGET:
+        return n
     return None
+
+
+def fproj_eligible(n: int, c: int, hd: int) -> bool:
+    """Module-side predicate: True when the fused-projection kernel admits
+    this self-attention shape (single q-block fits VMEM). Ineligible shapes
+    should take the stock packed path, NOT the composed fallback."""
+    return _fit_block_q_fproj(n, c, hd, n) is not None
 
 
 def flash_attention_fproj(h, wq, wk, wv, wo, bo, heads: int, scale=None,
