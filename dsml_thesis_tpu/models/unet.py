@@ -430,6 +430,25 @@ class CrossAttention(nn.Module):
                 x.astype(self.dtype), wq, wk, wv, wo, bo, self.heads,
                 scale=self.dim_head**-0.5)
             return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        if (is_self and env_flag("DSML_ATTN_FPROJ_PARTIAL", False)
+                and env_flag("DSML_ATTN_PACKED", True)
+                and _attention_mesh_size() <= 1):
+            # multi-q-block shapes (the full-fusion gate above rejected
+            # them): K/V stay XLA-computed (no per-block recompute), the
+            # kernel fuses the q projection and to_out around the per-head
+            # attention. A/B lever (ops/attention.py fused_qout_self_attention)
+            from ..ops.attention import fused_qout_self_attention
+
+            wq = _ProjParams(inner, name="to_q")(q_dim)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_k")(x)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_v")(x)
+            wo, bo = _OutParams(q_dim, name="to_out")(inner)
+            out = fused_qout_self_attention(
+                x.astype(self.dtype), k, v, wq, wo, bo, self.heads,
+                scale=self.dim_head**-0.5)
+            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
         fused_qkv = env_flag("DSML_ATTN_FUSED_QKV", False)
         # Packed default ON: +5.3% inference / +23% training on-chip
         # (PROFILE.md round-3e). The fused-qkv branch stays on split-head

@@ -1051,6 +1051,158 @@ def flash_attention_fproj(h, wq, wk, wv, wo, bo, heads: int, scale=None,
     )(h, h, wq, wk, wv, wo, bo[None, :])
 
 
+def _flash_kernel_packed_qout(hq_ref, k_ref, v_ref, wq_ref, wo_ref, bo_ref,
+                              o_ref, *, scale: float, heads: int,
+                              defer_div: bool, pv_transpose: bool,
+                              norm_bound: bool, staged: bool):
+    """Partial projection fusion for multi-q-block shapes: K/V arrive
+    precomputed (no per-block recompute), the kernel fuses only the q
+    projection and the output projection around the per-head attention —
+    q and the attention output never round-trip HBM."""
+    hq = hq_ref[0]            # [Bq, C]
+    k = k_ref[0]              # [Nk, H*D]
+    v = v_ref[0]
+    f32 = jnp.float32
+    q = jnp.dot(hq, wq_ref[...], preferred_element_type=f32).astype(k.dtype)
+    att = _packed_heads_attend(
+        q, k, v, heads=heads, out_dtype=k.dtype, scale=scale,
+        defer_div=defer_div, pv_transpose=pv_transpose,
+        norm_bound=norm_bound, staged=staged)
+    out = jnp.dot(att, wo_ref[...], preferred_element_type=f32) + bo_ref[0]
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _qout_fwd_bytes(bq: int, nk: int, c: int, hd: int, itemsize: int) -> int:
+    """Working set of one q/out-fused program: the packed-forward budget
+    plus the hq block, weights, and the fp32 out block."""
+    return (_packed_fwd_bytes(bq, nk, hd)
+            + 2 * bq * c * itemsize
+            + (c * hd + hd * c + c) * 4
+            + 2 * bq * c * 4)
+
+
+def _fit_block_q_qout(nq: int, nk: int, c: int, hd: int, requested: int):
+    bq = min(max(requested, 8), nq)
+    while bq >= 8:
+        if _qout_fwd_bytes(bq, nk, c, hd, 2) <= _VMEM_BUDGET:
+            return bq
+        bq //= 2
+    return None
+
+
+def flash_attention_qout(h, k, v, wq, wo, bo, heads: int, scale=None,
+                         block_q: int = 1024, interpret: bool = False):
+    """q/out-projection-fused packed self-attention. h: [B, N, C] (normed
+    stream), k/v: [B, Nk, H*D] precomputed, wq: [C, H*D], wo: [H*D, C],
+    bo: [C] -> [B, N, C]."""
+    b, n, c = h.shape
+    hd = k.shape[-1]
+    d = hd // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    nk = k.shape[1]
+    defer_div, pv_transpose, norm_bound, staged = _flash_flags(nk)
+    block_q = min(block_q, n)
+    pad_q = (-n) % block_q
+    if pad_q:
+        h = jnp.pad(h, ((0, 0), (0, pad_q), (0, 0)))
+    nq_p = n + pad_q
+    grid = (b, nq_p // block_q)
+    vmem_limit = _vmem_limit(
+        _qout_fwd_bytes(block_q, nk, c, hd, jnp.dtype(h.dtype).itemsize))
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel_packed_qout, scale=scale, heads=heads,
+            defer_div=defer_div, pv_transpose=pv_transpose,
+            norm_bound=norm_bound, staged=staged),
+        out_shape=jax.ShapeDtypeStruct((b, nq_p, c), h.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, hd), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(h, k, v, wq, wo, bo[None, :])
+    if pad_q:
+        out = out[:, :n]
+    return out
+
+
+def _qout_reference(h, k, v, wq, wo, bo, heads: int, scale: float):
+    """Composed formula for the q/out-fused kernel (fallback + VJP)."""
+    q = h @ wq
+    b, n, hd = q.shape
+    d = hd // heads
+    split = lambda t: t.reshape(b, t.shape[1], heads, d).transpose(0, 2, 1, 3)
+    out = attention_reference(split(q), split(k), split(v), scale=scale)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, hd).astype(h.dtype)
+    return out @ wo + bo
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _qout_attention_diff(h, k, v, wq, wo, bo, heads, scale, block_q,
+                         interpret):
+    return flash_attention_qout(h, k, v, wq, wo, bo, heads, scale,
+                                block_q, interpret)
+
+
+def _qout_fwd(h, k, v, wq, wo, bo, heads, scale, block_q, interpret):
+    out = flash_attention_qout(h, k, v, wq, wo, bo, heads, scale,
+                               block_q, interpret)
+    return out, (h, k, v, wq, wo, bo)
+
+
+def _qout_bwd(heads, scale, block_q, interpret, res, g):
+    h, k, v, wq, wo, bo = res
+    _, vjp = jax.vjp(
+        lambda *a: _qout_reference(*a, heads=heads, scale=scale),
+        h, k, v, wq, wo, bo)
+    return vjp(g)
+
+
+_qout_attention_diff.defvjp(_qout_fwd, _qout_bwd)
+
+
+def fused_qout_self_attention(h, k, v, wq, wo, bo, heads: int, scale=None,
+                              use_pallas=None, interpret=False):
+    """Dispatch for the q/out-fused self-attention (multi-q-block shapes the
+    full fproj gate rejects): Pallas kernel when it fits, composed ops
+    otherwise. Mesh callers are not routed here."""
+    d = k.shape[-1] // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    wq, wo, bo = (w.astype(h.dtype) for w in (wq, wo, bo))
+    if use_pallas is None:
+        enabled = (_FLASH_OVERRIDE if _FLASH_OVERRIDE is not None
+                   else env_flag("DSML_FLASH_ATTN", True))
+        if env_flag("DSML_FLASH_INTERPRET", False):
+            use_pallas, interpret = enabled, True
+        else:
+            use_pallas = (enabled and _on_tpu()
+                          and h.shape[1] >= 256 and k.shape[1] >= 256)
+    if use_pallas:
+        requested_bq = int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024"))
+        block_q = _fit_block_q_qout(h.shape[1], k.shape[1], h.shape[2],
+                                    k.shape[-1], requested_bq)
+        if block_q is not None:
+            return _qout_attention_diff(h, k, v, wq, wo, bo, heads, scale,
+                                        block_q, interpret)
+    return _qout_reference(h, k, v, wq, wo, bo, heads=heads, scale=scale)
+
+
 def _fproj_reference(h, wq, wk, wv, wo, bo, heads: int, scale: float):
     """Composed formula the fused kernel implements — the fallback path and
     the custom-VJP backward (differentiable). Weights arrive pre-cast to

@@ -1108,3 +1108,56 @@ def test_fused_proj_flag_matches_stock_crossattention(monkeypatch):
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(fused_fallback), np.asarray(stock),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_fused_qout_matches_composed_and_module(monkeypatch):
+    """The partial (q/out-fused, precomputed K/V) kernel matches the
+    composed formula and, via DSML_ATTN_FPROJ_PARTIAL, the stock
+    CrossAttention self-attention output."""
+    from dsml_thesis_tpu.models.unet import CrossAttention
+    from dsml_thesis_tpu.ops.attention import (
+        _qout_reference,
+        flash_attention_qout,
+        fused_qout_self_attention,
+    )
+
+    rs = np.random.RandomState(2)
+    heads, d, c, n, b = 2, 32, 64, 512, 2
+    hd = heads * d
+    h = jnp.asarray(rs.randn(b, n, c).astype(np.float32)) * 0.3
+    k = jnp.asarray(rs.randn(b, n, hd).astype(np.float32)) * 0.3
+    v = jnp.asarray(rs.randn(b, n, hd).astype(np.float32)) * 0.3
+    wq = jnp.asarray(rs.randn(c, hd).astype(np.float32)) * 0.1
+    wo = jnp.asarray(rs.randn(hd, c).astype(np.float32)) * 0.1
+    bo = jnp.asarray(rs.randn(c).astype(np.float32)) * 0.1
+
+    ref = _qout_reference(h, k, v, wq, wo, bo, heads=heads, scale=d ** -0.5)
+    out = flash_attention_qout(h, k, v, wq, wo, bo, heads, block_q=128,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # grads through the recompute VJP
+    def loss_fused(*a):
+        return jnp.sum(fused_qout_self_attention(
+            *a, heads, use_pallas=True, interpret=True) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(h, k, v, wq, wo, bo)
+    gr = jax.grad(lambda *a: jnp.sum(_qout_reference(
+        *a, heads=heads, scale=d ** -0.5) ** 2),
+        argnums=(0, 1, 2, 3))(h, k, v, wq, wo, bo)
+    for g, r in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
+
+    # module flag parity (disable the full fusion so the partial branch runs)
+    x = jnp.asarray(rs.randn(2, 512, 64).astype(np.float32)) * 0.5
+    m = CrossAttention(heads=2, dim_head=32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("DSML_ATTN_FUSED_PROJ", "0")
+    stock = m.apply(params, x)
+    monkeypatch.setenv("DSML_ATTN_FPROJ_PARTIAL", "1")
+    monkeypatch.setenv("DSML_FLASH_INTERPRET", "1")
+    fused = m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(stock),
+                               atol=2e-5, rtol=2e-5)
