@@ -411,6 +411,9 @@ class CrossAttention(nn.Module):
         if (is_self and env_flag("DSML_ATTN_FUSED_PROJ", True)
                 and env_flag("DSML_ATTN_PACKED", True)
                 and _attention_mesh_size() <= 1
+                and x.shape[0] >= 8  # grid = batch programs: at bs1 (2 CFG
+                # programs) nothing hides the serialized in-kernel
+                # projections — measured 3.962 vs 4.593 f/s (PROFILE.md r4)
                 and _fproj_shape_ok(x.shape[1], q_dim, inner)):
             # projection-FUSED self-attention (ops/attention.py
             # fused_proj_self_attention): the Pallas kernel reads the normed

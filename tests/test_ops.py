@@ -1091,7 +1091,9 @@ def test_fused_proj_flag_matches_stock_crossattention(monkeypatch):
     from dsml_thesis_tpu.models.unet import CrossAttention
 
     rs = np.random.RandomState(1)
-    x = jnp.asarray(rs.randn(2, 512, 64).astype(np.float32)) * 0.5
+    # batch >= 8: the module routes to the fused kernel only above the
+    # program-count gate (bs1 on-chip regression, PROFILE.md round 4)
+    x = jnp.asarray(rs.randn(8, 512, 64).astype(np.float32)) * 0.5
     m = CrossAttention(heads=2, dim_head=32)
     params = m.init(jax.random.PRNGKey(0), x)
 
@@ -1151,7 +1153,7 @@ def test_fused_qout_matches_composed_and_module(monkeypatch):
                                    atol=2e-4, rtol=2e-4)
 
     # module flag parity (disable the full fusion so the partial branch runs)
-    x = jnp.asarray(rs.randn(2, 512, 64).astype(np.float32)) * 0.5
+    x = jnp.asarray(rs.randn(8, 512, 64).astype(np.float32)) * 0.5
     m = CrossAttention(heads=2, dim_head=32)
     params = m.init(jax.random.PRNGKey(0), x)
     monkeypatch.setenv("DSML_ATTN_FUSED_PROJ", "0")
