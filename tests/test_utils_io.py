@@ -47,3 +47,29 @@ def test_denoise_trajectory():
     expected = -(-ddim.num_steps // 2)
     assert traj.shape == (expected, 2, 4, 4, 3)
     assert np.isfinite(np.asarray(traj)).all()
+
+
+def test_flags_doc_covers_every_env_flag():
+    """Doc-rot guard: every DSML_* flag referenced in source appears in
+    docs/FLAGS.md, and the doc lists no phantom flags."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pat = re.compile(r"DSML_[A-Z0-9_]+")
+    in_code = set()
+    for root, _, files in os.walk(os.path.join(repo, "dsml_thesis_tpu")):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                in_code |= set(pat.findall(open(os.path.join(root, f)).read()))
+    for extra in ("bench.py",):
+        in_code |= set(pat.findall(open(os.path.join(repo, extra)).read()))
+    sdir = os.path.join(repo, "scripts")
+    for f in os.listdir(sdir):
+        if f.endswith(".py"):
+            in_code |= set(pat.findall(open(os.path.join(sdir, f)).read()))
+    in_doc = set(pat.findall(open(os.path.join(repo, "docs", "FLAGS.md")).read()))
+    assert in_code - in_doc == set(), f"undocumented flags: {in_code - in_doc}"
+    assert in_doc - in_code == set(), f"phantom doc flags: {in_doc - in_code}"
