@@ -410,6 +410,9 @@ class CrossAttention(nn.Module):
         is_self = context is x
         if (is_self and env_flag("DSML_ATTN_FUSED_PROJ", True)
                 and env_flag("DSML_ATTN_PACKED", True)
+                and deterministic  # sampling/eval only: training keeps the
+                # tuned packed flash BACKWARD (the fused path's VJP is a
+                # composed-formula recompute)
                 and _attention_mesh_size() <= 1
                 and x.shape[0] >= 8  # grid = batch programs: at bs1 (2 CFG
                 # programs) nothing hides the serialized in-kernel
@@ -435,6 +438,7 @@ class CrossAttention(nn.Module):
             return nn.Dropout(self.dropout)(out, deterministic=deterministic)
         if (is_self and env_flag("DSML_ATTN_FPROJ_PARTIAL", False)
                 and env_flag("DSML_ATTN_PACKED", True)
+                and deterministic
                 and _attention_mesh_size() <= 1):
             # multi-q-block shapes (the full-fusion gate above rejected
             # them): K/V stay XLA-computed (no per-block recompute), the
