@@ -45,6 +45,9 @@ python scripts/image_metrics.py --gen out/vids --gt gt_frames/ --log metric_logs
 python scripts/manipulation_metrics.py --edited-root out/edits \
     --original out/latents/origin.npy --out-csv out/manip_metrics.csv
 # python scripts/csim.py --dir-a out/samples --dir-b sources/ --weights arcface.pth
-# python scripts/emorec.py --samples out/samples --torch-model hsemotion.pt
+# python scripts/emorec.py --samples out/samples --enet hsemotion_enet_b2_7.pt   # torch-free in-tree EfficientNet-B2
 # python scripts/fid_metrics.py --gen out/samples --ref val_images/ --torch-extractor inception.pt
 # python scripts/run_av_hubert.py --hyp-json avhubert_hyps.json --transcripts mead_annotated.txt
+# one-command torch A/B against the reference on identical inputs/noise:
+# python scripts/parity_e2e.py --config configs/latent-diffusion/mead-256-ldm-f4-fullattn.yaml \
+#     --ckpt "$CKPT" --frames 8 --steps 50 --arcface arcface.pth
