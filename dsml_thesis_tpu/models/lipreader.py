@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .arcface import PReLU, _BN
+from .arcface import _BN
 
 _RESNET18_LAYERS = (2, 2, 2, 2)
 _RESNET18_PLANES = (64, 128, 256, 512)
@@ -41,9 +41,10 @@ def _act(relu_type: str):
         return nn.silu
     if relu_type == "relu":
         return nn.relu
-    if relu_type == "prelu":
-        return None  # handled via a PReLU submodule at the call site
-    raise ValueError(f"unknown relu_type {relu_type!r}")
+    # 'prelu' exists in the upstream zoo but no published VSR checkpoint
+    # ships it and convert_lipreader has no mapping for its per-block
+    # weights — refuse loudly rather than half-initialize
+    raise ValueError(f"unsupported relu_type {relu_type!r} (swish/relu)")
 
 
 class _BasicBlock(nn.Module):
@@ -59,8 +60,7 @@ class _BasicBlock(nn.Module):
         act = _act(self.relu_type)
         h = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
                     use_bias=False, name="conv1")(x)
-        h = _BN(name="bn1")(h)
-        h = act(h) if act else PReLU(name="prelu1")(h)
+        h = act(_BN(name="bn1")(h))
         h = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
                     name="conv2")(h)
         h = _BN(name="bn2")(h)
@@ -68,8 +68,7 @@ class _BasicBlock(nn.Module):
             x = nn.Conv(self.planes, (1, 1), strides=self.stride,
                         use_bias=False, name="ds_conv")(x)
             x = _BN(name="ds_bn")(x)
-        h = h + x
-        return act(h) if act else PReLU(name="prelu2")(h)
+        return act(h + x)
 
 
 class LipreaderFrontend(nn.Module):
@@ -83,9 +82,7 @@ class LipreaderFrontend(nn.Module):
         h = nn.Conv(64, (5, 7, 7), strides=(1, 2, 2),
                     padding=((2, 2), (3, 3), (3, 3)), use_bias=False,
                     name="frontend3d")(video)
-        h = _BN(name="frontend_bn")(h)
-        act = _act(self.relu_type)
-        h = act(h) if act else PReLU(name="frontend_prelu")(h)
+        h = _act(self.relu_type)(_BN(name="frontend_bn")(h))
         h = nn.max_pool(h, (1, 3, 3), strides=(1, 2, 2),
                         padding=((0, 0), (1, 1), (1, 1)))
         # framewise 2D trunk as one big batch (B*T) — MXU-friendly
