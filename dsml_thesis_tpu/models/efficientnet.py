@@ -412,10 +412,14 @@ def load_enet_checkpoint(path: str, cfg: Optional[EffNetConfig] = None
 def preprocess_enet(images_m11: jnp.ndarray, input_size: int = 260
                     ) -> jnp.ndarray:
     """clsloss.py:105-110: [-1,1] NHWC -> clamp [0,1] -> bilinear resize to
-    input_size (torch align_corners=False == jax 'linear') -> ImageNet norm."""
+    input_size -> ImageNet norm. antialias=False matches torch
+    F.interpolate's plain bilinear taps on DOWNSCALES too (jax's default
+    antialias=True widens the kernel when minifying; align_corners=False
+    half-pixel sampling matches either way)."""
     x = jnp.clip((images_m11 + 1.0) * 0.5, 0.0, 1.0)
     b, _, _, c = x.shape
-    x = jax.image.resize(x, (b, input_size, input_size, c), method="bilinear")
+    x = jax.image.resize(x, (b, input_size, input_size, c),
+                         method="bilinear", antialias=False)
     mean = jnp.asarray([0.485, 0.456, 0.406])
     std = jnp.asarray([0.229, 0.224, 0.225])
     return (x - mean) / std

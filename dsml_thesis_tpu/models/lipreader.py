@@ -31,6 +31,7 @@ import numpy as np
 from flax import linen as nn
 
 from .arcface import _BN
+from .efficientnet import _np  # shared torch->numpy helper
 
 _RESNET18_LAYERS = (2, 2, 2, 2)
 _RESNET18_PLANES = (64, 128, 256, 512)
@@ -101,12 +102,6 @@ class LipreaderFrontend(nn.Module):
 # ---------------------------------------------------------------------------
 # Weight conversion (espnet E2E state_dict -> Flax params/batch_stats)
 # ---------------------------------------------------------------------------
-
-def _np(t) -> np.ndarray:
-    t = getattr(t, "detach", lambda: t)()
-    return np.asarray(t.numpy() if hasattr(t, "numpy") else t,
-                      dtype=np.float32)
-
 
 def _bn(sd: Dict, key: str) -> Tuple[Dict, Dict]:
     return ({"scale": _np(sd[f"{key}.weight"]),

@@ -345,14 +345,15 @@ def _attention_mesh_size() -> int:
     return _att._ATTN_MESH.size if _att._ATTN_MESH is not None else 1
 
 
-def _fproj_shape_ok(n: int, c: int, hd: int) -> bool:
+def _fproj_shape_ok(n: int, c: int, hd: int, dtype) -> bool:
     """Route through the fused-projection kernel only where it WINS: a
-    single whole-N q-block (multi-block shapes pay K/V recompute and lost
-    the on-chip A/B; they stay on the stock packed kernel, which is also
-    the right fallback — not the composed path)."""
+    single whole-N q-block at the REAL activation itemsize (multi-block
+    shapes pay K/V recompute and lost the on-chip A/B; they stay on the
+    stock packed kernel, which is also the right fallback — not the
+    composed path)."""
     from ..ops.attention import fproj_eligible
 
-    return fproj_eligible(n, c, hd)
+    return fproj_eligible(n, c, hd, jnp.dtype(dtype).itemsize)
 
 
 class CrossAttention(nn.Module):
@@ -417,7 +418,7 @@ class CrossAttention(nn.Module):
                 and x.shape[0] >= 8  # grid = batch programs: at bs1 (2 CFG
                 # programs) nothing hides the serialized in-kernel
                 # projections — measured 3.962 vs 4.593 f/s (PROFILE.md r4)
-                and _fproj_shape_ok(x.shape[1], q_dim, inner)):
+                and _fproj_shape_ok(x.shape[1], q_dim, inner, self.dtype)):
             # projection-FUSED self-attention (ops/attention.py
             # fused_proj_self_attention): the Pallas kernel reads the normed
             # stream once and computes qkv-proj + per-head attention +

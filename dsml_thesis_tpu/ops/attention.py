@@ -988,23 +988,27 @@ def _fproj_fwd_bytes(bq: int, n: int, c: int, hd: int, itemsize: int) -> int:
     )
 
 
-def _fit_block_q_fproj(n: int, c: int, hd: int, requested: int):
+def _fit_block_q_fproj(n: int, c: int, hd: int, requested: int,
+                       itemsize: int = 2):
     """SINGLE-q-block fit only (block_q == N): with more than one q-block
     the in-kernel K/V projections recompute per block, and the on-chip A/B
     showed that loses at N=4096 (3.513 vs 3.646 f/s) while the one-block
     shapes win (headline 7.246 vs 7.188) — so multi-block shapes stay on
-    the stock packed kernel. None = ineligible."""
+    the stock packed kernel. Approves with the REAL activation itemsize —
+    the same number flash_attention_fproj compiles its vmem_limit from, so
+    a fit-approved shape cannot die in a Mosaic VMEM error. None =
+    ineligible."""
     del requested  # the only admissible block is the whole N
-    if _fproj_fwd_bytes(n, n, c, hd, 2) <= _VMEM_BUDGET:
+    if _fproj_fwd_bytes(n, n, c, hd, itemsize) <= _VMEM_BUDGET:
         return n
     return None
 
 
-def fproj_eligible(n: int, c: int, hd: int) -> bool:
+def fproj_eligible(n: int, c: int, hd: int, itemsize: int = 2) -> bool:
     """Module-side predicate: True when the fused-projection kernel admits
     this self-attention shape (single q-block fits VMEM). Ineligible shapes
     should take the stock packed path, NOT the composed fallback."""
-    return _fit_block_q_fproj(n, c, hd, n) is not None
+    return _fit_block_q_fproj(n, c, hd, n, itemsize) is not None
 
 
 def flash_attention_fproj(h, wq, wk, wv, wo, bo, heads: int, scale=None,
@@ -1018,15 +1022,23 @@ def flash_attention_fproj(h, wq, wk, wv, wo, bo, heads: int, scale=None,
         scale = 1.0 / math.sqrt(d)
     defer_div, pv_transpose, norm_bound, staged = _flash_flags(n)
     block_q = min(block_q, n)
-    grid = (b, n // block_q)
+    # pad the q-view so every output row is written (K/V view stays the
+    # true N — softmax rows are independent); the dispatch path always
+    # passes block_q == n, but the public entry must be safe at any shape
+    hq = h
+    pad_q = (-n) % block_q
+    if pad_q:
+        hq = jnp.pad(h, ((0, 0), (0, pad_q), (0, 0)))
+    nq_p = n + pad_q
+    grid = (b, nq_p // block_q)
     vmem_limit = _vmem_limit(
         _fproj_fwd_bytes(block_q, n, c, hd, jnp.dtype(h.dtype).itemsize))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _flash_kernel_packed_fproj, scale=scale, heads=heads,
             defer_div=defer_div, pv_transpose=pv_transpose,
             norm_bound=norm_bound, staged=staged),
-        out_shape=jax.ShapeDtypeStruct((b, n, c), h.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nq_p, c), h.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0),
@@ -1048,7 +1060,10 @@ def flash_attention_fproj(h, wq, wk, wv, wo, bo, heads: int, scale=None,
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(h, h, wq, wk, wv, wo, bo[None, :])
+    )(hq, h, wq, wk, wv, wo, bo[None, :])
+    if pad_q:
+        out = out[:, :n]
+    return out
 
 
 def _flash_kernel_packed_qout(hq_ref, k_ref, v_ref, wq_ref, wo_ref, bo_ref,
@@ -1081,10 +1096,13 @@ def _qout_fwd_bytes(bq: int, nk: int, c: int, hd: int, itemsize: int) -> int:
             + 2 * bq * c * 4)
 
 
-def _fit_block_q_qout(nq: int, nk: int, c: int, hd: int, requested: int):
+def _fit_block_q_qout(nq: int, nk: int, c: int, hd: int, requested: int,
+                      itemsize: int = 2):
+    """Approves with the REAL activation itemsize — the same number
+    flash_attention_qout compiles its vmem_limit from."""
     bq = min(max(requested, 8), nq)
     while bq >= 8:
-        if _qout_fwd_bytes(bq, nk, c, hd, 2) <= _VMEM_BUDGET:
+        if _qout_fwd_bytes(bq, nk, c, hd, itemsize) <= _VMEM_BUDGET:
             return bq
         bq //= 2
     return None
@@ -1196,7 +1214,8 @@ def fused_qout_self_attention(h, k, v, wq, wo, bo, heads: int, scale=None,
     if use_pallas:
         requested_bq = int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024"))
         block_q = _fit_block_q_qout(h.shape[1], k.shape[1], h.shape[2],
-                                    k.shape[-1], requested_bq)
+                                    k.shape[-1], requested_bq,
+                                    jnp.dtype(h.dtype).itemsize)
         if block_q is not None:
             return _qout_attention_diff(h, k, v, wq, wo, bo, heads, scale,
                                         block_q, interpret)
@@ -1266,7 +1285,8 @@ def fused_proj_self_attention(h, wq, wk, wv, wo, bo, heads: int, scale=None,
     if use_pallas:
         requested_bq = int(os.environ.get("DSML_FLASH_BLOCK_Q", "1024"))
         block_q = _fit_block_q_fproj(h.shape[1], h.shape[2], wq.shape[-1],
-                                     requested_bq)
+                                     requested_bq,
+                                     jnp.dtype(h.dtype).itemsize)
         if block_q is not None:
             return _fproj_attention_diff(h, wq, wk, wv, wo, bo, heads,
                                          scale, block_q, interpret)

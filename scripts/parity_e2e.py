@@ -280,6 +280,10 @@ def run_parity(args):
     ddim = make_ddim_schedule(ldm.schedule, S, eta=0.0)
     pipeline = make_video_pipeline(ldm, ddim, window,
                                    guidance_scale=args.guidance)
+    # one compiled program, params as jit ARGUMENTS — unjitted op-by-op
+    # dispatch through the axon tunnel would be a fresh remote compile per
+    # op (CLAUDE.md); closures would embed 157M weights as HLO constants
+    pipeline = jax.jit(pipeline)
     x_T = jnp.asarray(frame_noise.transpose(1, 0, 3, 4, 2))  # [B,F,h,w,c]
     out = pipeline(
         params,

@@ -168,3 +168,22 @@ def test_cls_ckpt_guidance_path(tmp_path):
     ref = F.cross_entropy(ref_logits,
                           torch.from_numpy(remap[target_affectnet]).long())
     np.testing.assert_allclose(float(got), float(ref), atol=5e-5, rtol=5e-5)
+
+
+def test_preprocess_downscale_matches_torch_antialias_off():
+    """jax.image.resize defaults to antialias=True on MINIFICATION, which the
+    reference's F.interpolate never does (clsloss.py:108) — the preprocess
+    must match torch's plain bilinear taps when downscaling big samples."""
+    import torch.nn.functional as F
+
+    rs = np.random.RandomState(11)
+    imgs = rs.uniform(-1, 1, (2, 120, 120, 3)).astype(np.float32)
+    got = np.asarray(enet.preprocess_enet(jnp.asarray(imgs), input_size=48))
+
+    x = torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+    x = torch.clamp((x + 1) * 0.5, 0, 1)
+    x = F.interpolate(x, (48, 48), mode="bilinear")
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    want = ((x - mean) / std).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)

@@ -1097,7 +1097,9 @@ def test_fused_proj_flag_matches_stock_crossattention(monkeypatch):
     m = CrossAttention(heads=2, dim_head=32)
     params = m.init(jax.random.PRNGKey(0), x)
 
-    monkeypatch.delenv("DSML_ATTN_FUSED_PROJ", raising=False)
+    # the flag is default-ON: the stock baseline must force it OFF or it
+    # would silently compare the fused branch against itself
+    monkeypatch.setenv("DSML_ATTN_FUSED_PROJ", "0")
     stock = m.apply(params, x)
     monkeypatch.setenv("DSML_ATTN_FUSED_PROJ", "1")
     monkeypatch.setenv("DSML_FLASH_INTERPRET", "1")
