@@ -319,3 +319,50 @@ def test_lipread_finetune_cli(tmp_path):
     val = [m for m in metrics if m["split"] == "val"]
     assert val and "val/l2_loss" in val[-1]
     assert np.isfinite(val[-1]["val_loss"])
+
+
+def test_lipread_finetune_cli_with_intree_tower(tmp_path):
+    """main.py drives the lipread finetune with the REAL in-tree Conv3dResNet
+    tower built from the lipread_ckpt config key: the lr_loss term (frozen
+    lipreader features) must appear in validation metrics, fully torch-free
+    at runtime."""
+    import torch
+
+    from lipreader_torch import Conv3dResNet
+    from test_video_cli import _build_tree
+
+    root = str(tmp_path / "mead")
+    os.makedirs(root)
+    tuples_path, audio_dir = _build_tree(root, n_clips=2, frames=4, size=16)
+
+    ckpt = tmp_path / "lrs3.pth"
+    tm = Conv3dResNet("swish").eval()
+    torch.save({f"encoder.frontend.{k}": v
+                for k, v in tm.state_dict().items()}, str(ckpt))
+
+    cfg_text = TUNE_CFG.format(tuples=tuples_path, root=root, audio=audio_dir)
+    cfg_text = cfg_text.replace(
+        "    lr_loss_w: 1.0",
+        "    lr_loss_w: 1.0\n"
+        f"    lipread_ckpt: {ckpt}\n"
+        "    mouth_crop: 12\n"
+        "    mouth_center_crop: 10\n")
+    cfg_path = tmp_path / "tiny-tune-tower.yaml"
+    cfg_path.write_text(cfg_text)
+    logroot = tmp_path / "logs"
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "main.py", "--base", str(cfg_path), "-t",
+         "--max-steps", "2", "--cpu", "--logdir", str(logroot),
+         "--scale_lr", "false", "--no-test"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    runs = list(logroot.iterdir())
+    metrics = [json.loads(l) for l in
+               (runs[0] / "metrics.jsonl").read_text().splitlines()]
+    val = [m for m in metrics if m["split"] == "val"]
+    assert val and "val/lr_loss" in val[-1], val[-1] if val else "no val"
+    assert np.isfinite(val[-1]["val/lr_loss"])
