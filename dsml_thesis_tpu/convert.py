@@ -38,7 +38,11 @@ def _to_np(sd: Mapping, key: str) -> np.ndarray:
     v = sd[key]
     if hasattr(v, "detach"):
         v = v.detach().cpu().numpy()
-    return np.asarray(v, dtype=np.float32)
+    # np.array (not asarray): torch's .numpy() is a VIEW of the live tensor
+    # storage, and same-dtype asarray keeps it — converting from a live
+    # module and then training it in-place would silently mutate the
+    # "converted" tree (jax CPU can alias numpy buffers zero-copy)
+    return np.array(v, dtype=np.float32)
 
 
 class _P:

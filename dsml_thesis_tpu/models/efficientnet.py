@@ -56,6 +56,10 @@ AFFECTNET_NAMES_8 = AFFECTNET_NAMES_7 + ("Contempt",)
 
 def affectnet_to_head(num_classes: int) -> np.ndarray:
     """AffectNet label -> classifier-head index (clsloss.py target remap)."""
+    if num_classes not in (7, 8):
+        raise ValueError(
+            f"affectnet_to_head: only the published 7/8-class HSEmotion "
+            f"heads have a known label order, got num_classes={num_classes}")
     heads = CLASS_NAMES_7 if num_classes == 7 else CLASS_NAMES_8
     affect = AFFECTNET_NAMES_7 if num_classes == 7 else AFFECTNET_NAMES_8
     return np.asarray([heads.index(n) for n in affect], dtype=np.int32)

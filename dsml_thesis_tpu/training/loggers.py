@@ -85,5 +85,11 @@ def build_logger(lightning_cfg: Dict, logdir: str) -> Optional[object]:
         return WandbBackend(logdir, params)
     if target.endswith(("TestTubeLogger", "CSVLogger")):
         return CsvBackend(logdir, params.get("name", "metrics"))
-    raise ValueError(f"unknown logger target {target!r} (supported: "
-                     "WandbLogger, TestTubeLogger, CSVLogger)")
+    # Reference main.py:552-576 instantiates arbitrary logger targets; a
+    # config carried over with e.g. CometLogger should not abort the run
+    # before step 0 — degrade to the csv backend (same policy as the
+    # wandb-absent path above) and say so loudly.
+    print(f"logger: unrecognized target {target!r} (supported: WandbLogger, "
+          "TestTubeLogger, CSVLogger); falling back to csv backend",
+          file=sys.stderr)
+    return CsvBackend(logdir, params.get("name", "metrics"))

@@ -239,6 +239,14 @@ def run_parity(args):
             )
     finally:
         torch.randn = orig_randn
+    if calls["i"] != F * (S + 1):
+        # The shared-noise pairing assumes the reference draws exactly S+1
+        # noises per frame, frame-init first. If its call pattern changes
+        # (eta>0 repeat_noise, extra draws), fail as a PAIRING error here
+        # instead of a mysterious PSNR-budget failure downstream.
+        raise RuntimeError(
+            f"reference drew {calls['i']} noises, expected F*(S+1)="
+            f"{F * (S + 1)}: the shared-noise pairing is misaligned")
     with torch.no_grad():
         ref_frames = np.stack([
             torch.clamp(oracle.decode_first_stage(z), -1, 1).numpy()[0]

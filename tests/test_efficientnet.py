@@ -86,6 +86,11 @@ def test_label_maps_match_reference_tables():
     # inverse map round-trips
     assert (enet.head_to_affectnet(7)[got7] == np.arange(7)).all()
     assert (enet.head_to_affectnet(8)[got8] == np.arange(8)).all()
+    # only the published 7/8-class heads have a known label order: any other
+    # head size must refuse loudly instead of silently applying the 8-class
+    # permutation (advisor round-4)
+    with pytest.raises(ValueError, match="affectnet_to_head"):
+        enet.affectnet_to_head(5)
 
 
 def test_stub_unpickle_whole_model(tmp_path):

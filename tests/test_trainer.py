@@ -486,3 +486,11 @@ def test_logger_backend_csv_and_wandb_fallback(tmp_path):
     with unittest.mock.patch.dict(sys.modules, {"wandb": None}):
         t2 = Trainer(cfg2, str(tmp_path / "run2"), seed=0, max_steps=1)
         assert type(t2._ext_logger).__name__ == "CsvBackend"
+
+    # an unrecognized logger target degrades to csv instead of aborting the
+    # run before step 0 (reference main.py instantiates arbitrary targets)
+    cfg3 = _config()
+    cfg3["lightning"] = {"logger": {
+        "target": "pytorch_lightning.loggers.CometLogger", "params": {}}}
+    t3 = Trainer(cfg3, str(tmp_path / "run3"), seed=0, max_steps=1)
+    assert type(t3._ext_logger).__name__ == "CsvBackend"
