@@ -33,6 +33,43 @@ def test_ssim_decreases_with_noise():
     assert 1 > s_small > s_big
 
 
+def test_ssim_matches_vendored_skimage_golden():
+    """skimage.metrics.structural_similarity's exact algorithm (gaussian
+    weights sigma=1.5, truncate=3.5 -> 11x11 window, population covariance,
+    pad-cropped mean) re-derived in ~20 lines of numpy so the cross-check
+    runs even where skimage isn't installed. Because the crop margin equals
+    the kernel radius (5), every retained pixel's filter support is fully
+    in-bounds — boundary mode is irrelevant and a separable 'valid'
+    correlation reproduces skimage bit-for-bit at fp64."""
+    rs = np.random.RandomState(0)
+    a = rs.rand(1, 64, 64, 3).astype(np.float32)
+    b = np.clip(a + 0.1 * rs.randn(1, 64, 64, 3).astype(np.float32), 0, 1)
+
+    r = np.arange(-5, 6, dtype=np.float64)
+    k = np.exp(-(r ** 2) / (2 * 1.5 ** 2))
+    k /= k.sum()
+
+    def filt(x):  # separable valid gaussian over [H, W]
+        x = np.apply_along_axis(lambda v: np.convolve(v, k, "valid"), 0, x)
+        return np.apply_along_axis(lambda v: np.convolve(v, k, "valid"), 1, x)
+
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    vals = []
+    for ch in range(3):
+        x, y = a[0, :, :, ch].astype(np.float64), b[0, :, :, ch].astype(np.float64)
+        ux, uy = filt(x), filt(y)
+        vx = filt(x * x) - ux * ux
+        vy = filt(y * y) - uy * uy
+        vxy = filt(x * y) - ux * uy
+        s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+            (ux * ux + uy * uy + c1) * (vx + vy + c2))
+        vals.append(s.mean())
+    golden = float(np.mean(vals))
+
+    ours = float(ssim(jnp.asarray(a), jnp.asarray(b))[0])
+    np.testing.assert_allclose(ours, golden, atol=1e-5)
+
+
 def test_ssim_matches_skimage_if_available():
     skimage = pytest.importorskip("skimage.metrics")
     rs = np.random.RandomState(0)
