@@ -25,14 +25,51 @@ import numpy as np
 from dsml_thesis_tpu.cli import add_sampler_args
 
 
+class _SyntheticClips:
+    """In-memory random clips with the MEADTalkingFace sample-mode field
+    surface — lets the streaming pipeline run as a pure device/host-overlap
+    bench on hosts without the dataset."""
+
+    def __init__(self, n, size, frames, window, adim, prep_delay=0.0):
+        self.n, self.size = n, size
+        self.frames, self.window, self.adim = frames, window, adim
+        self.prep_delay = prep_delay
+        self._rs = np.random.RandomState(0)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if self.prep_delay:
+            time.sleep(self.prep_delay)
+        F, w, s = self.frames, self.window, self.size
+        return {
+            "masked_image": self._rs.rand(F, s, s, 3).astype(np.float32) - .5,
+            "identity": self._rs.rand(s, s, 3).astype(np.float32) - .5,
+            "class_label": i % 8,
+            "audio": self._rs.randn(F + w, self.adim).astype(np.float32),
+            "subj": f"synth{i}", "human_label": "neutral",
+            "lvl": "level_1", "nbr": "001",
+        }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--ckpt", default=None)
-    ap.add_argument("--tuples", required=True)
-    ap.add_argument("--data-root", required=True)
-    ap.add_argument("--audio-dir", required=True)
-    ap.add_argument("--outdir", required=True)
+    ap.add_argument("--tuples", default=None)
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--audio-dir", default=None)
+    ap.add_argument("--outdir", default=None)
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N",
+                    help="bench mode: N random in-memory clips instead of a "
+                         "dataset (no --tuples/--outdir needed); reports the "
+                         "same cumulative frames/s so the host-overlap path "
+                         "can be compared against bench.py's static number")
+    ap.add_argument("--prep-delay", type=float, default=0.0,
+                    help="with --synthetic: artificial host-prep seconds per "
+                         "batch, emulating file IO to probe when the "
+                         "producer thread starts starving the device")
     ap.add_argument("--batch", type=int, default=4, help="speakers per batch")
     ap.add_argument("--frames", type=int, default=32, help="frames per clip (pad/trim)")
     ap.add_argument("--steps", type=int, default=50)
@@ -68,9 +105,17 @@ def main():
     params = cast_sampling_params(
         load_params(args.ckpt, ldm, cfg["model"], example_batch=example)
     )
-    ds = MEADTalkingFace(args.tuples, args.data_root, args.audio_dir,
-                         audio_window=args.audio_window, size=args.size,
-                         mode="sample")
+    if args.synthetic:
+        ds = _SyntheticClips(args.synthetic, args.size, args.frames,
+                             args.audio_window, adim, args.prep_delay)
+    else:
+        if not (args.tuples and args.data_root and args.audio_dir
+                and args.outdir):
+            ap.error("--tuples/--data-root/--audio-dir/--outdir are required "
+                     "without --synthetic")
+        ds = MEADTalkingFace(args.tuples, args.data_root, args.audio_dir,
+                             audio_window=args.audio_window, size=args.size,
+                             mode="sample")
     ddim = make_ddim_schedule(ldm.schedule, args.steps, eta=0.0)
     B, F, w = args.batch, args.frames, args.audio_window
 
@@ -143,9 +188,11 @@ def main():
         q.put(None)
 
     threading.Thread(target=producer, daemon=True).start()
-    os.makedirs(args.outdir, exist_ok=True)
+    if args.outdir:
+        os.makedirs(args.outdir, exist_ok=True)
     done_frames = 0
     t0 = time.time()
+    steady_t0 = steady_base = None  # set after batch 0 (compile) drains
     while True:
         item = q.get()
         if item is None:
@@ -165,10 +212,19 @@ def main():
             b = to_unit_range(jnp.asarray(gts[0]))
             line += (f" psnr={float(jnp.mean(psnr(a, b))):.2f}"
                      f" ssim={float(jnp.mean(ssim(a, b))):.3f}")
-        for i, name in enumerate(names):
-            np.save(os.path.join(args.outdir, f"{name}.npy"), vids[i])
+        if args.outdir:
+            for i, name in enumerate(names):
+                np.save(os.path.join(args.outdir, f"{name}.npy"), vids[i])
         elapsed = time.time() - t0
-        print(f"{line} | cumulative {done_frames / elapsed:.2f} frames/s")
+        line += f" | cumulative {done_frames / elapsed:.2f} frames/s"
+        # steady-state excludes batch 0's compile: THIS is the number to
+        # hold against bench.py's warm static-batch fps
+        if steady_t0 is None:
+            steady_t0, steady_base = time.time(), done_frames
+        else:
+            ss = (done_frames - steady_base) / (time.time() - steady_t0)
+            line += f" | steady {ss:.2f} frames/s"
+        print(line, flush=True)
 
 
 if __name__ == "__main__":
