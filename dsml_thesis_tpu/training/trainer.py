@@ -216,6 +216,24 @@ class Trainer:
                                             dict(fs_p["ddconfig"])),
             )
             print(f"loaded first-stage weights from {fs_p['ckpt_path']}")
+        # reference MODEL-level ckpt_path (ddpm.py:104/186 init_from_ckpt,
+        # e.g. mead-128-ldm-f4-tune.yaml:5): warm-start the WHOLE model from
+        # a trained checkpoint — a torch Lightning .ckpt (converted) or one
+        # of our Orbax run dirs. Raw (non-EMA) weights, matching the
+        # reference's direct state_dict load; group-level overlay keeps
+        # augmented extras (guidance towers) from _augment_params. Also the
+        # dh64 finetune entry point: the head-width knob changes no param
+        # shapes, so converted reference weights load as-is.
+        mp = self.model_cfg.get("params", {})
+        if mp.get("ckpt_path"):
+            from ..utils_io import load_params
+
+            loaded = load_params(mp["ckpt_path"], self.ldm, self.model_cfg,
+                                 use_ema=False)
+            params = {**params,
+                      **{k: jax.tree.map(jnp.asarray, v)
+                         for k, v in loaded.items()}}
+            print(f"warm-started model from {mp['ckpt_path']}")
         scheduler_cfg = self.model_cfg.get("params", {}).get("scheduler_config")
         self._tx = make_optimizer(
             self.ldm, params, base_lr=self.lr,

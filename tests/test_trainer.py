@@ -494,3 +494,49 @@ def test_logger_backend_csv_and_wandb_fallback(tmp_path):
         "target": "pytorch_lightning.loggers.CometLogger", "params": {}}}
     t3 = Trainer(cfg3, str(tmp_path / "run3"), seed=0, max_steps=1)
     assert type(t3._ext_logger).__name__ == "CsvBackend"
+
+
+def test_model_ckpt_path_warm_start(tmp_path):
+    """Model-level `ckpt_path` (reference ddpm.py:104/186 init_from_ckpt,
+    the tune-config warm-start surface): a new Trainer whose model params
+    name a saved checkpoint must start from those weights, not random."""
+    import jax
+
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = _config()
+    t1 = Trainer(cfg, str(tmp_path / "run1"), seed=0, max_steps=2)
+    t1.fit(epochs=1, log_every=1, val_max_batches=1)
+    t1.save_checkpoint("warm", wait=True)
+    ck = str(tmp_path / "run1" / "checkpoints" / "warm")
+
+    cfg2 = _config()
+    cfg2["model"]["params"]["ckpt_path"] = ck
+    t2 = Trainer(cfg2, str(tmp_path / "run2"), seed=1, max_steps=1)
+    t2.fit(epochs=1, log_every=1, val_max_batches=0)
+
+    # after ONE step from the warm start vs TWO steps of run1: the unet
+    # trees must be close (one small step apart), and nothing like a fresh
+    # seed-1 random init (which differs at O(weight-scale))
+    a = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(t1._state.params["unet"])])
+    b = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(t2._state.params["unet"])])
+    assert np.max(np.abs(a - b)) < 5e-3  # a couple of 1e-5-lr steps apart
+
+    cfg3 = _config()
+    t3 = Trainer(cfg3, str(tmp_path / "run3"), seed=1, max_steps=1)
+    t3.fit(epochs=1, log_every=1, val_max_batches=0)
+    c = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(t3._state.params["unet"])])
+    assert np.max(np.abs(c - b)) > 1e-2  # fresh init is far away
+
+
+def test_model_ckpt_path_missing_file_fails_loudly(tmp_path):
+    from dsml_thesis_tpu.training.trainer import Trainer
+
+    cfg = _config()
+    cfg["model"]["params"]["ckpt_path"] = str(tmp_path / "nope.ckpt")
+    t = Trainer(cfg, str(tmp_path / "run"), seed=0, max_steps=1)
+    with pytest.raises((FileNotFoundError, OSError, ValueError)):
+        t.fit(epochs=1, log_every=1, val_max_batches=0)
