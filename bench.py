@@ -203,9 +203,11 @@ def measure(args, cfg, lat):
     # item 4: BENCH records track MFU, not just fps). Only where the
     # S*F-UNet-evals cost model holds: full DDIM pipeline, single chip.
     util = None
+    from dsml_thesis_tpu.flags import env_flag
+
     if (not args.tiny and not args.hot_only and not args.no_decode
             and args.sampler == "ddim" and n_chips == 1
-            and os.environ.get("DSML_BENCH_MFU", "1") == "1"):
+            and env_flag("DSML_BENCH_MFU", True)):
         try:
             from dsml_thesis_tpu.roofline import (
                 component_costs, pipeline_totals, utilization)

@@ -13,11 +13,12 @@ track utilization alongside fps).
 """
 from __future__ import annotations
 
-import os
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
+
+from .flags import env_flag
 
 V5E_PEAK_BF16 = 197e12   # FLOP/s per chip
 V5E_HBM_BW = 819e9       # bytes/s per chip
@@ -41,7 +42,10 @@ def component_costs(ldm, cfg, params, B: int, F: int, res: int,
     lat = res // (1 << (len(ddc["ch_mult"]) - 1))
 
     cfg_on = guidance != 1.0
-    dedup = cfg_on and os.environ.get("DSML_CFG_DEDUP", "1") == "1"
+    # env_flag, not a raw read: the cost model must see the SAME dedup
+    # decision the pipeline makes (and a typo'd value must raise, not
+    # silently model the wrong UNet batch)
+    dedup = cfg_on and env_flag("DSML_CFG_DEDUP", True)
     nb = 2 * B if (cfg_on and not dedup) else B
     ctx = jnp.zeros((2 * B if cfg_on else B, 1, ctx_dim))
     x = jnp.zeros((nb, lat, lat, zc))

@@ -225,7 +225,15 @@ class Trainer:
         # dh64 finetune entry point: the head-width knob changes no param
         # shapes, so converted reference weights load as-is.
         mp = self.model_cfg.get("params", {})
+        warm_ema = None
         if mp.get("ckpt_path"):
+            if not os.path.exists(mp["ckpt_path"]):
+                # refuse BEFORE any backend import touches the path — a
+                # typo'd warm-start must not surface as a confusing
+                # downstream loader error
+                raise FileNotFoundError(
+                    f"model.params.ckpt_path does not exist: "
+                    f"{mp['ckpt_path']!r}")
             from ..utils_io import load_params
 
             loaded = load_params(mp["ckpt_path"], self.ldm, self.model_cfg,
@@ -233,6 +241,16 @@ class Trainer:
             params = {**params,
                       **{k: jax.tree.map(jnp.asarray, v)
                          for k, v in loaded.items()}}
+            # the reference's init_from_ckpt restores the LitEma shadow
+            # buffers too (they ride the state_dict): carry the EMA tree
+            # over as well, falling back to the raw weights when the
+            # checkpoint has no shadows (= the reference's fresh-LitEma
+            # behavior). Caveat vs torch: LitEma's num_updates rides the
+            # checkpoint while our warmup decay follows TrainState.step,
+            # which restarts at 0 on a warm start — early shadows track
+            # the raw weights more closely than a resumed LitEma would.
+            warm_ema = load_params(mp["ckpt_path"], self.ldm,
+                                   self.model_cfg, use_ema=True)
             print(f"warm-started model from {mp['ckpt_path']}")
         scheduler_cfg = self.model_cfg.get("params", {}).get("scheduler_config")
         self._tx = make_optimizer(
@@ -240,6 +258,12 @@ class Trainer:
             scheduler_config=scheduler_cfg, grad_accum=self.grad_accum,
         )
         state = create_train_state(self.ldm, params, self._tx)
+        if warm_ema is not None:
+            state = state.replace(ema_params={
+                k: jax.tree.map(jnp.asarray, warm_ema[k])
+                for k in state.ema_params if k in warm_ema
+            } | {k: v for k, v in state.ema_params.items()
+                 if k not in warm_ema})
         # TP/FSDP-aware placement: attention projections shard over `model`,
         # fsdp additionally partitions every large leaf (params + Adam moments
         # + EMA) over `data` — see parallel/tp.py; degenerates to full

@@ -83,7 +83,9 @@ def main():
     # the batch-pair prefix dedup on (DSML_CFG_DEDUP default), x/t/concat
     # are the B-batch halves and only the context is the 2B pair — so the
     # FLOP/byte analysis reflects the elided prefix instead of overstating
-    dedup = os.environ.get("DSML_CFG_DEDUP", "1") == "1"
+    from dsml_thesis_tpu.flags import env_flag
+
+    dedup = env_flag("DSML_CFG_DEDUP", True)
     ctx2 = jnp.zeros((2 * B, 1, ctx_dim))
     if dedup:
         x2 = jnp.zeros((B, lat, lat, zc))
@@ -106,7 +108,7 @@ def main():
         # cost analysis only — skip the timed() runs below, whose results
         # report_mfu never uses (each is a compile + device runs through the
         # tunnel for nothing)
-        report_mfu(ldm, cfg, params, args, unet_fn, x2, t2, ctx2, cc2, zc)
+        report_mfu(ldm, cfg, params, args)
         return
 
     dt_unet, _ = timed(unet_fn, params, x2, t2, ctx2, cc2)
@@ -129,49 +131,39 @@ def main():
 from dsml_thesis_tpu.roofline import V5E_HBM_BW, V5E_PEAK_BF16  # noqa: E402
 
 
-def report_mfu(ldm, cfg, params, args, unet_fn, x2, t2, ctx2, cc2, zc=3):
+def report_mfu(ldm, cfg, params, args):
     """Roofline accounting from XLA's compiled cost analysis: how much of the
     v5e's MXU and HBM the program actually uses, so 'fast' is rated against
     hardware peaks, not just the 3.125 f/s target (PROFILE.md).
 
-    XLA cost analysis counts a lax.scan body ONCE, so the pipeline totals are
-    assembled from per-component analyses (UNet eval, VQ encode, VQ decode)
-    times their trip counts — the same structure bench.py executes.
-    `params` arrive already cast to the bf16 sampling tree (main)."""
+    The cost assembly itself lives in dsml_thesis_tpu.roofline (one model,
+    shared with bench.py's mfu/hbm_util JSON fields — this report can't
+    drift from the recorded numbers). `params` arrive already cast to the
+    bf16 sampling tree (main)."""
+    from dsml_thesis_tpu.flags import env_flag
+    from dsml_thesis_tpu.roofline import (
+        component_costs, pipeline_totals, utilization)
+
     B, F, S = args.batch, args.frames, args.steps
-    ddc = cfg["model"]["params"]["first_stage_config"]["params"]["ddconfig"]
-    lat = args.res // (1 << (len(ddc["ch_mult"]) - 1))
-
-    def cost(jitted, *a):
-        ca = jitted.lower(*a).compile().cost_analysis()
-        return ca.get("flops", 0.0), ca.get("bytes accessed", 0.0)
-
-    uf, ub = cost(unet_fn, params, x2, t2, ctx2, cc2)
-    pair = " pair-dedup" if ctx2.shape[0] == 2 * x2.shape[0] else ""
-    print(f"UNet eval (CFG bs{ctx2.shape[0]}{pair}): {uf/1e9:.1f} GFLOP, "
+    costs = component_costs(ldm, cfg, params, B, F, args.res)
+    uf, ub = costs["unet"]
+    ef, _ = costs["encode"]
+    df, _ = costs["decode"]
+    pair = " pair-dedup" if env_flag("DSML_CFG_DEDUP", True) else ""
+    print(f"UNet eval (CFG bs{2*B}{pair}): {uf/1e9:.1f} GFLOP, "
           f"{ub/1e9:.2f} GB accessed")
-
-    enc_fn = jax.jit(lambda p, x: ldm.encode_first_stage(p, x))
-    ef, eb = cost(enc_fn, params,
-                  jnp.zeros((B * F, args.res, args.res, 3)))
-    dec_fn = jax.jit(lambda p, z: ldm.decode_first_stage(p, z))
-    df, db = cost(dec_fn, params, jnp.zeros((B * F, lat, lat, zc)))
     print(f"VQ encode ({B*F} frames): {ef/1e9:.1f} GFLOP | "
           f"decode: {df/1e9:.1f} GFLOP")
 
-    # pipeline = S*F UNet evals + masked-frame encodes (B*F) + identity
-    # encode (~B, folded into the B*F figure) + per-frame decode
     frames = B * F
-    pf = S * F * uf + ef + df
-    pb = S * F * ub + eb + db
+    pf, pb = pipeline_totals(costs, F, S)
     print(f"full pipeline ({frames} frames, DDIM-{S}): {pf/1e12:.1f} TFLOP, "
           f"{pb/1e12:.2f} TB accessed "
           f"({pf/frames/1e9:.0f} GFLOP/frame, {pb/frames/1e9:.1f} GB/frame)")
 
     if args.fps:
         t_iter = frames / args.fps
-        mfu = pf / t_iter / V5E_PEAK_BF16
-        hbm = pb / t_iter / V5E_HBM_BW
+        mfu, hbm = utilization(pf, pb, frames, args.fps)
         print(f"at {args.fps} frames/s/chip ({t_iter:.1f} s/iter):")
         print(f"  MFU  = {100*mfu:.1f}% of v5e bf16 peak "
               f"({V5E_PEAK_BF16/1e12:.0f} TFLOP/s)")

@@ -106,6 +106,9 @@ def main():
         load_params(args.ckpt, ldm, cfg["model"], example_batch=example)
     )
     if args.synthetic:
+        if args.metrics:
+            ap.error("--synthetic clips have no ground truth; "
+                     "--metrics needs the real-dataset mode")
         ds = _SyntheticClips(args.synthetic, args.size, args.frames,
                              args.audio_window, adim, args.prep_delay)
     else:
@@ -236,6 +239,14 @@ def main():
         bi, (masked, feats, ids, labels, names, gts) = item
         if bi == len(batches) - 1 and n_real_last < B:
             names = names[:n_real_last]  # drop padded duplicates at write
+        # --metrics runs jnp PSNR/SSIM inside drain(): those device programs
+        # would enqueue BEHIND a just-dispatched synth and stall a whole
+        # batch (plus re-upload ~25 MB through the tunnel mid-flight), so
+        # the metrics path keeps the drain-before-dispatch order; the
+        # throughput path dispatches first and drains under the device
+        if args.metrics and pending is not None:
+            drain(pending)
+            pending = None
         # dispatch is async: the device starts this batch now...
         out = synth(params, masked, feats, ids, labels, jax.random.PRNGKey(bi))
         # ...while the host drains the PREVIOUS batch under it
