@@ -62,34 +62,9 @@ def parse_args():
 
 
 def _probe_backend_with_retry():
-    """The TPU backend rides a remote tunnel that can be transiently down —
-    and a downed tunnel makes backend init HANG rather than raise. Probe
-    `jax.devices()` in a bounded CHILD process (so this process's backend
-    state is never poisoned by a failed init); retry DSML_BENCH_RETRIES
-    times (default 3) spaced DSML_BENCH_RETRY_SLEEP s (default 180) apart,
-    then proceed anyway and let the real init surface the error."""
-    import subprocess
+    from dsml_thesis_tpu.utils_io import probe_backend_with_retry
 
-    max_tries = int(os.environ.get("DSML_BENCH_RETRIES", "3"))
-    sleep_s = float(os.environ.get("DSML_BENCH_RETRY_SLEEP", "180"))
-    probe_s = float(os.environ.get("DSML_BENCH_PROBE_TIMEOUT", "120"))
-    for attempt in range(1 + max_tries):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; jax.devices(); print('BACKEND_OK')"],
-                timeout=probe_s, capture_output=True)
-            if r.returncode == 0 and b"BACKEND_OK" in r.stdout:
-                return
-        except subprocess.TimeoutExpired:
-            pass
-        if attempt == max_tries:
-            print("# backend probe never succeeded; proceeding anyway",
-                  file=sys.stderr)
-            return
-        print(f"# backend probe failed (tunnel down?); retry "
-              f"{attempt + 1}/{max_tries} in {sleep_s:.0f}s", file=sys.stderr)
-        time.sleep(sleep_s)
+    probe_backend_with_retry()
 
 
 def measure(args, cfg, lat):

@@ -7,6 +7,52 @@ from typing import Dict, Optional, Sequence
 import jax
 
 
+def probe_backend_with_retry(max_tries: Optional[int] = None,
+                             sleep_s: Optional[float] = None,
+                             probe_s: Optional[float] = None) -> bool:
+    """Bounded liveness probe for the TPU backend, in a CHILD process.
+
+    The backend rides a remote tunnel that can be transiently down — and a
+    downed tunnel makes backend init (the first device-array creation)
+    HANG rather than raise, which turns any tool that merely imports
+    flax/optax into a silent infinite wait. Probing `jax.devices()` in a
+    bounded subprocess keeps this process's backend state clean; retries
+    are spaced DSML_BENCH_RETRY_SLEEP s (default 180) apart, up to
+    DSML_BENCH_RETRIES times (default 3), each with a
+    DSML_BENCH_PROBE_TIMEOUT s cap (default 120). Returns True if a probe
+    succeeded; False means "proceed anyway and let the real init surface
+    the error". Shared by bench.py and scripts/parity_e2e.py."""
+    import subprocess
+    import sys
+    import time
+
+    max_tries = int(os.environ.get("DSML_BENCH_RETRIES", "3")
+                    if max_tries is None else max_tries)
+    sleep_s = float(os.environ.get("DSML_BENCH_RETRY_SLEEP", "180")
+                    if sleep_s is None else sleep_s)
+    probe_s = float(os.environ.get("DSML_BENCH_PROBE_TIMEOUT", "120")
+                    if probe_s is None else probe_s)
+    for attempt in range(1 + max_tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('BACKEND_OK')"],
+                timeout=probe_s, capture_output=True)
+            if r.returncode == 0 and b"BACKEND_OK" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt == max_tries:
+            print("# backend probe never succeeded; proceeding anyway",
+                  file=sys.stderr)
+            return False
+        print(f"# backend probe failed (tunnel down?); retry "
+              f"{attempt + 1}/{max_tries} in {sleep_s:.0f}s",
+              file=sys.stderr, flush=True)
+        time.sleep(sleep_s)
+    return False
+
+
 def cast_sampling_params(params: Dict, dtype=None) -> Dict:
     """Cast fp32 params to bf16 for inference/sampling.
 

@@ -133,6 +133,14 @@ def run_parity(args):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # flax/optax imports below create device arrays, and a downed
+        # tunnel makes that first backend init HANG rather than raise
+        # (observed twice: the whole 25-min torch phase never started).
+        # Probe in a bounded child process and retry visibly instead.
+        from dsml_thesis_tpu.utils_io import probe_backend_with_retry
+
+        probe_backend_with_retry()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
     import torch
@@ -145,13 +153,20 @@ def run_parity(args):
     cfg = load_config([args.config])
     p = cfg["model"]["params"]
     up = dict(p["unet_config"]["params"])
+    # `dtype` is OUR config extension (bf16 compute on TPU); the torch
+    # reference constructors don't know it. The torch side runs fp32 on CPU
+    # either way — the cross-PSNR then also measures our bf16 cost, which
+    # is exactly the honest flagship comparison.
+    up.pop("dtype", None)
     fsp = p["first_stage_config"]["params"]
     dd = dict(fsp["ddconfig"])
     res = dd["resolution"]
     lat = res // (2 ** (len(dd["ch_mult"]) - 1))
     lat_c = dd["z_channels"]
-    c1p = (p.get("cond_stage_config_1") or p["cond_stage_config"])["params"]
-    c2p = p["cond_stage_config_2"]["params"]
+    c1p = dict((p.get("cond_stage_config_1") or p["cond_stage_config"])["params"])
+    c2p = dict(p["cond_stage_config_2"]["params"])
+    for d in (c1p, c2p, dd):
+        d.pop("dtype", None)
     seq_len, adim = c2p["seq_len"], c2p["subspace_dim"]
     window = (seq_len - 1) // 2
     F, S, B = args.frames, args.steps, 1
