@@ -75,6 +75,13 @@ def pipeline_totals(costs: Dict[str, tuple], F: int, S: int):
 
 
 def utilization(flops: float, bytes_: float, frames: int, fps_chip: float):
-    """MFU + HBM fractions at a measured whole-program frames/s/chip."""
+    """MFU + HBM fractions at a measured whole-program frames/s/chip.
+
+    Caveat on the HBM figure: XLA's "bytes accessed" is an UPPER BOUND on
+    DRAM traffic (it counts logical buffer accesses; fusion/VMEM-resident
+    reuse can serve many of them on-chip), so hbm_util can exceed 1.0 when
+    the program beats the bound — observed at bs1/DDIM-200 (117%). Read it
+    as "fraction of the bound's speed-of-light", not a measured counter.
+    MFU has no such slack: FLOPs are exact for dense programs."""
     t_iter = frames / fps_chip
     return flops / t_iter / V5E_PEAK_BF16, bytes_ / t_iter / V5E_HBM_BW
